@@ -1,0 +1,377 @@
+"""Probe-compatible tokenizer (pure Python core + Arrow/pandas batch wrapper).
+
+Reproduces the observable behavior of the reference tokenizer
+(`/root/reference/src/search/tokenization.rs:2651-2764` ``tokenize``) including
+its default dispatch through the SIMD camel-case splitter
+(`src/search/simd_tokenization.rs:120-165`), the compound-word splitter used
+for filtering (`tokenization.rs:757-811`), stop-word filtering
+(`tokenization.rs:2007-2026`), exception-term preservation
+(`src/search/term_exceptions.rs:65-67`), and Snowball English stemming
+(`src/ranking.rs:37-40`).
+
+Differences from the reference, by design:
+  * The reference's dynamic special-term set is a global mutable
+    (`tokenization.rs:839-851`); here it is an explicit per-call argument so
+    queries cannot leak state into each other (scoped per query).
+  * The decompound-crate fallback (`tokenization.rs:2086-2092`) is replaced by
+    a deterministic longest-prefix-first recursive vocabulary split, pinned by
+    tests.  The precomputed split tables (which cover the common cases) are
+    reproduced verbatim.
+
+Token output contract (the per-row invariant everything else builds on):
+order-preserving, first-seen-deduplicated token list per input string; TF is
+therefore binary and doc length == number of unique tokens — mirroring the
+reference, whose ``tokenize`` dedups via a HashSet (tokenization.rs:2703-2760).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from probe_spark.functions import _tables as T
+from probe_spark.functions.porter2 import stem
+
+SIMD_THRESHOLD = 8  # simd_tokenization.rs:57
+
+# ---------------------------------------------------------------------------
+# stop words
+# ---------------------------------------------------------------------------
+
+
+def is_english_stop_word(word: str) -> bool:
+    """tokenization.rs:2007-2016 — English stop words plus integers 0..10."""
+    if word.isdigit():
+        try:
+            if int(word) <= 10:
+                return True
+        except ValueError:
+            pass
+    return word in T.ENGLISH_STOP_WORDS
+
+
+def is_stop_word(word: str) -> bool:
+    return is_english_stop_word(word) or word in T.PROGRAMMING_STOP_WORDS
+
+
+def is_exception_term(term: str) -> bool:
+    return term.lower() in T.EXCEPTION_TERMS
+
+
+def is_special_case(word: str, special_terms: frozenset[str] = frozenset()) -> bool:
+    """tokenization.rs:1167-1187 — static list + per-query dynamic terms."""
+    lower = word.lower()
+    return lower in T.SPECIAL_CASE_WORDS or lower in special_terms
+
+
+# ---------------------------------------------------------------------------
+# camelCase splitting — reproduces the *default* dispatch:
+# split_camel_case_with_config -> simd_split_camel_case_with_config
+# (tokenization.rs:1866-1870, simd_tokenization.rs:120-165)
+# ---------------------------------------------------------------------------
+
+
+def _contains_special_patterns(lowercase: str) -> bool:
+    """simd_tokenization.rs:169-196."""
+    return any(p in lowercase for p in T.SIMD_SPECIAL_PATTERNS)
+
+
+def _scalar_split_camel_case(s: str) -> list[str]:
+    """simd_tokenization.rs:267-314 — fallback for short / non-ASCII input."""
+    if not s:
+        return []
+    result: list[str] = []
+    current: list[str] = []
+    prev_was_lower = False
+    for ch in s:
+        if ch.isupper():
+            if current and prev_was_lower:
+                result.append("".join(current).lower())
+                current = []
+            current.append(ch)
+            prev_was_lower = False
+        elif ch.islower():
+            current.append(ch)
+            prev_was_lower = True
+        elif ch.isascii() and ch.isdigit():
+            if current and prev_was_lower:
+                result.append("".join(current).lower())
+                current = []
+            current.append(ch)
+            prev_was_lower = False
+        else:
+            if current:
+                result.append("".join(current).lower())
+                current = []
+            prev_was_lower = False
+    if current:
+        result.append("".join(current).lower())
+    return result if result else [s.lower()]
+
+
+def _simd_boundary_split(s: str) -> list[str]:
+    """simd_tokenization.rs:208-264 — byte-class boundary split (ASCII only)."""
+    n = len(s)
+    boundaries: list[int] = []
+    if n >= 2:
+        for i in range(1, n):
+            p, c = s[i - 1], s[i]
+            p_low, p_up, p_dig = p.islower() and p.isascii(), p.isupper() and p.isascii(), p.isdigit()
+            c_low, c_up, c_dig = c.islower() and c.isascii(), c.isupper() and c.isascii(), c.isdigit()
+            if (
+                (p_low and c_up)
+                or ((p_up or p_low) and c_dig)
+                or (p_dig and (c_up or c_low))
+            ):
+                boundaries.append(i)
+                continue
+            if p_up and c_up and i + 1 < n and s[i + 1].islower() and s[i + 1].isascii():
+                boundaries.append(i)
+    result: list[str] = []
+    start = 0
+    for b in boundaries:
+        if b > start:
+            part = s[start:b]
+            if part:
+                result.append(part.lower())
+        start = b
+    if start < n:
+        part = s[start:]
+        if part:
+            result.append(part.lower())
+    return result if result else [s.lower()]
+
+
+# SPECIAL_CASE_WORDS sorted longest-first, as the reference sorts at each call
+# (tokenization.rs:1898-1899)
+_SPECIAL_SORTED = sorted(T.SPECIAL_CASE_WORDS_ORDERED, key=len, reverse=True)
+
+
+def _full_split_camel_case(
+    s: str, special_terms: frozenset[str] = frozenset()
+) -> list[str]:
+    """The full scalar implementation (tokenization.rs:1866-2004)."""
+    if not s:
+        return []
+
+    if is_special_case(s, special_terms):
+        return [s.lower()]
+
+    lowercase = s.lower()
+
+    # OAuth2 prefix rule (tokenization.rs:1886-1894)
+    if lowercase.startswith("oauth2"):
+        remaining = s[6:]
+        if remaining:
+            return ["oauth2"] + _full_split_camel_case(remaining, special_terms)
+
+    # general special-case prefix handling, longest first (tokenization.rs:1896-1915)
+    for sc in _SPECIAL_SORTED:
+        if lowercase.startswith(sc):
+            remaining = s[len(sc):]
+            if remaining:
+                return [sc] + _full_split_camel_case(remaining, special_terms)
+
+    # all-lowercase inputs: split on the first embedded exception term
+    # (tokenization.rs:1917-1949; EXCEPTION_TERMS iterated in declaration order
+    #  — the reference iterates a HashSet, i.e. nondeterministically; we pin
+    #  declaration order for reproducibility)
+    if s == lowercase and "_" not in s and len(s) > 3:
+        for term in T.EXCEPTION_TERMS_ORDERED:
+            if term in s and term != s:
+                parts = s.split(term)
+                if len(parts) > 1:
+                    result: list[str] = []
+                    for i, part in enumerate(parts):
+                        if part:
+                            result.append(part)
+                        if i < len(parts) - 1:
+                            result.append(term)
+                    if result:
+                        return result
+
+    # state-machine split (tokenization.rs:1951-2003)
+    result = []
+    current: list[str] = []
+    prev_lower = prev_upper = prev_digit = False
+    chars = s
+    n = len(chars)
+    for i, c in enumerate(chars):
+        is_up = c.isupper() and c.isascii()
+        is_low = c.islower() and c.isascii()
+        is_dig = c.isdigit() and c.isascii()
+        if current and (
+            (prev_lower and is_up)
+            or (prev_digit != is_dig)
+            or (
+                prev_upper
+                and is_up
+                and i + 1 < n
+                and chars[i + 1].islower()
+                and chars[i + 1].isascii()
+            )
+        ):
+            result.append("".join(current))
+            current = []
+        current.append(c)
+        prev_lower, prev_upper, prev_digit = is_low, is_up, is_dig
+    if current:
+        result.append("".join(current))
+    return [w.lower() for w in result]
+
+
+def split_camel_case(s: str, special_terms: frozenset[str] = frozenset()) -> list[str]:
+    """Default-path dispatch (simd_tokenization.rs:120-133)."""
+    if len(s.encode("utf-8", "surrogatepass")) < SIMD_THRESHOLD or not s.isascii():
+        return _scalar_split_camel_case(s)
+    if _contains_special_patterns(s.lower()):
+        return _full_split_camel_case(s, special_terms)
+    return _simd_boundary_split(s)
+
+
+# ---------------------------------------------------------------------------
+# compound-word splitting (filtering path: tokenization.rs:757-811)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=1 << 16)
+def _decompound(word: str) -> tuple[str, ...]:
+    """Deterministic replacement for the decompound-crate fallback
+    (tokenization.rs:792-798): longest-prefix-first recursive split into
+    vocabulary words; no split if impossible."""
+
+    def rec(w: str) -> tuple[str, ...] | None:
+        if not w:
+            return ()
+        for i in range(len(w), 0, -1):
+            prefix = w[:i]
+            if prefix in T.VOCABULARY:
+                rest = rec(w[i:])
+                if rest is not None:
+                    return (prefix,) + rest
+        return None
+
+    parts = rec(word.lower())
+    if parts is not None and len(parts) >= 2:
+        return parts
+    return (word,)
+
+
+def split_compound_word(
+    word: str, special_terms: frozenset[str] = frozenset()
+) -> list[str]:
+    """split_compound_word_cached (tokenization.rs:757-811)."""
+    lowercase = word.lower()
+    if is_special_case(word, special_terms):
+        return [lowercase]
+    if is_exception_term(word):
+        return [word]
+    if lowercase in T.VOCABULARY:
+        return [word]
+    cached = T.FILTERING_COMPOUND_CACHE.get(lowercase)
+    if cached is not None:
+        return list(cached)
+    cached = T.PRECOMPUTED_COMPOUND_SPLITS.get(lowercase)
+    if cached is not None:
+        return list(cached)
+    return list(_decompound(word))
+
+
+# ---------------------------------------------------------------------------
+# the tokenizer (tokenization.rs:2651-2764)
+# ---------------------------------------------------------------------------
+
+
+def tokenize(text: str, special_terms: frozenset[str] = frozenset()) -> list[str]:
+    """Order-preserving, deduplicated probe-compatible tokens for ``text``.
+
+    ``special_terms``: per-query dynamic special terms (quoted / excluded
+    query terms); replaces the reference's global mutable set.
+    """
+    negated: set[str] = set()
+    raw_tokens: list[str] = []
+
+    for word in text.split():
+        is_negated = word.startswith("-")
+        body = word[1:] if is_negated else word
+        current: list[str] = []
+        for c in body:
+            if c.isalnum():
+                current.append(c)
+            elif current:
+                tok = "".join(current)
+                if is_negated:
+                    negated.add(tok.lower())
+                raw_tokens.append(tok)
+                current = []
+        if current:
+            tok = "".join(current)
+            if is_negated:
+                negated.add(tok.lower())
+            raw_tokens.append(tok)
+
+    seen: set[str] = set()
+    result: list[str] = []
+    for token in raw_tokens:
+        for part in split_camel_case(token, special_terms):
+            lower = part.lower()
+            if is_stop_word(lower):
+                continue
+            if lower in negated:
+                continue
+            for comp in split_compound_word(lower, special_terms):
+                if is_stop_word(comp):
+                    continue
+                if comp in negated:
+                    continue
+                if is_exception_term(comp) and comp not in seen:
+                    seen.add(comp)
+                    result.append(comp)
+                stemmed = stem(comp)
+                if stemmed in negated:
+                    continue
+                if stemmed not in seen:
+                    seen.add(stemmed)
+                    result.append(stemmed)
+    return result
+
+
+def raw_words(text: str) -> list[str]:
+    """Lowercased alphanumeric runs (whitespace + punctuation split), deduped
+    order-preserving.  This is the raw-word layer used for exact/excluded
+    query terms (reference: quoted terms bypass tokenization,
+    elastic_query.rs:768-773)."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for word in text.split():
+        current: list[str] = []
+        for c in word:
+            if c.isalnum():
+                current.append(c)
+            elif current:
+                w = "".join(current).lower()
+                if w not in seen:
+                    seen.add(w)
+                    out.append(w)
+                current = []
+        if current:
+            w = "".join(current).lower()
+            if w not in seen:
+                seen.add(w)
+                out.append(w)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched wrappers (the only entry points Spark jobs use)
+# ---------------------------------------------------------------------------
+
+
+def tokenize_batch(texts, special_terms: frozenset[str] = frozenset()):
+    """pandas.Series[str] -> pandas.Series[list[str]] — used inside a
+    pandas UDF so tokenization is Arrow-batched, never per-row Python
+    round-trips (BASELINE.json input_hint)."""
+    return texts.map(lambda t: tokenize(t, special_terms) if t else [])
+
+
+def raw_words_batch(texts):
+    return texts.map(lambda t: raw_words(t) if t else [])

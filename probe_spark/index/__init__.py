@@ -1,0 +1,1 @@
+"""probe_spark — PySpark-native inverted-index + BM25 engine."""
