@@ -1,0 +1,40 @@
+"""Runtime helpers: make the package importable on executors.
+
+A production deploy ships the package via ``spark-submit --py-files
+probe_spark.zip`` (north rule).  For driver-side programmatic use (tests,
+notebooks, bench), ``ensure_package_on_executors`` zips the installed package
+once per session and registers it with ``SparkContext.addPyFile`` so Arrow
+UDF workers can unpickle our functions regardless of the driver's cwd.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_on_executors(spark) -> None:
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"probe_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "probe_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(app_id)

@@ -1,0 +1,465 @@
+"""Distributed BM25 top-k search over the persisted inverted index.
+
+Query plan (all JVM-side Catalyst expressions; Python only in the Arrow
+varint decoder):
+
+  1. parse (driver) -> AST + per-query special terms
+     (probe_spark/query/parser.py; grammar = elastic_query.rs:519-967)
+  2. classify keywords: normal terms hit the token postings; exact/excluded
+     ("special") terms resolve per the reference's dynamic-special-term
+     semantics (see `_special_plan`, below)
+  3. postings fetch: filter on (bucket, term) -> partition pruning on the
+     bucket directory + parquet row-group pruning on term -> mapInArrow
+     varint decode to (term, doc_id, dl)
+  4. df per term from segment metadata (sum of df_seg; driver-side collect of
+     <= 256 tiny rows), idf = ln(1 + (N - df + .5)/(df + .5))
+     (ranking.rs:129-143)
+  5. candidates: groupBy(doc_id) -> hits = collect_set(term) (shuffle
+     bounded by docs-matching-any-term); for queries satisfiable by docs
+     with NO term hit (e.g. only-excluded queries) the docs table is
+     left-joined so every doc is a candidate — same semantics as the
+     reference, which scores every extracted block
+  6. filter + score: the AST compiles to nested when/otherwise Column trees
+     (evaluate: elastic_query.rs:148-292; scoring incl. must/must_not gates:
+     ranking.rs:226-274); TF is binary (the tokenizer dedups), so
+     score = C(dl) * sum(idf of present keywords) with
+     C(dl) = (k1+1)/(1 + k1*(1 - b + b*dl/avgdl)), k1=1.5 b=0.5
+     (ranking.rs:186-208, 361-362)
+  7. orderBy(score desc, doc_id asc).limit(k) -> TakeOrderedAndProject
+     (distributed top-k, no global sort), then a broadcast join of the k
+     winners back to docs/ for metadata.
+
+Special (exact/excluded) terms — reference semantics under the default SIMD
+dispatch (simd_tokenization.rs:120-133) are reproduced as follows: a special
+keyword K matches a doc iff the G-tokenization emits K, which requires
+K == lower(K), K alphanumeric, not a stop word, and K == stem(K) or K an
+exception term; the doc-side occurrences come from (a) the token index when
+the base tokenizer keeps K whole anyway (G-tokenization == base tokenization)
+or (b) the raw-word index for whole-word occurrences when the base would
+split K.  Known deviation (documented): an occurrence of K only as a
+camelCase *fragment* of a longer word, where base splits K, is not credited;
+the oracle (probe_spark/oracle.py) is fully faithful and the rank-identity
+tests pin the agreement on the reference query set.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from probe_spark.functions import tokenizer as tok
+from probe_spark.functions.porter2 import stem
+from probe_spark.index.xxhash import spark_bucket
+from probe_spark.query import ast
+from probe_spark.query.parser import ParseError, parse_query
+from probe_spark.runtime import ensure_package_on_executors
+
+K1 = 1.5
+B = 0.5
+MAX_QUERY_TERMS = 256
+
+_DECODED_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("src", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("dl", IntegerType(), False),
+    ]
+)
+
+
+def _decode_map_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """(term, src, docs_bin, dl_bin) -> exploded (term, src, doc_id, dl)."""
+    import numpy as np
+
+    from probe_spark.index.codec import decode_postings
+
+    for batch in batches:
+        terms = batch.column("term").to_pylist()
+        srcs = batch.column("src").to_pylist()
+        docs_bins = batch.column("docs_bin").to_pylist()
+        dl_bins = batch.column("dl_bin").to_pylist()
+        out_term: list[str] = []
+        out_src: list[str] = []
+        out_ids: list = []
+        out_dl: list = []
+        for t, s, db, lb in zip(terms, srcs, docs_bins, dl_bins):
+            ids, dls = decode_postings(db, lb)
+            out_term.extend([t] * len(ids))
+            out_src.extend([s] * len(ids))
+            out_ids.append(ids)
+            out_dl.append(dls)
+        ids_all = (
+            np.concatenate(out_ids) if out_ids else np.empty(0, dtype=np.int64)
+        )
+        dl_all = (
+            np.concatenate(out_dl).astype(np.int32)
+            if out_dl
+            else np.empty(0, dtype=np.int32)
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_term, pa.string()),
+                pa.array(out_src, pa.string()),
+                pa.array(ids_all, pa.int64()),
+                pa.array(dl_all, pa.int32()),
+            ],
+            names=["term", "src", "doc_id", "dl"],
+        )
+
+
+@dataclass
+class SpecialPlan:
+    keyword: str  # the query-map lookup key (original case)
+    matchable: bool  # False => present nowhere
+    need_raw: bool  # base tokenization would split it => also consult raw index
+    lookup: str  # term string to fetch
+
+
+def special_plan(keyword: str) -> SpecialPlan:
+    """Resolve how an exact/excluded keyword matches docs (see module doc).
+
+    matchable requires: all-lowercase alphanumeric, not a stop word, and the
+    keyword survives its own emission (kw == stem(kw) or kw is an exception
+    term) — otherwise the reference's query-token-map lookup never matches a
+    doc token (ranking.rs:186-201 with lowercase doc tokens).
+    When the base tokenizer keeps kw whole, base tokenization equals the
+    per-query-special tokenization and the token index alone is exact; when
+    base would split kw, whole-word occurrences come from the raw index and
+    stem-collisions from other words still come from the token index.
+    """
+    w = keyword.lower()
+    if keyword != w or not w or not all(c.isalnum() for c in w):
+        return SpecialPlan(keyword, False, False, w)
+    if tok.is_stop_word(w):
+        return SpecialPlan(keyword, False, False, w)
+    emitted = {stem(w)} | ({w} if tok.is_exception_term(w) else set())
+    if w not in emitted:
+        return SpecialPlan(keyword, False, False, w)
+    kept_whole = (
+        tok.split_camel_case(w) == [w] and tok.split_compound_word(w) == [w]
+    )
+    return SpecialPlan(keyword, True, not kept_whole, w)
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_path: str):
+        self.spark = spark
+        self.index_path = index_path
+        ensure_package_on_executors(spark)
+        stats = spark.read.parquet(f"{index_path}/stats").collect()[0]
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self.n_buckets = int(stats["n_buckets"])
+        self.docs = spark.read.parquet(f"{index_path}/docs")
+        self.postings = spark.read.parquet(f"{index_path}/postings")
+        self.raw_postings = spark.read.parquet(f"{index_path}/raw_postings")
+
+    # -- postings access ------------------------------------------------------
+    def _fetch(self, source: DataFrame, terms: list[str], src_label: str):
+        """Bucket-pruned + term-pruned segment fetch.  Buckets are computed
+        driver-side with the XXH64 parity implementation (no extra job)."""
+        if not terms:
+            return None
+        buckets = sorted({spark_bucket(t, self.n_buckets) for t in terms})
+        return source.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        ).select("term", F.lit(src_label).alias("src"), "docs_bin", "dl_bin")
+
+    # -- query compilation ----------------------------------------------------
+    def _compile_score(
+        self, expr: ast.Expr, idfs: dict[str, float], present: dict[str, Column]
+    ) -> Column:
+        """AST -> nullable score Column (null == excluded), ranking.rs:226-274.
+
+        kw BM25 = idf * (k1+1) / (1 + C_den) with tf==1; the dl-dependent
+        denominator is shared, so each keyword contributes
+        present(kw) * idf(kw) * tf_norm where tf_norm is a per-doc column.
+        """
+        tf_norm = F.col("_tf_norm")
+
+        def kw_score(kw: str) -> Column:
+            idf = idfs.get(kw, 0.0)
+            if idf == 0.0 or kw not in present:
+                return F.lit(0.0)
+            return F.when(present[kw], F.lit(idf) * tf_norm).otherwise(F.lit(0.0))
+
+        def rec(e: ast.Expr) -> Column:
+            if isinstance(e, ast.Term):
+                s = F.lit(0.0)
+                for kw in e.keywords:
+                    s = s + kw_score(kw)
+                if e.excluded:
+                    return F.when(s > 0.0, F.lit(None).cast("double")).otherwise(
+                        F.lit(0.0)
+                    )
+                if e.required:
+                    return F.when(s > 0.0, s).otherwise(F.lit(None).cast("double"))
+                return s
+            if isinstance(e, ast.And):
+                l, r = rec(e.left), rec(e.right)
+                return F.when(
+                    l.isNull() | r.isNull(), F.lit(None).cast("double")
+                ).otherwise(l + r)
+            l, r = rec(e.left), rec(e.right)
+            return F.when(
+                l.isNull() & r.isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                F.coalesce(l, F.lit(0.0)) + F.coalesce(r, F.lit(0.0))
+            )
+
+        return rec(expr)
+
+    def _compile_eval(
+        self, expr: ast.Expr, present: dict[str, Column]
+    ) -> Column:
+        """AST -> boolean Column (elastic_query.rs:148-292, negations on)."""
+
+        def pres(kw: str) -> Column:
+            return present.get(kw, F.lit(False))
+
+        has_req = ast.has_required_term(expr)
+
+        def rec(e: ast.Expr) -> Column:
+            if isinstance(e, ast.Term):
+                if not e.keywords:
+                    return F.lit(e.excluded)
+                all_p = F.lit(True)
+                any_p = F.lit(False)
+                for kw in e.keywords:
+                    all_p = all_p & pres(kw)
+                    any_p = any_p | pres(kw)
+                if e.excluded:
+                    return ~any_p
+                if e.required:
+                    return all_p
+                if has_req:
+                    return F.lit(True)
+                return any_p & all_p
+            if isinstance(e, ast.And):
+                return rec(e.left) & rec(e.right)
+            return rec(e.left) | rec(e.right)
+
+        result = rec(expr)
+        if has_req:
+            req_check = F.lit(True)
+            for t in ast.walk_terms(expr):
+                if t.required and not t.excluded:
+                    for kw in t.keywords:
+                        req_check = req_check & pres(kw)
+            result = req_check & result
+        return result
+
+    # -- search ----------------------------------------------------------------
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        exact: bool = False,
+        with_metadata: bool = True,
+    ) -> DataFrame:
+        """Top-k BM25 results: (doc_id, score [, conv_id, turn_idx, role,
+        tool, ts, text]), rank-identical to the oracle."""
+        spark = self.spark
+        empty = spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+        try:
+            expr, _special = parse_query(query, exact=exact)
+        except ParseError:
+            return empty
+
+        query_terms = ast.extract_query_terms(expr)
+        if len(query_terms) > MAX_QUERY_TERMS or not query_terms:
+            return empty
+
+        # classify: keywords of exact/excluded terms use special resolution
+        special_kws: set[str] = set()
+        for t in ast.walk_terms(expr):
+            if t.exact or t.excluded:
+                special_kws.update(t.keywords)
+        normal_kws = query_terms - special_kws
+
+        token_terms = sorted(normal_kws)
+        plans = {kw: special_plan(kw) for kw in sorted(special_kws)}
+        special_lookups = [p.lookup for p in plans.values() if p.matchable]
+
+        # Special terms whose registration changes doc tokenization
+        # (tokenize(w) != tokenize(w, G)): docs containing such a word as a
+        # whole raw word must be re-tokenized with the per-query special set
+        # ("repair join") — this reproduces the reference's global
+        # add_special_term effect on TF/dl/DF/avgdl exactly for whole-word
+        # occurrences (camelCase-embedded fragments are the documented gap).
+        g_set = frozenset(
+            p.lookup
+            for p in plans.values()
+            if p.lookup and all(c.isalnum() for c in p.lookup)
+        )
+        affecting = sorted(
+            w
+            for w in g_set
+            if tok.tokenize(w) != tok.tokenize(w, g_set)
+        )
+
+        # token index serves normal terms AND all matchable specials (stem
+        # collisions from other words emit the same token string)
+        f1 = self._fetch(
+            self.postings, sorted(set(token_terms) | set(special_lookups)), "tok"
+        )
+        if f1 is not None:
+            decoded = f1.mapInArrow(_decode_map_arrow, _DECODED_SCHEMA)
+        else:
+            decoded = spark.createDataFrame([], _DECODED_SCHEMA)
+
+        # keyword -> doc-token lookup string
+        kw_to_match: dict[str, str] = {kw: kw for kw in normal_kws}
+        for kw, p in plans.items():
+            if p.matchable:
+                kw_to_match[kw] = p.lookup
+        all_lookups = sorted(set(kw_to_match.values()))
+
+        # per-doc hit arrays from the token index
+        hits = decoded.groupBy("doc_id").agg(
+            F.collect_set("term").alias("hits"), F.first("dl").alias("dl")
+        )
+
+        avgdl = self.avgdl
+        if affecting:
+            raw_f = self._fetch(self.raw_postings, affecting, "raw")
+            raw_decoded = raw_f.mapInArrow(_decode_map_arrow, _DECODED_SCHEMA)
+            affected_ids = raw_decoded.select("doc_id").distinct()
+            affected = self.docs.join(affected_ids, "doc_id").select(
+                "doc_id", "text", "dl"
+            )
+            retok_schema = StructType(
+                [
+                    StructField("doc_id", LongType(), False),
+                    StructField("hits", ArrayType(StringType(), False), False),
+                    StructField("dl", IntegerType(), False),
+                    StructField("dl_delta", IntegerType(), False),
+                ]
+            )
+            lookups_b = list(all_lookups)
+            g_b = g_set
+
+            def retokenize(pdfs):
+                import pandas as pd  # noqa: PLC0415
+
+                for pdf in pdfs:
+                    toks = [tok.tokenize(t, g_b) if t else [] for t in pdf["text"]]
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"],
+                            "hits": [
+                                [m for m in lookups_b if m in set(ts)] for ts in toks
+                            ],
+                            "dl": [len(ts) for ts in toks],
+                            "dl_delta": [
+                                len(ts) - int(d)
+                                for ts, d in zip(toks, pdf["dl"])
+                            ],
+                        }
+                    )
+
+            retok = affected.mapInPandas(retokenize, retok_schema).persist()
+            delta_row = retok.agg(F.sum("dl_delta").alias("d")).collect()[0]
+            delta = int(delta_row["d"] or 0)
+            avgdl = (
+                (self.avgdl * self.n_docs + delta) / self.n_docs
+                if self.n_docs
+                else 0.0
+            )
+            hits = hits.join(affected_ids, "doc_id", "left_anti").unionByName(
+                retok.select("doc_id", "hits", "dl")
+            )
+
+        # df per lookup term from the final hit arrays (exact under G);
+        # <= 256 tiny rows collected to the driver.
+        df_rows = (
+            hits.select(
+                "doc_id", F.explode("hits").alias("term")
+            )
+            .filter(F.col("term").isin(all_lookups))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        )
+        df_by_term = {r["term"]: r["df"] for r in df_rows}
+        idfs: dict[str, float] = {}
+        for kw in query_terms:
+            match = kw_to_match.get(kw)
+            df = df_by_term.get(match, 0) if match else 0
+            if df > 0:
+                idfs[kw] = math.log(
+                    1.0 + (self.n_docs - df + 0.5) / (df + 0.5)
+                )
+
+        # does a doc with zero hits satisfy the query?  (only-excluded etc.)
+        zero_included = ast.evaluate(expr, lambda kw: False) and (
+            ast.score(expr, lambda kw: 0.0) is not None
+        )
+        if zero_included:
+            cands = (
+                self.docs.select("doc_id", "dl")
+                .join(hits.select("doc_id", "hits"), "doc_id", "left")
+                .withColumn(
+                    "hits",
+                    F.coalesce(
+                        F.col("hits"), F.array().cast(ArrayType(StringType()))
+                    ),
+                )
+            )
+        else:
+            cands = hits
+
+        present: dict[str, Column] = {}
+        for kw in query_terms:
+            match = kw_to_match.get(kw)
+            if match is None:
+                present[kw] = F.lit(False)
+            else:
+                present[kw] = F.array_contains(F.col("hits"), match)
+
+        tf_norm = F.lit(K1 + 1.0) / (
+            F.lit(1.0)
+            + F.lit(K1)
+            * (
+                F.lit(1.0 - B)
+                + F.lit(B) * (F.col("dl").cast("double") / F.lit(avgdl))
+            )
+        )
+        scored = cands.withColumn("_tf_norm", tf_norm)
+        eval_col = self._compile_eval(expr, present)
+        score_col = self._compile_score(expr, idfs, present)
+        result = (
+            scored.withColumn("score", score_col)
+            .filter(eval_col & F.col("score").isNotNull())
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+        if with_metadata:
+            result = (
+                F.broadcast(result)
+                .join(
+                    self.docs.select(
+                        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text"
+                    ),
+                    "doc_id",
+                )
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+        return result
