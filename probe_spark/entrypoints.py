@@ -1,0 +1,485 @@
+"""Driver-contract implementations: queries() + oracle_sql() bodies.
+
+Each entry pairs a Spark DataFrame operator (the real engine / ops code) with
+an independent ANSI-SQL oracle that DuckDB runs over the same parquet tables.
+Column names and types match exactly; float columns are rounded to 6 dp on
+both sides so IEEE noise (ln/sum ulp differences between engines) cannot
+flip the value hash.
+
+The BM25 entries run the full persisted-index path end-to-end: tokenizer
+pandas UDF -> doc-id assignment -> varint posting segments -> bucket-pruned
+fetch -> Arrow decode -> AST-compiled scoring -> top-k.  Their oracles
+recompute BM25 from first principles in SQL, using the probe-tokenizer's
+word->token mapping for this corpus's fixed 31-word vocabulary (inlined as a
+CASE; pinned against the real tokenizer by tests/test_entry_contract.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from probe_spark.index.build import BuildConfig, IndexBuilder
+from probe_spark.ops import dedup, events, similarity, text
+from probe_spark.search.engine import SearchEngine
+
+# probe tokenizer output for every word in the documents-table vocabulary
+# that differs from the word itself (stemming); 'a'/'the' are stop words.
+# Guarded by tests: tokenize(w) == [TOKEN_MAP.get(w, w)] for the vocab.
+STEM_MAP = {
+    "customer": "custom",
+    "merge": "merg",
+    "table": "tabl",
+    "value": "valu",
+    "query": "queri",
+}
+STOPWORDS_IN_CORPUS = ("a", "the")
+
+K1, B = 1.5, 0.5
+
+# --------------------------------------------------------------------------
+# shared SQL fragments
+# --------------------------------------------------------------------------
+
+_CASE_TOK = (
+    "CASE w "
+    + " ".join(f"WHEN '{w}' THEN '{t}'" for w, t in STEM_MAP.items())
+    + " ELSE w END"
+)
+
+_BM25_PRELUDE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tok AS (
+  SELECT DISTINCT doc_id, {_CASE_TOK} AS t
+  FROM words WHERE w NOT IN ('a', 'the')
+), dls AS (
+  SELECT d.doc_id, COALESCE(x.dl, 0) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id) x
+    ON d.doc_id = x.doc_id
+), stats AS (
+  SELECT COUNT(*)::DOUBLE AS n, AVG(dl)::DOUBLE AS avgdl FROM dls
+)
+"""
+
+_SHINGLE_PRELUDE = """
+WITH wordlists AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS shingle
+  FROM wordlists, UNNEST(range(0, greatest(len(ws)-3, 0)+1)) AS t(i)
+  WHERE length(array_to_string(ws[i+1:i+3], ' ')) > 0
+)
+"""
+
+
+def _bm25_sql(tokens: list[str], filter_expr: str, score_terms: list[str]) -> str:
+    """Assemble a BM25 oracle: presence flags + dfs + idf*tf_norm score.
+
+    filter_expr / score_terms reference p_<tok> flags, idf via
+    ln(1 + (n - df_<tok> + 0.5)/(df_<tok> + 0.5)) and tfn (shared)."""
+    flags = ",\n         ".join(
+        f"MAX(CASE WHEN tok.t = '{t}' THEN 1 ELSE 0 END) AS p_{t}" for t in tokens
+    )
+    dfs = ", ".join(f"SUM(p_{t}) AS df_{t}" for t in tokens)
+    score = " + ".join(score_terms)
+    return f"""{_BM25_PRELUDE}
+, pres AS (
+  SELECT dls.doc_id, dls.dl,
+         {flags}
+  FROM dls LEFT JOIN tok ON dls.doc_id = tok.doc_id
+  GROUP BY dls.doc_id, dls.dl
+), dfs AS (
+  SELECT {dfs} FROM pres
+)
+SELECT p.doc_id,
+       ROUND({score}, 6) AS score
+FROM pres p, stats s, dfs d
+WHERE {filter_expr}
+"""
+
+
+def _idf(t: str) -> str:
+    return f"ln(1 + (s.n - d.df_{t} + 0.5)/(d.df_{t} + 0.5))"
+
+
+def _contrib(t: str) -> str:
+    tfn = f"({K1 + 1.0}/(1.0 + {K1}*({1.0 - B} + {B}*p.dl/s.avgdl)))"
+    return f"(CASE WHEN p.p_{t} = 1 THEN {_idf(t)} * {tfn} ELSE 0.0 END)"
+
+
+# --------------------------------------------------------------------------
+# index bootstrap (documents -> transcript schema -> persisted index)
+# --------------------------------------------------------------------------
+
+
+def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the documents table onto the engine's transcript input schema.
+
+    conv_id is the zero-padded doc id so the engine's stable
+    (conv_id, turn_idx) ordering reproduces doc_id exactly — the per-row
+    invariant the correctness gate rides on.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),
+        F.col("text"),
+        F.col("source").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+def index_path_for(sf_dir: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"probe_index_{key}")
+
+
+_ENGINES: dict[str, SearchEngine] = {}
+
+
+def get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Build-once (resume-aware) engine per sf_dir within this process."""
+    path = index_path_for(sf_dir)
+    if path not in _ENGINES:
+        builder = IndexBuilder(spark, BuildConfig(n_buckets=8))
+        builder.build(_docs_as_transcripts(spark, sf_dir), path)
+        _ENGINES[path] = SearchEngine(spark, path)
+    return _ENGINES[path]
+
+
+def _search(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Full result set (no top-k cutoff: the driver's compare is
+    order-insensitive, and no cutoff means float ties can't flip membership),
+    scores rounded to 6 dp."""
+    eng = get_engine(spark, sf_dir)
+    res = eng.search(query, k=None, with_metadata=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# the queries
+# --------------------------------------------------------------------------
+
+
+def _q_bm25_or(spark, sf_dir):
+    return _search(spark, sf_dir, "hash OR join")
+
+
+def _q_bm25_and(spark, sf_dir):
+    return _search(spark, sf_dir, "hash AND join")
+
+
+def _q_bm25_implicit_or(spark, sf_dir):
+    return _search(spark, sf_dir, "table query sort fast")
+
+
+def _q_bm25_required(spark, sf_dir):
+    return _search(spark, sf_dir, "+hash join")
+
+
+def _q_bm25_excluded(spark, sf_dir):
+    return _search(spark, sf_dir, "hash -dup")
+
+
+def _q_bm25_grouped(spark, sf_dir):
+    return _search(spark, sf_dir, "(hash OR join) AND (scan OR merge)")
+
+
+def _q_bm25_exact_term(spark, sf_dir):
+    return _search(spark, sf_dir, '"filter"')
+
+
+def _q_term_df(spark, sf_dir):
+    """DF per term straight from posting-segment metadata (no decode)."""
+    eng = get_engine(spark, sf_dir)
+    return (
+        eng.postings.groupBy("term")
+        .agg(F.sum("df_seg").alias("df"))
+        .select("term", "df")
+    )
+
+
+def _q_doc_lengths(spark, sf_dir):
+    eng = get_engine(spark, sf_dir)
+    return eng.docs.select("doc_id", "dl")
+
+
+def _q_exact_scan(spark, sf_dir):
+    """--exact bypass (elastic_query.rs:892-904): substring filter, no
+    scoring; pushed down to the parquet scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.filter(F.col("text").contains("slow scan")).select(
+        "doc_id", "n_chars"
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs, k=3, n_hashes=8, band_size=2)
+
+
+def _q_token_counts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.with_token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+def _q_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.with_quality(docs).select(
+        "doc_id", "n_words", "mean_word_len", "stopword_ratio",
+        "alpha_ratio", "quality_score",
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _q_ann_cosine(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.cosine_to_query(emb, qvec).select(
+        F.col("id").alias("vec_id"), "cos_sim"
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = events.sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id", "session_id", "n_events",
+        events.epoch_micros(out, "session_start").alias("session_start_us"),
+        events.epoch_micros(out, "session_end").alias("session_end_us"),
+        "sum_value",
+    )
+
+
+def _q_windowed_counts(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            (events.epoch_micros(ev, "ts") / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hour_bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+QUERIES = {
+    "bm25_or": _q_bm25_or,
+    "bm25_and": _q_bm25_and,
+    "bm25_implicit_or": _q_bm25_implicit_or,
+    "bm25_required": _q_bm25_required,
+    "bm25_excluded": _q_bm25_excluded,
+    "bm25_grouped": _q_bm25_grouped,
+    "bm25_exact_term": _q_bm25_exact_term,
+    "term_df": _q_term_df,
+    "doc_lengths": _q_doc_lengths,
+    "exact_scan": _q_exact_scan,
+    "dedup_exact": _q_dedup_exact,
+    "ngram_jaccard": _q_ngram_jaccard,
+    "minhash_lsh": _q_minhash_lsh,
+    "token_counts": _q_token_counts,
+    "quality": _q_quality,
+    "fingerprint": _q_fingerprint,
+    "ann_cosine": _q_ann_cosine,
+    "sessionize": _q_sessionize,
+    "windowed_counts": _q_windowed_counts,
+}
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    sigs = ", ".join(
+        f"MIN(md5('{i}|' || shingle)) AS s{i}" for i in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, s{2*b} || '|' || s{2*b+1} AS key FROM sig"
+        for b in range(4)
+    )
+    return f"""{_SHINGLE_PRELUDE}
+, sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id)
+, bands AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+ORACLES = {
+    "bm25_or": _bm25_sql(
+        ["hash", "join"],
+        "p.p_hash = 1 OR p.p_join = 1",
+        [_contrib("hash"), _contrib("join")],
+    ),
+    "bm25_and": _bm25_sql(
+        ["hash", "join"],
+        "p.p_hash = 1 AND p.p_join = 1",
+        [_contrib("hash"), _contrib("join")],
+    ),
+    "bm25_implicit_or": _bm25_sql(
+        ["tabl", "queri", "sort", "fast"],
+        "p.p_tabl = 1 OR p.p_queri = 1 OR p.p_sort = 1 OR p.p_fast = 1",
+        [_contrib("tabl"), _contrib("queri"), _contrib("sort"), _contrib("fast")],
+    ),
+    "bm25_required": _bm25_sql(
+        ["hash", "join"],
+        "p.p_hash = 1",
+        [_contrib("hash"), _contrib("join")],
+    ),
+    "bm25_excluded": _bm25_sql(
+        ["hash", "dup"],
+        "p.p_hash = 1 AND p.p_dup = 0",
+        [_contrib("hash")],
+    ),
+    "bm25_grouped": _bm25_sql(
+        ["hash", "join", "scan", "merg"],
+        "(p.p_hash = 1 OR p.p_join = 1) AND (p.p_scan = 1 OR p.p_merg = 1)",
+        [_contrib("hash"), _contrib("join"), _contrib("scan"), _contrib("merg")],
+    ),
+    "bm25_exact_term": _bm25_sql(
+        ["filter"],
+        "p.p_filter = 1",
+        [_contrib("filter")],
+    ),
+    "term_df": f"""{_BM25_PRELUDE}
+SELECT t AS term, COUNT(*) AS df FROM tok GROUP BY t
+""",
+    "doc_lengths": f"""{_BM25_PRELUDE}
+SELECT doc_id, dl::INT AS dl FROM dls
+""",
+    "exact_scan": """
+SELECT doc_id, n_chars FROM documents WHERE text LIKE '%slow scan%'
+""",
+    "dedup_exact": """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+    "ngram_jaccard": f"""{_SHINGLE_PRELUDE}
+, sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE ROUND(c::DOUBLE / (sa.n + sb.n - c), 6) >= 0.8
+""",
+    "minhash_lsh": _minhash_oracle(),
+    "token_counts": """
+SELECT doc_id,
+       len(string_split(text, ' '))::INT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::INT
+         AS bpe_tokens
+FROM documents
+""",
+    "quality": """
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         string_split(text, ' ') AS ws
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         len(ws)::INT AS n_words,
+         (nc - (len(ws) - 1)) / len(ws)::DOUBLE AS mwl,
+         len(list_filter(ws, w -> w IN
+           ('a','an','and','are','as','at','be','by','for','from','has','in',
+            'is','it','of','on','or','that','the','to','was','with')))
+           / len(ws)::DOUBLE AS sr,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nc::DOUBLE AS ar
+  FROM base JOIN documents USING (doc_id)
+)
+SELECT doc_id, n_words,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(sr, 6) AS stopword_ratio,
+       ROUND(ar, 6) AS alpha_ratio,
+       ROUND(least(n_words/64.0, 1.0)*0.25 + least(mwl/8.0, 1.0)*0.25
+             + sr*0.25 + ar*0.25, 6) AS quality_score
+FROM feats
+""",
+    "fingerprint": """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(text, ' '),
+             w -> (length(w)*131 + ascii(w))::BIGINT)),
+         (acc, x) -> (acc*31 + x) % 2147483647) AS fingerprint
+FROM documents
+""",
+    "ann_cosine": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(
+         list_sum(list_transform(list_zip(e.embedding, q.qv),
+                                 s -> s[1]::DOUBLE * s[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                                         x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv,
+                                           x -> x::DOUBLE * x::DOUBLE)))),
+         6) AS cos_sim
+FROM embeddings e, q
+""",
+    "sessionize": """
+WITH x AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS session_id
+  FROM x
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS session_start_us,
+       MAX(epoch_us(ts)) AS session_end_us,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_id
+""",
+    "windowed_counts": """
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Smoke-check entry: index sf0.001 documents, answer the flagship query
+    with metadata (the full user-facing result shape)."""
+    eng = get_engine(spark, "/root/testdata/sf0.001")
+    return eng.search("hash AND join", k=10)

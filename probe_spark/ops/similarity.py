@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+  * brute-force cosine — exact; a narrow projection computing the score via
+    ``F.aggregate``/``F.zip_with`` entirely inside codegen (no UDF), then a
+    distributed TakeOrderedAndProject top-k.  Per-row cost O(dim); at 100 TB
+    this scans everything but shuffles only k rows — the right baseline and
+    the verifier for the approximate path.
+  * LSH-bucketed (random hyperplanes) — deterministic signed-projection
+    buckets; queries probe only their own bucket (and optional neighboring
+    probes), cutting the scan by ~2^n_planes.  Plane vectors derive from a
+    seeded counter hash (md5 -> uniform in [-1,1]) so driver and executors
+    agree without shipping state.
+
+Embedding near-dup (cosine > threshold pairs) composes bucketing with an
+exact verify join — the same candidate/verify shape as ops.dedup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_to_query(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cos_sim) for every row vs a constant query vector — exact,
+    codegen-only.  Top-k = .orderBy(desc).limit(k) on the result."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    v = F.col(vec_col)
+    cos = _dot(v, q) / (_norm(v) * F.lit(qn))
+    return df.select(F.col(id_col).alias("id"), F.round(cos, 6).alias("cos_sim"))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    return (
+        cosine_to_query(df, query_vec, vec_col, id_col)
+        .orderBy(F.desc("cos_sim"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def _seeded_planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Deterministic hyperplanes from md5(seed, plane, coord) — no RNG state."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            out[p, d] = int(h[:12], 16) / float(1 << 48) * 2.0 - 1.0
+    return out
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Add ``bucket`` = sign-bit code of the vector against seeded planes.
+
+    Build side of an ANN index: write partitioned by bucket; a query computes
+    its own code driver-side with the same planes and prunes partitions.
+    """
+    planes = _seeded_planes(dim, n_planes, seed)
+    v = F.col(vec_col)
+    code = F.lit(0)
+    for p in range(n_planes):
+        proj = _dot(v, F.array(*[F.lit(float(x)) for x in planes[p]]))
+        code = code + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.withColumn("bucket", code.cast("int"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only buckets within ``multiprobe`` sign flips
+    of the query's bucket (1 + n_planes buckets for multiprobe=1)."""
+    dim = len(query_vec)
+    planes = _seeded_planes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qcode = 0
+    margins = []
+    for p in range(n_planes):
+        proj = float(planes[p] @ qv)
+        if proj >= 0:
+            qcode |= 1 << p
+        margins.append((abs(proj), p))
+    probes = {qcode}
+    if multiprobe > 0:
+        margins.sort()
+        for _, p in margins:  # flip the lowest-margin planes first
+            for base in list(probes):
+                probes.add(base ^ (1 << p))
+            if len(probes) >= 1 + n_planes * multiprobe:
+                break
+    bucketed = with_lsh_bucket(df, dim, n_planes, vec_col, seed)
+    cand = bucketed.filter(F.col("bucket").isin(sorted(probes)))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine >= threshold.
+
+    n_planes=0 -> exact all-pairs (the verifier / small-scale path: a single
+    range-predicate self-join).  n_planes>0 -> candidates restricted to equal
+    LSH buckets first (the 100 TB path; recall controlled by n_planes, and
+    high-threshold dups almost always share all sign bits).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("n"),
+    )
+    if n_planes > 0:
+        dim = len(df.select(vec_col).first()[0])
+        bucketed = with_lsh_bucket(df, dim, n_planes, vec_col, seed).select(
+            F.col(id_col).alias("id"), "bucket"
+        )
+        base = base.join(bucketed, "id")
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col("a.id") < F.col("b.id")
+        )
+    else:
+        join_cond = F.col("a.id") < F.col("b.id")
+    pairs = (
+        base.alias("a")
+        .join(base.alias("b"), join_cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return pairs

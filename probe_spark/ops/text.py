@@ -1,0 +1,134 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame expressions (JVM-side, whole-stage codegen;
+no Python in the hot path) so they survive a 100x scale-up: each is a single
+narrow projection over the scan — no shuffle, no UDF, filters/pruning push
+down to parquet.
+
+Reference analogs: token counting ~ probe's search_tokens.rs budget counter;
+quality heuristics are the training-pipeline extension required by the build
+brief (no reference analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# A small English stopword core (subset of the probe list that matters for
+# ratio features; kept tiny so the SQL oracle can inline it verbatim).
+QUALITY_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has",
+    "in", "is", "it", "of", "on", "or", "that", "the", "to", "was", "with",
+)
+
+# BPE-ish pretokenizer: letter runs | digit runs | single non-alnum non-space
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+FP_MOD = 2147483647  # 2^31 - 1
+FP_MUL = 31
+
+
+def _words(text_col: Column) -> Column:
+    return F.split(text_col, " ")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts per row (narrow projection)."""
+    t = F.col(text_col)
+    return df.withColumn(
+        "ws_tokens", F.size(_words(t))
+    ).withColumn("bpe_tokens", F.regexp_count(t, F.lit(BPE_REGEX)))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + a composite score in [0, ~1].
+
+    Features mirror standard pretraining-corpus filters (length, mean word
+    length, stopword ratio, alpha ratio); the composite is a fixed affine
+    combination so thresholds are reproducible.
+    """
+    t = F.col(text_col)
+    words = _words(t)
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*QUALITY_STOPWORDS))
+    )
+    alpha_chars = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    mean_wlen = (n_chars - (n_words - F.lit(1))) / n_words.cast("double")
+    stop_ratio = stop_hits / n_words.cast("double")
+    alpha_ratio = alpha_chars / n_chars.cast("double")
+    score = (
+        F.least(n_words / F.lit(64.0), F.lit(1.0)) * 0.25
+        + F.least(mean_wlen / F.lit(8.0), F.lit(1.0)) * 0.25
+        + stop_ratio * 0.25
+        + alpha_ratio * 0.25
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_wlen, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive 31-bit polynomial rolling hash over the word sequence.
+
+    fp = fold(words, 0, (acc, w) -> (acc*31 + len(w)*131 + ascii(w[0])) % (2^31-1))
+
+    Deterministic, engine-agnostic (pure integer arithmetic — the DuckDB
+    oracle reproduces it bit-for-bit), and cheap: one pass per row inside
+    codegen via ``F.aggregate``; no shuffle.
+    """
+    words = _words(F.col(text_col))
+    vals = F.transform(
+        words,
+        lambda w: (F.length(w) * F.lit(131) + F.ascii(w)).cast("long"),
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(FP_MUL) + x, F.lit(FP_MOD)),
+    )
+    return df.withColumn("fingerprint", fp)
+
+
+# --- language identification (n-gram heuristic) ----------------------------
+
+# Tiny per-language marker profiles: highly characteristic character n-grams
+# and function words.  This is the classic "stopword/ngram voting" heuristic
+# (a real deployment would swap in fastText/CLD3 weights via the same plumbing).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", "of", "to", "is", "that", "with"),
+    "de": ("der", "die", "und", "das", "ein", "ich", "sch", "nicht"),
+    "fr": ("le", "la", "les", "des", "est", "que", "une", "dans"),
+    "es": ("el", "la", "los", "que", "una", "por", "con", "ción"),
+    "ru": ("и", "не", "на", "что", "это", "как", "по"),
+    "zh": ("的", "是", "不", "了", "在", "我", "有"),
+    "ja": ("の", "に", "は", "を", "た", "です", "ます"),
+}
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-voting language ID: score(lang) = #profile markers found as
+    substrings; predicted = argmax (ties broken by language code asc, 'und'
+    if no marker fires).  Pure Column expressions — vectorized, no UDF.
+    """
+    t = F.lower(F.col(text_col))
+    scores = []
+    for lang, markers in LANG_PROFILES.items():
+        s = None
+        for m in markers:
+            hit = F.when(F.contains(t, F.lit(m)), 1).otherwise(0)
+            s = hit if s is None else s + hit
+        scores.append(
+            F.struct((-s).cast("int").alias("neg"), F.lit(lang).alias("lang"))
+        )
+    best = F.array_sort(F.array(*scores))[0]
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_score", -best["neg"])

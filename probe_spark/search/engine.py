@@ -266,12 +266,14 @@ class SearchEngine:
     def search(
         self,
         query: str,
-        k: int = 10,
+        k: int | None = 10,
         exact: bool = False,
         with_metadata: bool = True,
     ) -> DataFrame:
         """Top-k BM25 results: (doc_id, score [, conv_id, turn_idx, role,
-        tool, ts, text]), rank-identical to the oracle."""
+        tool, ts, text]), rank-identical to the oracle.  k=None returns the
+        full scored result set unsorted (no TakeOrdered barrier) — for bulk
+        export / oracle comparison."""
         spark = self.spark
         empty = spark.createDataFrame(
             [], "doc_id long, score double"
@@ -443,23 +445,27 @@ class SearchEngine:
         scored = cands.withColumn("_tf_norm", tf_norm)
         eval_col = self._compile_eval(expr, present)
         score_col = self._compile_score(expr, idfs, present)
-        result = (
-            scored.withColumn("score", score_col)
-            .filter(eval_col & F.col("score").isNotNull())
-            .select("doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        result = scored.withColumn("score", score_col).filter(
+            eval_col & F.col("score").isNotNull()
+        ).select("doc_id", "score")
+        if k is not None:
+            result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
         if with_metadata:
-            result = (
-                F.broadcast(result)
-                .join(
+            joined = result.join(
+                self.docs.select(
+                    "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text"
+                ),
+                "doc_id",
+            )
+            if k is not None:
+                # k winners are tiny -> broadcast them against docs
+                joined = F.broadcast(result).join(
                     self.docs.select(
-                        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text"
+                        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                        "text",
                     ),
                     "doc_id",
-                )
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-            )
+                ).orderBy(F.desc("score"), F.asc("doc_id"))
+            result = joined
         return result
