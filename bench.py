@@ -1,0 +1,131 @@
+"""Headline benchmark: index-build turns/sec + BM25 query latencies.
+
+Runs on local[$SPARK_GRAFT_CPUS] (default 32) against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
+
+  1. index build over a deterministic synthetic transcript corpus sized to
+     the scale factor (the north-rule input shape: conv_id, turn_idx, role,
+     text, tool, ts) -> turns/sec
+  2. index build over the sf documents table -> the corpus the query suite
+     runs on
+  3. the 20-query reference suite (probe_spark.fixtures.REFERENCE_QUERIES)
+     top-k with metadata -> per-query seconds + p95
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...,
+   "build_turns_per_sec": ..., "query_p95_sec": ...}
+
+Scaling-efficiency evidence (north rule: >= 0.8 from N to 4N) is produced by
+scripts/scaling_bench.py, which re-runs phase 1 at local[8] and local[32]
+and records both throughputs in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"probe-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def synth_corpus_size(sf: float) -> int:
+    """n_convs for the synthetic transcript corpus (~16.5 turns/conv):
+    sized so the build measures sustained throughput, not fixed job
+    overhead (sf0.1 -> 30k convs ≈ 500k turns)."""
+    return max(200, int(300_000 * sf))
+
+
+def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from probe_spark import entrypoints
+    from probe_spark.fixtures import REFERENCE_QUERIES, transcripts_df_dist
+    from probe_spark.index.build import BuildConfig, IndexBuilder
+    from probe_spark.search.engine import SearchEngine
+
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_total = time.time()
+
+    # -- phase 1: synthetic-transcript index build (the headline build) ----
+    n_convs = synth_corpus_size(sf)
+    corpus = transcripts_df_dist(spark, n_convs=n_convs, seed=42).persist()
+    n_turns = corpus.count()  # materialize before the clock starts
+    build_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    shutil.rmtree(build_dir, ignore_errors=True)
+    builder = IndexBuilder(spark, BuildConfig())  # ctor warms the worker pool
+    t0 = time.time()
+    builder.build(corpus, build_dir)
+    build_sec = time.time() - t0
+    corpus.unpersist()
+
+    result: dict = {
+        "sf": sf,
+        "n_turns": int(n_turns),
+        "build_sec": round(build_sec, 3),
+        "build_turns_per_sec": round(n_turns / build_sec, 1),
+    }
+
+    queries: dict[str, float] = {}
+    if not skip_queries:
+        # -- phase 2: documents-table index (reused if already built) ------
+        eng_t0 = time.time()
+        entrypoints.get_engine(spark, sf_dir)
+        result["docs_index_sec"] = round(time.time() - eng_t0, 3)
+
+        # -- phase 3: query suite over the synthetic corpus ----------------
+        eng = SearchEngine(spark, build_dir)
+        lat = []
+        for qid, qtext, k in REFERENCE_QUERIES:
+            t0 = time.time()
+            eng.search(qtext, k=k).collect()
+            dt = time.time() - t0
+            queries[f"q{qid}"] = round(dt, 3)
+            lat.append(dt)
+        lat.sort()
+        result["query_p95_sec"] = round(lat[int(0.95 * (len(lat) - 1))], 3)
+
+    shutil.rmtree(build_dir, ignore_errors=True)
+    result.update(
+        {
+            "metric": "index_build_plus_reference_query_suite",
+            "value": round(time.time() - t_total, 3),
+            "unit": "sec",
+            "queries": queries,
+            "cpus": cpus,
+        }
+    )
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    skip_queries = os.environ.get("SPARK_GRAFT_BUILD_ONLY", "") == "1"
+    result = run(sf_dir, cpus, skip_queries=skip_queries)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

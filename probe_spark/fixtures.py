@@ -165,6 +165,60 @@ def transcripts_df(spark, n_convs: int = 200, seed: int = 42):
     return spark.createDataFrame(table.to_pandas())
 
 
+def _conv_rows(conv_idx: int, seed: int) -> list[dict]:
+    """Rows for one conversation, deterministically seeded by (seed, idx) —
+    partitioning-independent, so the distributed generator yields the same
+    corpus at any parallelism."""
+    rng = np.random.default_rng((seed, conv_idx))
+    cid = f"conv{conv_idx:08d}"
+    base_ts = np.datetime64("2026-01-01T00:00:00", "us").astype("int64")
+    n_turns = int(rng.integers(3, 31))
+    rows = []
+    for t in range(n_turns):
+        rows.append(
+            {
+                "conv_id": cid,
+                "turn_idx": t,
+                "role": ROLES[t % len(ROLES)],
+                "text": _make_text(
+                    rng, rng.random() < 0.01, rng.random() < 0.02
+                ),
+                "tool": TOOLS[int(rng.integers(0, len(TOOLS)))],
+                "ts": base_ts + conv_idx * 3_600_000_000 + t * 60_000_000,
+            }
+        )
+    return rows
+
+
+def transcripts_df_dist(spark, n_convs: int, seed: int = 42, parts: int | None = None):
+    """Distributed corpus generator for benchmarks: conversations are
+    generated inside executors via mapInPandas (per-conv seeded RNG), so
+    corpus size is bounded by cluster storage, not driver memory."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    p = parts or spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for conv_idx in pdf["id"]:
+                rows.extend(_conv_rows(int(conv_idx), seed))
+            out = pd.DataFrame(rows)
+            out["ts"] = out["ts"].astype("datetime64[us]")
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    return (
+        spark.range(0, n_convs, 1, p)
+        .mapInPandas(
+            gen,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp_ntz",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # the reference query set (FIXTURES.md §2) — covers the full grammar
 # ---------------------------------------------------------------------------

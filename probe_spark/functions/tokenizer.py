@@ -375,3 +375,31 @@ def tokenize_batch(texts, special_terms: frozenset[str] = frozenset()):
 
 def raw_words_batch(texts):
     return texts.map(lambda t: raw_words(t) if t else [])
+
+
+@lru_cache(maxsize=1 << 18)
+def is_potential_special(w: str) -> bool:
+    """True iff ``w`` could ever be fetched from the raw-word index.
+
+    The query engine consults raw postings only for exact/excluded keywords
+    that are *matchable* (probe_spark.search.engine.special_plan): lowercase
+    alphanumeric, not a stop word, and stable under their own emission
+    (w == stem(w) or an exception term).  Indexing any other raw word is
+    wasted space/shuffle — in chat text this filter drops most words (every
+    stem-unstable English word).
+    """
+    if not w or not all(c.isalnum() for c in w):
+        return False
+    if is_stop_word(w):
+        return False
+    return stem(w) == w or is_exception_term(w)
+
+
+def raw_special_words(text: str) -> list[str]:
+    """raw_words filtered to potential special-term lookups (build side of
+    the raw index)."""
+    return [w for w in raw_words(text) if is_potential_special(w)]
+
+
+def raw_special_words_batch(texts):
+    return texts.map(lambda t: raw_special_words(t) if t else [])

@@ -7,15 +7,20 @@ Pipeline (all DataFrame/Catalyst; Python only inside Arrow-batched UDFs):
      offset broadcast -> partition-local row_number), never a
      single-partition window and never monotonically_increasing_id
      (SURVEY.md §4 item 7)
-  2. tokenize each turn with the probe-compatible tokenizer inside a pandas
-     UDF (Arrow-batched; BASELINE.json input_hint: no per-row Python)
+  2. ONE tokenizer pass: token + raw-word pandas UDFs evaluated in a single
+     ArrowEvalPython node, persisted (MEMORY_AND_DISK) and reused by the
+     docs / postings / raw_postings / stats phases — the corpus text is
+     tokenized exactly once per build
   3. postings: explode(tokens) -> (term, doc_id, dl) -> df per term ->
      hot-term salting (df > max_postings_per_segment gets n_salts = ceil(df /
      max) mod-salted sub-segments, bounding per-group memory and shuffle
-     skew) -> groupBy(term, salt) applyInPandas delta+varint pack ->
-     parquet partitioned by hash bucket of term (query-time partition
-     pruning), sorted by term within files (row-group stats pruning)
-  4. raw-word postings: same pipeline over lowercase alnum runs — serves
+     skew) -> groupBy(term, salt) collect_list -> mapInArrow delta+varint
+     pack (vectorized; no per-group pandas dispatch) -> parquet partitioned
+     by hash bucket of term (query-time partition pruning), sorted by term
+     within files (row-group stats pruning)
+  4. raw-word postings (same shuffle, kind='raw'): lowercase alnum runs
+     filtered to *potential special-term lookups* (is_potential_special) —
+     the only words the query engine can ever fetch from this index — serve
      exact/excluded query terms (reference: quoted terms bypass
      tokenization, elastic_query.rs:768-773)
   5. stats: n_docs, total_dl, avgdl (ranking.rs:64-72 semantics: mean over
@@ -29,16 +34,19 @@ cardinality grows with data (doc ranges / term buckets); postings groups are
 bounded by max_postings_per_segment regardless of term skew ("the" at 10^12
 docs becomes ~10^7 independent segments instead of one 10^12-row group);
 bucket count and shuffle partitions scale with input size via builder args.
+The token materialization in step 2 trades one persisted pass (spillable)
+for three tokenizer passes — at 10^12 turns set materialize_tokens=False to
+recompute instead (documented trade; both paths tested).
 """
 
 from __future__ import annotations
 
-import json
-import math
 import time
 from dataclasses import dataclass
+from typing import Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -50,12 +58,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from probe_spark.functions.tokenizer import raw_words_batch, tokenize_batch
-from probe_spark.index.codec import encode_postings
-from probe_spark.runtime import ensure_package_on_executors
+from probe_spark.functions.tokenizer import raw_special_words_batch, tokenize_batch
+from probe_spark.runtime import ensure_package_on_executors, warm_python_workers
 
 POSTINGS_SCHEMA = StructType(
     [
+        StructField("kind", StringType(), False),
         StructField("term", StringType(), False),
         StructField("salt", IntegerType(), False),
         StructField("n_salts", IntegerType(), False),
@@ -70,6 +78,23 @@ POSTINGS_SCHEMA = StructType(
     ]
 )
 
+_PACK_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("kind", pa.string(), False),
+        pa.field("term", pa.string(), False),
+        pa.field("salt", pa.int32(), False),
+        pa.field("n_salts", pa.int32(), False),
+        pa.field("df_seg", pa.int64(), False),
+        pa.field("min_doc", pa.int64(), False),
+        pa.field("max_doc", pa.int64(), False),
+        pa.field("docs_bin", pa.binary(), False),
+        pa.field("dl_bin", pa.binary(), False),
+        pa.field("block_last_doc", pa.list_(pa.int64()), False),
+        pa.field("block_min_dl", pa.list_(pa.int32()), False),
+        pa.field("bucket", pa.int32(), False),
+    ]
+)
+
 
 @dataclass
 class BuildConfig:
@@ -77,6 +102,10 @@ class BuildConfig:
     max_postings_per_segment: int = 1 << 17  # salting threshold (hot terms)
     block_size: int = 128  # block-max granularity
     doc_partitions: int | None = None  # defaults to shuffle partitions
+    materialize_tokens: bool = True  # persist tokens across phases
+    # hot-term df estimation on a sample instead of a full pass (None=exact);
+    # at 10^12 pairs the exact pass costs as much as the main shuffle
+    hot_sample_fraction: float | None = None
 
 
 def _assign_doc_ids(df: DataFrame, n_parts: int) -> DataFrame:
@@ -112,75 +141,168 @@ def _assign_doc_ids(df: DataFrame, n_parts: int) -> DataFrame:
     return out
 
 
-def _pack_groups_fn(block_size: int):
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        n_salts = int(pdf["n_salts"].iloc[0])
-        bucket = int(pdf["bucket"].iloc[0])
+def _pack_sorted_arrow(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """Streaming segment packer over rows sorted by (kind, term, salt,
+    doc_id) within the partition: detects group boundaries vectorized,
+    varint-packs each group, carries the partial tail group across batches.
+    Memory is bounded by one segment (max_postings_per_segment rows), never
+    by a whole aggregation buffer — this replaces a collect_list hash agg.
+
+    Input columns: kind, term, salt, n_salts, bucket, doc_id, dl, block_size.
+    """
+    import numpy as np
+
+    from probe_spark.index.codec import encode_postings
+
+    block_size = 128
+    carry: dict | None = None  # partial tail group
+    out: dict[str, list] = {k: [] for k in (
+        "kind", "term", "salt", "n_salts", "df_seg", "min_doc", "max_doc",
+        "docs_bin", "dl_bin", "block_last_doc", "block_min_dl", "bucket",
+    )}
+
+    def emit(key, n_salt, bucket, d, l):
         docs_bin, dl_bin, block_last, block_min_dl = encode_postings(
-            pdf["doc_id"].to_numpy(), pdf["dl"].to_numpy(), block=block_size
+            d, l, block=block_size
         )
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "salt": [salt],
-                "n_salts": [n_salts],
-                "df_seg": [len(pdf)],
-                "min_doc": [int(pdf["doc_id"].min())],
-                "max_doc": [int(pdf["doc_id"].max())],
-                "docs_bin": [docs_bin],
-                "dl_bin": [dl_bin],
-                "block_last_doc": [block_last.tolist()],
-                "block_min_dl": [block_min_dl.tolist()],
-                "bucket": [bucket],
-            }
+        out["kind"].append(key[0])
+        out["term"].append(key[1])
+        out["salt"].append(key[2])
+        out["n_salts"].append(n_salt)
+        out["df_seg"].append(len(d))
+        out["min_doc"].append(int(d.min()))
+        out["max_doc"].append(int(d.max()))
+        out["docs_bin"].append(docs_bin)
+        out["dl_bin"].append(dl_bin)
+        out["block_last_doc"].append(block_last.tolist())
+        out["block_min_dl"].append(block_min_dl.tolist())
+        out["bucket"].append(bucket)
+
+    def flush():
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(out[f.name], f.type) for f in _PACK_ARROW_SCHEMA],
+            schema=_PACK_ARROW_SCHEMA,
         )
+        for k in out:
+            out[k].clear()
+        return batch
 
-    return pack
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        block_size = int(batch.column("block_size")[0].as_py())
+        kinds = np.asarray(batch.column("kind").to_pylist(), dtype=object)
+        terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
+        salts = batch.column("salt").to_numpy(zero_copy_only=False)
+        n_salts = batch.column("n_salts").to_numpy(zero_copy_only=False)
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dls = batch.column("dl").to_numpy(zero_copy_only=False)
+
+        # group boundaries (kind, term, salt)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        if n > 1:
+            change[1:] = (
+                (terms[1:] != terms[:-1])
+                | (kinds[1:] != kinds[:-1])
+                | (salts[1:] != salts[:-1])
+            )
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+
+        for s, e in zip(starts, ends):
+            key = (kinds[s], terms[s], int(salts[s]))
+            d = doc_ids[s:e]
+            l = dls[s:e]
+            if carry is not None and carry["key"] == key:
+                d = np.concatenate([carry["d"], d])
+                l = np.concatenate([carry["l"], l])
+                carry = None
+            elif carry is not None:
+                emit(carry["key"], carry["n_salt"], carry["bucket"],
+                     carry["d"], carry["l"])
+                carry = None
+            if e == n:
+                # group may continue in the next batch
+                carry = {
+                    "key": key, "d": d, "l": l,
+                    "n_salt": int(n_salts[s]), "bucket": int(buckets[s]),
+                }
+            else:
+                emit(key, int(n_salts[s]), int(buckets[s]), d, l)
+        if out["term"]:
+            yield flush()
+
+    if carry is not None:
+        emit(carry["key"], carry["n_salt"], carry["bucket"],
+             carry["d"], carry["l"])
+    if out["term"]:
+        yield flush()
 
 
-def _build_postings(
-    pairs: DataFrame, cfg: BuildConfig, out_path: str
-) -> None:
-    """pairs: (term, doc_id, dl) distinct per (term, doc_id)."""
+def _build_postings(pairs: DataFrame, cfg: BuildConfig, out_path: str) -> None:
+    """pairs: (kind, term, doc_id, dl) distinct per (kind, term, doc_id).
+
+    Token and raw-word postings ride the same shuffle (kind is part of the
+    grouping key and the output partitioning) — ONE pass over the pairs
+    instead of two jobs.
+    """
     # df per term — Catalyst partial+final hash agg.  Only HOT terms
     # (df > max_postings_per_segment) need a salt count; that set is tiny, so
     # it broadcast-joins instead of shuffling all pairs against all dfs.
+    # With hot_sample_fraction set, the df pass runs on a sample (one full
+    # scan saved at 10^12 scale); estimates are padded 25% and detection
+    # triggers at half the threshold, so a missed borderline term costs at
+    # most one ~2x-oversized segment — a soft bound, never a failure.
     max_seg = cfg.max_postings_per_segment
+    frac = cfg.hot_sample_fraction
+    src = pairs.sample(frac, seed=42) if frac else pairs
+    scale = (1.0 / frac) if frac else 1.0
+    detect_at = (max_seg / 2) if frac else max_seg
     hot = (
-        pairs.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_seg)
-        .withColumn("hot_salts", F.ceil(F.col("df") / F.lit(max_seg)).cast("int"))
-        .select("term", "hot_salts")
+        src.groupBy("kind", "term")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * scale > detect_at)
+        .withColumn(
+            "hot_salts",
+            F.greatest(
+                F.ceil(F.col("cnt") * (scale * 1.25 if frac else scale) / max_seg),
+                F.lit(1),
+            ).cast("int"),
+        )
+        .select("kind", "term", "hot_salts")
     )
     salted = (
-        pairs.join(F.broadcast(hot), "term", "left")
+        pairs.join(F.broadcast(hot), ["kind", "term"], "left")
         .withColumn("n_salts", F.coalesce(F.col("hot_salts"), F.lit(1)))
         .withColumn("salt", (F.col("doc_id") % F.col("n_salts")).cast("int"))
         .withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int")
         )
     )
-    packed = (
-        salted.select("term", "salt", "n_salts", "bucket", "doc_id", "dl")
-        .groupBy("term", "salt")
-        .applyInPandas(_pack_groups_fn(cfg.block_size), POSTINGS_SCHEMA)
+    shuffled = (
+        salted.withColumn("block_size", F.lit(cfg.block_size))
+        .repartition("kind", "term", "salt")
+        .sortWithinPartitions("kind", "term", "salt", "doc_id")
     )
+    packed = shuffled.mapInArrow(_pack_sorted_arrow, POSTINGS_SCHEMA)
     (
-        packed.repartition("bucket")
+        packed.repartition("kind", "bucket")
         .sortWithinPartitions("term", "salt")
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy("kind", "bucket")
         .parquet(out_path)
     )
 
 
-def _manifest_rows(spark: SparkSession, path: str, build_id: str, phase: str):
+def _manifest_rows(spark: SparkSession, path: str, build_id: str):
     df = spark.read.parquet(path)
     rows = (
-        df.groupBy("bucket")
+        df.groupBy("kind", "bucket")
         .agg(
             F.count("*").alias("n_segments"),
             F.sum("df_seg").alias("n_postings"),
@@ -193,7 +315,7 @@ def _manifest_rows(spark: SparkSession, path: str, build_id: str, phase: str):
     return [
         {
             "build_id": build_id,
-            "phase": phase,
+            "phase": f"postings_{r['kind']}",
             "partition_id": int(r["bucket"]),
             "status": "done",
             "n_terms": int(r["n_terms"]),
@@ -210,19 +332,21 @@ class IndexBuilder:
     """Builds (or resumes) an index directory:
 
     index_path/
-      docs/          doc_id, conv_id, turn_idx, role, tool, ts, text, dl
-      postings/      bucket=*/...  packed segments (POSTINGS_SCHEMA)
-      raw_postings/  same layout over raw lowercase words
-      stats/         single row: n_docs, total_dl, avgdl, n_terms
-      manifest/      lineage rows per phase/partition
+      docs/        doc_id, conv_id, turn_idx, role, tool, ts, text, dl
+      postings/    kind={tok,raw}/bucket=*/...  packed segments
+                   (POSTINGS_SCHEMA; kind=raw are lowercase raw-word
+                   postings serving exact/excluded query terms)
+      stats/       single row: n_docs, total_dl, avgdl, n_terms
+      manifest/    lineage rows per phase/partition
     """
 
-    PHASES = ("docs", "postings", "raw_postings", "stats")
+    PHASES = ("docs", "postings", "stats")
 
     def __init__(self, spark: SparkSession, cfg: BuildConfig | None = None):
         self.spark = spark
         self.cfg = cfg or BuildConfig()
         ensure_package_on_executors(spark)
+        warm_python_workers(spark)
 
     # -- resume helpers -----------------------------------------------------
     def _phase_done(self, index_path: str, phase: str) -> bool:
@@ -256,26 +380,45 @@ class IndexBuilder:
         tokenize_udf = F.pandas_udf(
             lambda s: tokenize_batch(s), ArrayType(StringType())
         )
-        raw_udf = F.pandas_udf(lambda s: raw_words_batch(s), ArrayType(StringType()))
+        raw_udf = F.pandas_udf(
+            lambda s: raw_special_words_batch(s), ArrayType(StringType())
+        )
 
-        # phase 1: docs with doc_id + dl
+        docs_done = self._phase_done(index_path, "docs")
+        postings_done = self._phase_done(index_path, "postings")
+        stats_done = self._phase_done(index_path, "stats")
+
         docs_path = f"{index_path}/docs"
-        if not self._phase_done(index_path, "docs"):
-            with_ids = _assign_doc_ids(transcripts, n_parts)
-            docs = (
-                with_ids.withColumn("tokens", tokenize_udf(F.col("text")))
-                .withColumn("dl", F.size("tokens"))
-                .select(
-                    "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                    "text", "dl", "tokens",
+        base = (
+            spark.read.parquet(docs_path)
+            if docs_done
+            else _assign_doc_ids(transcripts, n_parts)
+        )
+
+        # ONE tokenizer pass: both pandas UDFs evaluate in a single
+        # ArrowEvalPython node; persisted so later phases reuse it.
+        need_tokens = not (postings_done and stats_done and docs_done)
+        enriched = None
+        if need_tokens:
+            enriched = base.withColumn("tokens", tokenize_udf(F.col("text")))
+            if not postings_done:
+                enriched = enriched.withColumn("raws", raw_udf(F.col("text")))
+            else:
+                enriched = enriched.withColumn(
+                    "raws", F.array().cast(ArrayType(StringType()))
                 )
-            )
-            # store tokens transiently for the postings phase? No — recompute
-            # is cheaper than double storage at 10^12 scale; docs/ holds only
-            # scalars + dl.  Sorted by doc_id within range partitions so
-            # row-group stats prune doc_id lookups.
+            enriched = enriched.withColumn("dl", F.size("tokens"))
+            if cfg.materialize_tokens:
+                enriched = enriched.persist()
+
+        # phase 1: docs (scalars + dl only; sorted by doc_id within range
+        # partitions so row-group stats prune doc_id lookups)
+        if not docs_done:
             (
-                docs.drop("tokens")
+                enriched.select(
+                    "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                    "text", "dl",
+                )
                 .sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
                 .parquet(docs_path)
@@ -293,42 +436,31 @@ class IndexBuilder:
             )
             phases_run.append("docs")
 
-        docs = spark.read.parquet(docs_path)
-
-        # phase 2: token postings
-        if not self._phase_done(index_path, "postings"):
-            toks = docs.select(
-                "doc_id", "dl", F.explode(tokenize_udf(F.col("text"))).alias("term")
+        # phase 2: token + raw-word postings in ONE shuffle (kind column);
+        # raw words serve exact/excluded query terms (reference: quoted terms
+        # bypass tokenization, elastic_query.rs:768-773).  Tokens are already
+        # unique per doc (tokenizer dedups) -> no distinct needed.
+        if not postings_done:
+            toks = enriched.select(
+                F.lit("tok").alias("kind"), "doc_id", "dl",
+                F.explode("tokens").alias("term"),
             )
-            # tokens are already unique per doc (tokenizer dedups) -> no distinct needed
-            _build_postings(
-                toks.select("term", "doc_id", "dl"), cfg, f"{index_path}/postings"
+            raws = enriched.select(
+                F.lit("raw").alias("kind"), "doc_id", "dl",
+                F.explode("raws").alias("term"),
             )
+            pairs = toks.unionByName(raws).select("kind", "term", "doc_id", "dl")
+            _build_postings(pairs, cfg, f"{index_path}/postings")
             self._write_manifest(
                 index_path,
-                _manifest_rows(spark, f"{index_path}/postings", build_id, "postings"),
+                _manifest_rows(spark, f"{index_path}/postings", build_id),
             )
             phases_run.append("postings")
 
-        # phase 3: raw-word postings (exact/excluded term lookups)
-        if not self._phase_done(index_path, "raw_postings"):
-            raws = docs.select(
-                "doc_id", "dl", F.explode(raw_udf(F.col("text"))).alias("term")
-            )
-            _build_postings(
-                raws.select("term", "doc_id", "dl"), cfg, f"{index_path}/raw_postings"
-            )
-            self._write_manifest(
-                index_path,
-                _manifest_rows(
-                    spark, f"{index_path}/raw_postings", build_id, "raw_postings"
-                ),
-            )
-            phases_run.append("raw_postings")
-
         # phase 4: stats
-        if not self._phase_done(index_path, "stats"):
-            stats_row = docs.agg(
+        if not stats_done:
+            src = enriched if enriched is not None else spark.read.parquet(docs_path)
+            stats_row = src.agg(
                 F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
             ).collect()[0]
             n_docs = stats_row["n_docs"]
@@ -357,6 +489,9 @@ class IndexBuilder:
                 ],
             )
             phases_run.append("stats")
+
+        if enriched is not None and cfg.materialize_tokens:
+            enriched.unpersist()
 
         elapsed = time.time() - t0
         n_docs = spark.read.parquet(f"{index_path}/stats").collect()[0]["n_docs"]

@@ -14,6 +14,35 @@ import tempfile
 import zipfile
 
 _SHIPPED: set[str] = set()
+_WARMED: set[str] = set()
+
+
+def warm_python_workers(spark, parallelism: int | None = None) -> None:
+    """Spin up the session's Python UDF worker pool once.
+
+    Concurrent cold worker creation is pathological on high-core machines
+    (32 workers importing pandas/pyarrow simultaneously ≈ 40 s measured vs
+    ~4 s for the same job warm), so pay it once per session here — on a real
+    long-lived cluster executors stay warm across jobs, which this emulates.
+    """
+    from pyspark.sql import functions as F
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARMED:
+        return
+    p = parallelism or spark.sparkContext.defaultParallelism
+
+    def _warm(s):
+        import numpy  # noqa: F401, PLC0415
+        import pyarrow  # noqa: F401, PLC0415
+
+        from probe_spark.functions import tokenizer  # noqa: F401, PLC0415
+
+        return s
+
+    u = F.pandas_udf(_warm, "long")
+    spark.range(0, p, 1, p).select(u(F.col("id")).alias("x")).count()
+    _WARMED.add(app_id)
 
 
 def ensure_package_on_executors(spark) -> None:

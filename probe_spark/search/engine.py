@@ -64,7 +64,7 @@ from probe_spark.functions.porter2 import stem
 from probe_spark.index.xxhash import spark_bucket
 from probe_spark.query import ast
 from probe_spark.query.parser import ParseError, parse_query
-from probe_spark.runtime import ensure_package_on_executors
+from probe_spark.runtime import ensure_package_on_executors, warm_python_workers
 
 K1 = 1.5
 B = 0.5
@@ -159,13 +159,17 @@ class SearchEngine:
         self.spark = spark
         self.index_path = index_path
         ensure_package_on_executors(spark)
+        warm_python_workers(spark)
         stats = spark.read.parquet(f"{index_path}/stats").collect()[0]
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
         self.n_buckets = int(stats["n_buckets"])
         self.docs = spark.read.parquet(f"{index_path}/docs")
-        self.postings = spark.read.parquet(f"{index_path}/postings")
-        self.raw_postings = spark.read.parquet(f"{index_path}/raw_postings")
+        self._df_cache: dict[str, int] = {}
+        segments = spark.read.parquet(f"{index_path}/postings")
+        # kind is a partition directory -> these filters prune at the source
+        self.postings = segments.filter(F.col("kind") == "tok")
+        self.raw_postings = segments.filter(F.col("kind") == "raw")
 
     # -- postings access ------------------------------------------------------
     def _fetch(self, source: DataFrame, terms: list[str], src_label: str):
@@ -387,18 +391,38 @@ class SearchEngine:
                 retok.select("doc_id", "hits", "dl")
             )
 
-        # df per lookup term from the final hit arrays (exact under G);
-        # <= 256 tiny rows collected to the driver.
-        df_rows = (
-            hits.select(
-                "doc_id", F.explode("hits").alias("term")
+        # df per lookup term.  Fast path (no retokenization): sum of df_seg
+        # straight from segment metadata — a parquet column scan, no posting
+        # decode; results memoized per engine.  Affecting queries recompute
+        # from the repaired hit arrays (retok changes df).
+        if affecting:
+            df_rows = (
+                hits.select(
+                    "doc_id", F.explode("hits").alias("term")
+                )
+                .filter(F.col("term").isin(all_lookups))
+                .groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .collect()
             )
-            .filter(F.col("term").isin(all_lookups))
-            .groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .collect()
-        )
-        df_by_term = {r["term"]: r["df"] for r in df_rows}
+            df_by_term = {r["term"]: r["df"] for r in df_rows}
+        else:
+            missing = [t for t in all_lookups if t not in self._df_cache]
+            if missing:
+                buckets = sorted({spark_bucket(t, self.n_buckets) for t in missing})
+                rows = (
+                    self.postings.filter(
+                        F.col("bucket").isin(buckets)
+                        & F.col("term").isin(missing)
+                    )
+                    .groupBy("term")
+                    .agg(F.sum("df_seg").alias("df"))
+                    .collect()
+                )
+                found = {r["term"]: int(r["df"]) for r in rows}
+                for t in missing:
+                    self._df_cache[t] = found.get(t, 0)
+            df_by_term = {t: self._df_cache[t] for t in all_lookups}
         idfs: dict[str, float] = {}
         for kw in query_terms:
             match = kw_to_match.get(kw)

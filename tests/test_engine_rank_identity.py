@@ -85,7 +85,7 @@ class TestIndexRoundTrip:
         term = "error"
         segs = (
             spark.read.parquet(f"{index_path}/postings")
-            .filter(f"term = '{term}'")
+            .filter(f"kind = 'tok' and term = '{term}'")
             .collect()
         )
         got = set()
@@ -100,7 +100,7 @@ class TestIndexRoundTrip:
     def test_manifest_written(self, spark, index_path):
         m = spark.read.parquet(f"{index_path}/manifest")
         phases = {r["phase"] for r in m.select("phase").distinct().collect()}
-        assert {"docs", "postings", "raw_postings", "stats"} <= phases
+        assert {"docs", "postings_tok", "postings_raw", "stats"} <= phases
 
 
 class TestRankIdentity:
