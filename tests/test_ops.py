@@ -1,0 +1,248 @@
+"""Unit tests for the training-data pipeline operators (probe_spark.ops).
+
+Each operator gets a small deterministic input with hand-checkable expected
+output; where a pure-Python reimplementation is cheap (jaccard, simhash,
+cosine) the Spark result is verified against it exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from probe_spark.ops import dedup, events, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+        (3, "completely different words entirely here now"),
+        (4, "spark engine index build merge pack"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    ws = text.split(" ")
+    n = max(len(ws) - k, 0)
+    return {" ".join(ws[i : i + k]) for i in range(n + 1)}
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs_df):
+        out = {r["text_md5"]: r for r in dedup.exact_dedup(docs_df).collect()}
+        h = hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+        assert out[h]["keep_doc_id"] == 0
+        assert out[h]["dup_count"] == 2
+        assert sum(r["dup_count"] for r in out.values()) == 5
+
+    def test_ngram_jaccard_pairs(self, docs_df):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs_df, threshold=0.5
+            ).collect()
+        }
+        # exact duplicate pair
+        assert got[(0, 2)] == 1.0
+        # near-dup 0-1: differ in last word
+        s0, s1 = _shingles("the quick brown fox jumps over the lazy dog"), _shingles(
+            "the quick brown fox jumps over the lazy cat"
+        )
+        expected = round(len(s0 & s1) / len(s0 | s1), 6)
+        assert got[(0, 1)] == pytest.approx(expected)
+        assert (0, 3) not in got
+
+    def test_minhash_lsh_pairs(self, docs_df):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(docs_df).collect()
+        }
+        assert (0, 2) in pairs  # identical docs always collide
+        assert (0, 3) not in pairs and (3, 4) not in pairs
+
+    def test_simhash_identical_docs_equal(self, docs_df):
+        rows = {r["id"]: (r["simhash_lo63"], r["simhash_top_bit"])
+                for r in dedup.simhash_64(docs_df).collect()}
+        assert rows[0] == rows[2]
+        assert rows[0] != rows[3]
+
+    def test_simhash_near_dup_close(self, docs_df):
+        rows = {r["id"]: r["simhash_lo63"] for r in dedup.simhash_64(docs_df).collect()}
+        ham_near = bin(rows[0] ^ rows[1]).count("1")
+        ham_far = bin(rows[0] ^ rows[3]).count("1")
+        assert ham_near < ham_far
+
+
+class TestText:
+    def test_token_counts(self, docs_df):
+        r = {x["doc_id"]: x for x in text.with_token_counts(docs_df).collect()}
+        assert r[0]["ws_tokens"] == 9
+        assert r[0]["bpe_tokens"] == 9  # pure words, no punctuation
+
+    def test_bpe_regex_counts_punct(self, spark):
+        df = spark.createDataFrame([(0, "foo2bar, baz!")], "doc_id long, text string")
+        r = text.with_token_counts(df).collect()[0]
+        # foo / 2 / bar / , / baz / !
+        assert r["bpe_tokens"] == 6
+
+    def test_quality_features(self, spark):
+        df = spark.createDataFrame([(0, "the cat sat")], "doc_id long, text string")
+        r = text.with_quality(df).collect()[0]
+        assert r["n_words"] == 3
+        assert r["stopword_ratio"] == pytest.approx(round(1 / 3, 6))
+        assert r["mean_word_len"] == pytest.approx(round((11 - 2) / 3, 6))
+        assert r["alpha_ratio"] == pytest.approx(round(9 / 11, 6))
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+    def test_fingerprint_matches_python(self, docs_df):
+        got = {r["doc_id"]: r["fingerprint"]
+               for r in text.with_fingerprint(docs_df).collect()}
+        for row in docs_df.collect():
+            acc = 0
+            for w in row["text"].split(" "):
+                acc = (acc * 31 + len(w) * 131 + ord(w[0])) % 2147483647
+            assert got[row["doc_id"]] == acc
+        assert got[0] == got[2] and got[0] != got[1]
+
+    def test_lang_id(self, spark):
+        rows = [
+            (0, "the quick brown fox is running with the others"),
+            (1, "der hund und die katze sind nicht ein problem"),
+            (2, "le chat est dans la maison avec les autres"),
+            (3, "这是一个中文句子我们在测试语言识别"),
+            (4, "xqz vvv kkk"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["lang_pred"] for r in text.with_lang_id(df).collect()}
+        assert got[0] == "en"
+        assert got[1] == "de"
+        assert got[2] == "fr"
+        assert got[3] == "zh"
+        assert got[4] == "und"
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_df(self, spark):
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(40, 16)).astype(np.float32)
+        vecs[7] = vecs[3] + rng.normal(scale=0.01, size=16).astype(np.float32)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return df, vecs
+
+    def test_brute_force_topk_matches_numpy(self, emb_df):
+        df, vecs = emb_df
+        q = vecs[3].astype(np.float64)
+        sims = (vecs.astype(np.float64) @ q) / (
+            np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q)
+        )
+        exp = sorted(range(40), key=lambda i: (-round(sims[i], 6), i))[:5]
+        got = [
+            r["id"]
+            for r in similarity.brute_force_topk(df, list(vecs[3]), k=5).collect()
+        ]
+        assert got == exp
+        assert got[0] == 3 and got[1] == 7
+
+    def test_lsh_topk_finds_near_dup(self, emb_df):
+        df, vecs = emb_df
+        got = [
+            r["id"]
+            for r in similarity.lsh_topk(
+                df, list(vecs[3]), k=3, n_planes=6, multiprobe=1
+            ).collect()
+        ]
+        assert got[0] == 3
+        assert 7 in got  # the planted near-duplicate shares the bucket
+
+    def test_embedding_dup_pairs_exact_vs_lsh(self, emb_df):
+        df, _ = emb_df
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_dup_pairs(df, threshold=0.95).collect()
+        }
+        assert exact == {(3, 7)}
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_dup_pairs(
+                df, threshold=0.95, n_planes=4
+            ).collect()
+        }
+        assert lsh == {(3, 7)}
+
+
+class TestEvents:
+    def test_sessionize_gap_split(self, spark):
+        rows = [
+            (1, 100, "2024-01-01 00:00:00", 1.0),
+            (2, 100, "2024-01-01 00:10:00", 2.0),
+            (3, 100, "2024-01-01 01:00:00", 3.0),  # 50 min gap -> new session
+            (4, 200, "2024-01-01 00:00:00", 4.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).col("ts").cast("timestamp_ntz"))
+        out = {
+            (r["user_id"], r["session_id"]): r
+            for r in events.sessionize(df, gap_minutes=30).collect()
+        }
+        assert out[(100, 1)]["n_events"] == 2
+        assert out[(100, 1)]["sum_value"] == 3.0
+        assert out[(100, 2)]["n_events"] == 1
+        assert out[(200, 1)]["n_events"] == 1
+
+    def test_windowed_counts(self, spark):
+        rows = [
+            (1, "2024-01-01 00:10:00", "click", 1.0),
+            (2, "2024-01-01 00:50:00", "click", 2.0),
+            (3, "2024-01-01 01:10:00", "click", 4.0),
+        ]
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        out = events.windowed_counts(df).collect()
+        counts = sorted(r["n_events"] for r in out)
+        assert counts == [1, 2]
+
+
+class TestMultimodal:
+    def test_image_features_and_error_rows(self, spark):
+        rows = [
+            (0, bytearray(b"\x10\x20\x30\x40")),
+            (1, bytearray(b"")),  # corrupt -> error row, not task failure
+            (2, bytearray(bytes(range(100)))),
+        ]
+        df = spark.createDataFrame(rows, "sample_id long, image binary")
+        out = {r["sample_id"]: r for r in multimodal.image_features(df).collect()}
+        assert out[0]["status"] == "ok" and out[0]["n_bytes"] == 4
+        assert out[0]["width"] == 16 + 0x10 % 64
+        assert out[1]["status"] == "error"
+        assert out[2]["byte_mean"] == pytest.approx(np.mean(range(100)), rel=1e-6)
+
+    def test_frame_sample_expands_rows(self, spark):
+        df = spark.createDataFrame(
+            [(0, bytearray(bytes(range(64))))], "sample_id long, video binary"
+        )
+        out = multimodal.frame_sample(df, n_frames=4, feat_dim=8).collect()
+        assert len(out) == 4
+        assert sorted(r["frame_idx"] for r in out) == [0, 1, 2, 3]
+        assert all(len(r["frame_feature"]) == 8 for r in out)
+
+
+class TestScoreMath:
+    def test_bm25_idf_formula(self):
+        # guard: the documented formula (ranking.rs:129-143) as used in oracles
+        n, df = 500, 100
+        assert math.log(1 + (n - df + 0.5) / (df + 0.5)) == pytest.approx(
+            1.6064484, abs=1e-6
+        )
