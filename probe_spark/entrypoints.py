@@ -136,8 +136,12 @@ def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def index_path_for(sf_dir: str) -> str:
+    from probe_spark.index.build import FORMAT_VERSION
+
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"probe_index_{key}")
+    return os.path.join(
+        tempfile.gettempdir(), f"probe_index_v{FORMAT_VERSION}_{key}"
+    )
 
 
 _ENGINES: dict[str, SearchEngine] = {}

@@ -281,15 +281,11 @@ def split_compound_word(
 # ---------------------------------------------------------------------------
 
 
-def tokenize(text: str, special_terms: frozenset[str] = frozenset()) -> list[str]:
-    """Order-preserving, deduplicated probe-compatible tokens for ``text``.
-
-    ``special_terms``: per-query dynamic special terms (quoted / excluded
-    query terms); replaces the reference's global mutable set.
-    """
+def _split_raw_tokens(text: str) -> tuple[list[str], set[str]]:
+    """Whitespace + non-alnum split with leading-``-`` negation
+    (tokenization.rs:2665-2701).  Returns (raw_tokens, negated_lowercase)."""
     negated: set[str] = set()
     raw_tokens: list[str] = []
-
     for word in text.split():
         is_negated = word.startswith("-")
         body = word[1:] if is_negated else word
@@ -308,9 +304,68 @@ def tokenize(text: str, special_terms: frozenset[str] = frozenset()) -> list[str
             if is_negated:
                 negated.add(tok.lower())
             raw_tokens.append(tok)
+    return raw_tokens, negated
+
+
+@lru_cache(maxsize=1 << 18)
+def _word_candidates(token: str):
+    """Per-word emission candidates for the no-special-terms path, memoized.
+
+    The full per-word pipeline (camel split -> stop-word filter -> compound
+    split -> stem) is deterministic given an empty special-term set, and
+    real text vocabulary is Zipf-distributed, so this cache turns the
+    build-side tokenizer's dominant cost into a dict hit.  Stop-word
+    filtering is safe to bake in (doc-independent); negation and first-seen
+    dedup are applied by the caller (doc-dependent).
+
+    Returns a tuple over surviving camel parts:
+      (part_lower, ((comp, stemmed, comp_is_exception), ...))
+    """
+    out = []
+    for part in split_camel_case(token):
+        lower = part.lower()
+        if is_stop_word(lower):
+            continue
+        comps = []
+        for comp in split_compound_word(lower):
+            if is_stop_word(comp):
+                continue
+            comps.append((comp, stem(comp), is_exception_term(comp)))
+        out.append((lower, tuple(comps)))
+    return tuple(out)
+
+
+def tokenize(text: str, special_terms: frozenset[str] = frozenset()) -> list[str]:
+    """Order-preserving, deduplicated probe-compatible tokens for ``text``.
+
+    ``special_terms``: per-query dynamic special terms (quoted / excluded
+    query terms); replaces the reference's global mutable set.  With special
+    terms registered the uncached reference-exact path runs; without (the
+    index-build hot path) a per-word memo serves the emission candidates —
+    both paths emit identical tokens (pinned by the parity tests).
+    """
+    raw_tokens, negated = _split_raw_tokens(text)
 
     seen: set[str] = set()
     result: list[str] = []
+    if not special_terms:
+        for token in raw_tokens:
+            for lower, comps in _word_candidates(token):
+                if lower in negated:
+                    continue
+                for comp, stemmed, is_exc in comps:
+                    if comp in negated:
+                        continue
+                    if is_exc and comp not in seen:
+                        seen.add(comp)
+                        result.append(comp)
+                    if stemmed in negated:
+                        continue
+                    if stemmed not in seen:
+                        seen.add(stemmed)
+                        result.append(stemmed)
+        return result
+
     for token in raw_tokens:
         for part in split_camel_case(token, special_terms):
             lower = part.lower()
@@ -395,10 +450,40 @@ def is_potential_special(w: str) -> bool:
     return stem(w) == w or is_exception_term(w)
 
 
+@lru_cache(maxsize=1 << 18)
+def _word_special_runs(word: str) -> tuple[str, ...]:
+    """Lowercase alnum runs of one whitespace word, filtered to potential
+    special-term lookups — memoized (same Zipf argument as
+    _word_candidates)."""
+    out: list[str] = []
+    current: list[str] = []
+    for c in word:
+        if c.isalnum():
+            current.append(c)
+        elif current:
+            w = "".join(current).lower()
+            if is_potential_special(w):
+                out.append(w)
+            current = []
+    if current:
+        w = "".join(current).lower()
+        if is_potential_special(w):
+            out.append(w)
+    return tuple(out)
+
+
 def raw_special_words(text: str) -> list[str]:
     """raw_words filtered to potential special-term lookups (build side of
-    the raw index)."""
-    return [w for w in raw_words(text) if is_potential_special(w)]
+    the raw index).  Dedup is order-preserving first-seen, matching
+    raw_words."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for word in text.split():
+        for w in _word_special_runs(word):
+            if w not in seen:
+                seen.add(w)
+                out.append(w)
+    return out
 
 
 def raw_special_words_batch(texts):

@@ -7,40 +7,61 @@ Pipeline (all DataFrame/Catalyst; Python only inside Arrow-batched UDFs):
      offset broadcast -> partition-local row_number), never a
      single-partition window and never monotonically_increasing_id
      (SURVEY.md §4 item 7)
-  2. ONE tokenizer pass: token + raw-word pandas UDFs evaluated in a single
-     ArrowEvalPython node, persisted (MEMORY_AND_DISK) and reused by the
-     docs / postings / raw_postings / stats phases — the corpus text is
-     tokenized exactly once per build
-  3. postings: explode(tokens) -> (term, doc_id, dl) -> df per term ->
-     hot-term salting (df > max_postings_per_segment gets n_salts = ceil(df /
-     max) mod-salted sub-segments, bounding per-group memory and shuffle
-     skew) -> groupBy(term, salt) collect_list -> mapInArrow delta+varint
-     pack (vectorized; no per-group pandas dispatch) -> parquet partitioned
-     by hash bucket of term (query-time partition pruning), sorted by term
-     within files (row-group stats pruning)
-  4. raw-word postings (same shuffle, kind='raw'): lowercase alnum runs
-     filtered to *potential special-term lookups* (is_potential_special) —
-     the only words the query engine can ever fetch from this index — serve
-     exact/excluded query terms (reference: quoted terms bypass
-     tokenization, elastic_query.rs:768-773)
+  2. docs phase: ONE tokenizer pass ever — docID assignment and the token +
+     raw-word tokenization run in a single mapInArrow over the range
+     partitioning (no second shuffle; a window keyed on partition id would
+     hash ~n_parts distinct keys into n_parts buckets and skew badly), and
+     the result (including the tokens/raws arrays) is written to docs/
+     parquet, sorted by doc_id.
+     Parquet is the materialization: later phases re-read the pruned
+     (doc_id, dl, tokens, raws) columns instead of holding a multi-GB
+     DataFrame cache whose eviction would silently re-run the tokenizer
+     (measured 3x run-to-run variance with the cache design).  The query
+     engine never reads tokens/raws (column pruning).
+  3. partials phase (map-side combine): one mapInArrow pass over docs/
+     builds PER-PARTITION partial posting lists — (kind, term) ->
+     delta+varint-packed docID and dl arrays — entirely vectorized
+     (Arrow list flatten + dictionary_encode + np.repeat/argsort; no
+     per-token Python).  Partials land in partials/ parquet (level-0
+     segments).  Shuffle/storage is then proportional to the COMPRESSED
+     index size, not to sum(dl) raw posting rows (~30 bytes/posting row
+     -> ~2 bytes/posting packed).
+  4. merge phase: hot terms (df > max_postings_per_segment, from a
+     metadata-only column scan of partials/) get doc-RANGE salts
+     (salt = min_doc // ceil(n_docs / n_salts)) so one term's merge
+     spreads over many tasks while segments stay doc-contiguous; a
+     streaming mapInArrow merge (sorted by kind, term, salt, min_doc)
+     decodes partial chunks, concatenates, sorts, and emits final
+     segments hard-capped at max_postings_per_segment, with block-max
+     metadata (block_last_doc, block_min_dl) for WAND pruning.  Final
+     segments are parquet partitioned by (kind, bucket=hash(term)) for
+     query-time partition pruning, sorted by term within files
+     (row-group stats pruning).
   5. stats: n_docs, total_dl, avgdl (ranking.rs:64-72 semantics: mean over
-     ALL docs incl. empty)
+     ALL docs incl. empty) from the docs/ dl column (pruned scan)
   6. manifest: per-phase + per-bucket lineage rows (build_id, phase,
      partition, counts, checksum, completed_at); a finished phase is
-     skipped on resume (idempotent overwrite otherwise)
+     skipped on resume (idempotent overwrite otherwise); partials/ is a
+     resume point for the merge as well
 
-Scale notes (10^12 turns): every stage is a single shuffle on a key whose
-cardinality grows with data (doc ranges / term buckets); postings groups are
-bounded by max_postings_per_segment regardless of term skew ("the" at 10^12
-docs becomes ~10^7 independent segments instead of one 10^12-row group);
-bucket count and shuffle partitions scale with input size via builder args.
-The token materialization in step 2 trades one persisted pass (spillable)
-for three tokenizer passes — at 10^12 turns set materialize_tokens=False to
-recompute instead (documented trade; both paths tested).
+Scale notes (10^12 turns): no caching anywhere — every intermediate that
+must be revisited is parquet, so memory pressure cannot trigger lineage
+recompute; the only full-corpus shuffles are the docID range partition and
+the docs write, both O(corpus); posting data shuffles once, compressed
+(partials -> merge), with per-group memory bounded by
+max_postings_per_segment regardless of term skew ("the" at 10^12 docs
+becomes ~10^7 independent doc-range segments instead of one 10^12-row
+group).  Per-partition partial memory is bounded by partial_flush_postings
+(the builder flushes level-0 segments early; the merge treats multiple
+partials per (partition, term) identically to one).  Bucket count and
+shuffle partitions scale with input size via builder args.
 """
 
 from __future__ import annotations
 
+import contextlib
+import os
+import sys
 import time
 from dataclasses import dataclass
 from typing import Iterator
@@ -58,14 +79,21 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from probe_spark.functions.tokenizer import raw_special_words_batch, tokenize_batch
 from probe_spark.runtime import ensure_package_on_executors, warm_python_workers
+
+# bump when the on-disk layout changes incompatibly (resume across versions
+# must start a fresh directory)
+FORMAT_VERSION = 4
 
 POSTINGS_SCHEMA = StructType(
     [
         StructField("kind", StringType(), False),
         StructField("term", StringType(), False),
         StructField("salt", IntegerType(), False),
+        # chunk sequence within (kind, term, salt): the merge hard-caps
+        # segment size, so one salt group may emit several segments;
+        # (term, salt, seg_seq) uniquely addresses a segment
+        StructField("seg_seq", IntegerType(), False),
         StructField("n_salts", IntegerType(), False),
         StructField("df_seg", LongType(), False),
         StructField("min_doc", LongType(), False),
@@ -74,15 +102,24 @@ POSTINGS_SCHEMA = StructType(
         StructField("dl_bin", BinaryType(), False),
         StructField("block_last_doc", ArrayType(LongType(), False), False),
         StructField("block_min_dl", ArrayType(IntegerType(), False), False),
+        # byte start offsets per block into docs_bin / dl_bin (block-max
+        # WAND decodes only surviving blocks)
+        StructField("block_doc_off", ArrayType(LongType(), False), False),
+        StructField("block_dl_off", ArrayType(LongType(), False), False),
         StructField("bucket", IntegerType(), False),
+        # lineage metadata, computed at pack time so the manifest phase
+        # aggregates pruned scalar columns instead of re-reading binaries
+        StructField("seg_bytes", LongType(), False),
+        StructField("seg_crc", LongType(), False),
     ]
 )
 
-_PACK_ARROW_SCHEMA = pa.schema(
+_SEGMENT_ARROW_SCHEMA = pa.schema(
     [
         pa.field("kind", pa.string(), False),
         pa.field("term", pa.string(), False),
         pa.field("salt", pa.int32(), False),
+        pa.field("seg_seq", pa.int32(), False),
         pa.field("n_salts", pa.int32(), False),
         pa.field("df_seg", pa.int64(), False),
         pa.field("min_doc", pa.int64(), False),
@@ -91,208 +128,406 @@ _PACK_ARROW_SCHEMA = pa.schema(
         pa.field("dl_bin", pa.binary(), False),
         pa.field("block_last_doc", pa.list_(pa.int64()), False),
         pa.field("block_min_dl", pa.list_(pa.int32()), False),
+        pa.field("block_doc_off", pa.list_(pa.int64()), False),
+        pa.field("block_dl_off", pa.list_(pa.int64()), False),
         pa.field("bucket", pa.int32(), False),
+        pa.field("seg_bytes", pa.int64(), False),
+        pa.field("seg_crc", pa.int64(), False),
     ]
 )
+
+PARTIALS_SCHEMA = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("term", StringType(), False),
+        StructField("df_part", LongType(), False),
+        StructField("min_doc", LongType(), False),
+        StructField("max_doc", LongType(), False),
+        StructField("docs_bin", BinaryType(), False),
+        StructField("dl_bin", BinaryType(), False),
+    ]
+)
+
+_PARTIALS_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("kind", pa.string(), False),
+        pa.field("term", pa.string(), False),
+        pa.field("df_part", pa.int64(), False),
+        pa.field("min_doc", pa.int64(), False),
+        pa.field("max_doc", pa.int64(), False),
+        pa.field("docs_bin", pa.binary(), False),
+        pa.field("dl_bin", pa.binary(), False),
+    ]
+)
+
+
+@contextlib.contextmanager
+def _timed(label: str):
+    """Per-phase wall timing to stderr when PROBE_SPARK_TIMING=1."""
+    if os.environ.get("PROBE_SPARK_TIMING") != "1":
+        yield
+        return
+    t0 = time.time()
+    yield
+    print(f"[timing] {label}: {time.time() - t0:.2f}s", file=sys.stderr, flush=True)
 
 
 @dataclass
 class BuildConfig:
     n_buckets: int = 32  # parquet partition dirs for term-hash pruning
-    max_postings_per_segment: int = 1 << 17  # salting threshold (hot terms)
+    max_postings_per_segment: int = 1 << 17  # hard cap per final segment
     block_size: int = 128  # block-max granularity
     doc_partitions: int | None = None  # defaults to shuffle partitions
-    materialize_tokens: bool = True  # persist tokens across phases
-    # hot-term df estimation on a sample instead of a full pass (None=exact);
-    # at 10^12 pairs the exact pass costs as much as the main shuffle
-    hot_sample_fraction: float | None = None
+    # level-0 flush threshold: bounds the partial builder's in-memory
+    # accumulator (postings held per task before a flush)
+    partial_flush_postings: int = 1 << 22
 
 
-def _assign_doc_ids(df: DataFrame, n_parts: int) -> DataFrame:
-    """Two-phase dense docID over (conv_id, turn_idx): correctness does not
-    depend on where range boundaries fall, only on ranges being ordered."""
-    from pyspark.sql.window import Window
+def _make_docs_builder(offsets: dict[int, int]):
+    """mapInArrow generator over range-partitioned, partition-sorted
+    transcripts: assigns doc_id = partition_offset + local_row_index (dense,
+    globally ordered by (conv_id, turn_idx) because range partition index
+    order IS range order) and runs the ONE tokenizer pass.
 
-    parted = df.repartitionByRange(n_parts, "conv_id", "turn_idx").withColumn(
-        "_pid", F.spark_partition_id()
+    This replaces a window over a _pid-keyed hash shuffle: hashing ~n_parts
+    distinct _pid values into n_parts buckets collides badly (measured: a
+    third of partitions empty, stragglers 100x the median task), whereas
+    this pass keeps the range partitioning it already has — no shuffle, no
+    skew, and doc_id assignment + tokenization share one Python hop.
+    """
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        from probe_spark.functions.tokenizer import raw_special_words, tokenize
+
+        pid = TaskContext.get().partitionId()
+        next_id = offsets.get(pid, 0)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            texts = batch.column("text").to_pylist()
+            tokens = [tokenize(t) if t else [] for t in texts]
+            raws = [raw_special_words(t) if t else [] for t in texts]
+            arrays = [
+                pa.array(range(next_id, next_id + n), pa.int64()),
+                batch.column("conv_id"),
+                batch.column("turn_idx"),
+                batch.column("role"),
+                batch.column("tool"),
+                batch.column("ts"),
+                batch.column("text"),
+                pa.array([len(ts) for ts in tokens], pa.int32()),
+                pa.array(tokens, pa.list_(pa.string())),
+                pa.array(raws, pa.list_(pa.string())),
+            ]
+            next_id += n
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                names=[
+                    "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                    "text", "dl", "tokens", "raws",
+                ],
+            )
+
+    return gen
+
+
+def _assign_and_tokenize(
+    df: DataFrame, n_parts: int
+) -> tuple[DataFrame, DataFrame, int]:
+    """Dense docID over stable (conv_id, turn_idx) ordering + the single
+    tokenizer pass, as one range shuffle and one mapInArrow.
+
+    Two-phase docID (SURVEY.md §4 item 7): range-repartition -> cheap
+    per-partition counts -> offsets broadcast into the builder closure ->
+    partition-local sequential ids.  Never a single-partition window, never
+    monotonically_increasing_id.
+
+    Returns (docs_df, parted_handle, n_docs); caller unpersists the handle
+    after the docs write (one-phase lifetime; no lasting memory pressure).
+    """
+    parted = (
+        df.repartitionByRange(n_parts, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .persist()
     )
-    parted = parted.persist()
     counts = {
         r["_pid"]: r["cnt"]
-        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        for r in (
+            parted.groupBy(F.spark_partition_id().alias("_pid"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
     }
-    offsets = {}
+    offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_expr = F.create_map(
-        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    ts_type = dict(zip(df.schema.names, df.schema.fields))["ts"].dataType
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("conv_id", StringType(), True),
+            StructField("turn_idx", IntegerType(), True),
+            StructField("role", StringType(), True),
+            StructField("tool", StringType(), True),
+            StructField("ts", ts_type, True),
+            StructField("text", StringType(), True),
+            StructField("dl", IntegerType(), False),
+            StructField("tokens", ArrayType(StringType(), True), False),
+            StructField("raws", ArrayType(StringType(), True), False),
+        ]
     )
-    w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
-    out = (
-        parted.withColumn("_rn", F.row_number().over(w))
-        .withColumn(
-            "doc_id",
-            (offset_expr[F.col("_pid")] + F.col("_rn") - F.lit(1)).cast("long"),
-        )
-        .drop("_pid", "_rn")
-    )
-    return out
+    # canonicalize input types (input_hint: turn_idx int32) — callers may
+    # hand in a long turn_idx (row-inferred DataFrames); the arrow pass-
+    # through must match the declared output schema exactly
+    docs = parted.select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("role").cast("string").alias("role"),
+        F.col("tool").cast("string").alias("tool"),
+        F.col("ts"),
+        F.col("text").cast("string").alias("text"),
+    ).mapInArrow(_make_docs_builder(offsets), docs_schema)
+    return docs, parted, acc
 
 
-def _pack_sorted_arrow(
-    batches: Iterator[pa.RecordBatch],
-) -> Iterator[pa.RecordBatch]:
-    """Streaming segment packer over rows sorted by (kind, term, salt,
-    doc_id) within the partition: detects group boundaries vectorized,
-    varint-packs each group, carries the partial tail group across batches.
-    Memory is bounded by one segment (max_postings_per_segment rows), never
-    by a whole aggregation buffer — this replaces a collect_list hash agg.
+# ---------------------------------------------------------------------------
+# partials: map-side combine (docs partitions -> level-0 packed segments)
+# ---------------------------------------------------------------------------
 
-    Input columns: kind, term, salt, n_salts, bucket, doc_id, dl, block_size.
-    """
-    import numpy as np
 
-    from probe_spark.index.codec import encode_postings
+def _make_partial_builder(flush_postings: int):
+    """mapInArrow generator: (doc_id, dl, tokens, raws) batches ->
+    PARTIALS_SCHEMA rows.  Vectorized: Arrow list flatten +
+    dictionary_encode give (term-code, doc, dl) triples with no per-token
+    Python; the only Python loop is per DISTINCT term per batch."""
 
-    block_size = 128
-    carry: dict | None = None  # partial tail group
-    out: dict[str, list] = {k: [] for k in (
-        "kind", "term", "salt", "n_salts", "df_seg", "min_doc", "max_doc",
-        "docs_bin", "dl_bin", "block_last_doc", "block_min_dl", "bucket",
-    )}
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+        import pyarrow.compute as pc
 
-    def emit(key, n_salt, bucket, d, l):
-        docs_bin, dl_bin, block_last, block_min_dl = encode_postings(
-            d, l, block=block_size
-        )
-        out["kind"].append(key[0])
-        out["term"].append(key[1])
-        out["salt"].append(key[2])
-        out["n_salts"].append(n_salt)
-        out["df_seg"].append(len(d))
-        out["min_doc"].append(int(d.min()))
-        out["max_doc"].append(int(d.max()))
-        out["docs_bin"].append(docs_bin)
-        out["dl_bin"].append(dl_bin)
-        out["block_last_doc"].append(block_last.tolist())
-        out["block_min_dl"].append(block_min_dl.tolist())
-        out["bucket"].append(bucket)
+        from probe_spark.index.codec import varint_encode
 
-    def flush():
-        batch = pa.RecordBatch.from_arrays(
-            [pa.array(out[f.name], f.type) for f in _PACK_ARROW_SCHEMA],
-            schema=_PACK_ARROW_SCHEMA,
-        )
-        for k in out:
-            out[k].clear()
-        return batch
+        acc: dict[tuple[str, str], tuple[list, list]] = {}
+        pending = 0
 
-    for batch in batches:
-        n = batch.num_rows
-        if n == 0:
-            continue
-        block_size = int(batch.column("block_size")[0].as_py())
-        kinds = np.asarray(batch.column("kind").to_pylist(), dtype=object)
-        terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
-        salts = batch.column("salt").to_numpy(zero_copy_only=False)
-        n_salts = batch.column("n_salts").to_numpy(zero_copy_only=False)
-        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        dls = batch.column("dl").to_numpy(zero_copy_only=False)
-
-        # group boundaries (kind, term, salt)
-        change = np.zeros(n, dtype=bool)
-        change[0] = True
-        if n > 1:
-            change[1:] = (
-                (terms[1:] != terms[:-1])
-                | (kinds[1:] != kinds[:-1])
-                | (salts[1:] != salts[:-1])
+        def flush() -> pa.RecordBatch:
+            nonlocal acc, pending
+            cols: dict[str, list] = {f.name: [] for f in _PARTIALS_ARROW_SCHEMA}
+            for (kind, term), (idc, dlc) in acc.items():
+                ids = np.concatenate(idc)
+                dls = np.concatenate(dlc)
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                dls = dls[order]
+                gaps = np.empty(len(ids), dtype=np.uint64)
+                gaps[0] = ids[0]
+                np.subtract(ids[1:], ids[:-1], out=gaps[1:], casting="unsafe")
+                cols["kind"].append(kind)
+                cols["term"].append(term)
+                cols["df_part"].append(len(ids))
+                cols["min_doc"].append(int(ids[0]))
+                cols["max_doc"].append(int(ids[-1]))
+                cols["docs_bin"].append(varint_encode(gaps))
+                cols["dl_bin"].append(varint_encode(dls.astype(np.uint64)))
+            acc = {}
+            pending = 0
+            return pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _PARTIALS_ARROW_SCHEMA],
+                schema=_PARTIALS_ARROW_SCHEMA,
             )
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n)
 
-        for s, e in zip(starts, ends):
-            key = (kinds[s], terms[s], int(salts[s]))
-            d = doc_ids[s:e]
-            l = dls[s:e]
-            if carry is not None and carry["key"] == key:
-                d = np.concatenate([carry["d"], d])
-                l = np.concatenate([carry["l"], l])
-                carry = None
-            elif carry is not None:
-                emit(carry["key"], carry["n_salt"], carry["bucket"],
-                     carry["d"], carry["l"])
-                carry = None
-            if e == n:
-                # group may continue in the next batch
-                carry = {
-                    "key": key, "d": d, "l": l,
-                    "n_salt": int(n_salts[s]), "bucket": int(buckets[s]),
-                }
-            else:
-                emit(key, int(n_salts[s]), int(buckets[s]), d, l)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            dls = batch.column("dl").to_numpy(zero_copy_only=False)
+            for kind, col in (("tok", "tokens"), ("raw", "raws")):
+                arr = batch.column(col)
+                lens = (
+                    pc.fill_null(pc.list_value_length(arr), 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                if lens.sum() == 0:
+                    continue
+                de = arr.flatten().dictionary_encode()
+                codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                vocab = de.dictionary.to_pylist()
+                rep_ids = np.repeat(ids, lens)
+                rep_dls = np.repeat(dls, lens)
+                order = np.argsort(codes, kind="stable")
+                sc = codes[order]
+                bounds = np.flatnonzero(np.diff(sc)) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [len(sc)]))
+                for s, e in zip(starts, ends):
+                    ent = acc.setdefault((kind, vocab[sc[s]]), ([], []))
+                    ent[0].append(rep_ids[order[s:e]])
+                    ent[1].append(rep_dls[order[s:e]])
+                pending += int(len(sc))
+            if pending >= flush_postings:
+                yield flush()
+        if acc:
+            yield flush()
+
+    return gen
+
+
+# ---------------------------------------------------------------------------
+# merge: level-0 partials -> final segments (streamed, memory-bounded)
+# ---------------------------------------------------------------------------
+
+
+def _make_partial_merger(block_size: int, max_seg: int, n_buckets: int):
+    """mapInArrow generator over partials sorted by (kind, term, salt,
+    min_doc) within the partition: decodes each group's partial chunks,
+    concatenates + sorts, and emits final segments hard-capped at
+    ``max_seg`` postings.  Carries the open tail group across batches so
+    memory is bounded by one salt group, never an aggregation buffer."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import zlib
+
+        import numpy as np
+
+        from probe_spark.index.codec import encode_postings, varint_decode
+        from probe_spark.index.xxhash import spark_bucket
+
+        out: dict[str, list] = {f.name: [] for f in _SEGMENT_ARROW_SCHEMA}
+
+        def emit(key, n_salt, idc, dlc):
+            kind, term, salt = key
+            ids = np.concatenate(idc)
+            dls = np.concatenate(dlc)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            dls = dls[order]
+            bucket = spark_bucket(term, n_buckets)
+            for seg_seq, s in enumerate(range(0, len(ids), max_seg)):
+                d = ids[s : s + max_seg]
+                l = dls[s : s + max_seg]
+                (
+                    docs_bin, dl_bin, block_last, block_min_dl,
+                    block_doc_off, block_dl_off,
+                ) = encode_postings(d, l, block=block_size)
+                out["kind"].append(kind)
+                out["term"].append(term)
+                out["salt"].append(salt)
+                out["seg_seq"].append(seg_seq)
+                out["n_salts"].append(n_salt)
+                out["df_seg"].append(len(d))
+                out["min_doc"].append(int(d[0]))
+                out["max_doc"].append(int(d[-1]))
+                out["docs_bin"].append(docs_bin)
+                out["dl_bin"].append(dl_bin)
+                out["block_last_doc"].append(block_last.tolist())
+                out["block_min_dl"].append(block_min_dl.tolist())
+                out["block_doc_off"].append(block_doc_off.tolist())
+                out["block_dl_off"].append(block_dl_off.tolist())
+                out["bucket"].append(int(bucket))
+                out["seg_bytes"].append(len(docs_bin) + len(dl_bin))
+                out["seg_crc"].append(zlib.crc32(docs_bin))
+
+        def flush() -> pa.RecordBatch:
+            batch = pa.RecordBatch.from_arrays(
+                [pa.array(out[f.name], f.type) for f in _SEGMENT_ARROW_SCHEMA],
+                schema=_SEGMENT_ARROW_SCHEMA,
+            )
+            for k in out:
+                out[k].clear()
+            return batch
+
+        carry: dict | None = None
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            kinds = batch.column("kind").to_pylist()
+            terms = batch.column("term").to_pylist()
+            salts = batch.column("salt").to_numpy(zero_copy_only=False)
+            n_salts = batch.column("n_salts").to_numpy(zero_copy_only=False)
+            docs_bins = batch.column("docs_bin").to_pylist()
+            dl_bins = batch.column("dl_bin").to_pylist()
+            for i in range(n):
+                key = (kinds[i], terms[i], int(salts[i]))
+                gaps = varint_decode(docs_bins[i])
+                ids = np.cumsum(gaps.astype(np.int64))
+                dls = varint_decode(dl_bins[i]).astype(np.int64)
+                if carry is not None and carry["key"] != key:
+                    emit(carry["key"], carry["n_salt"], carry["idc"], carry["dlc"])
+                    carry = None
+                if carry is None:
+                    carry = {
+                        "key": key,
+                        "n_salt": int(n_salts[i]),
+                        "idc": [],
+                        "dlc": [],
+                    }
+                carry["idc"].append(ids)
+                carry["dlc"].append(dls)
+            if out["term"]:
+                yield flush()
+        if carry is not None:
+            emit(carry["key"], carry["n_salt"], carry["idc"], carry["dlc"])
         if out["term"]:
             yield flush()
 
-    if carry is not None:
-        emit(carry["key"], carry["n_salt"], carry["bucket"],
-             carry["d"], carry["l"])
-    if out["term"]:
-        yield flush()
+    return gen
 
 
-def _build_postings(pairs: DataFrame, cfg: BuildConfig, out_path: str) -> None:
-    """pairs: (kind, term, doc_id, dl) distinct per (kind, term, doc_id).
-
-    Token and raw-word postings ride the same shuffle (kind is part of the
-    grouping key and the output partitioning) — ONE pass over the pairs
-    instead of two jobs.
-    """
-    # df per term — Catalyst partial+final hash agg.  Only HOT terms
-    # (df > max_postings_per_segment) need a salt count; that set is tiny, so
-    # it broadcast-joins instead of shuffling all pairs against all dfs.
-    # With hot_sample_fraction set, the df pass runs on a sample (one full
-    # scan saved at 10^12 scale); estimates are padded 25% and detection
-    # triggers at half the threshold, so a missed borderline term costs at
-    # most one ~2x-oversized segment — a soft bound, never a failure.
+def _merge_partials(
+    spark: SparkSession,
+    partials_path: str,
+    n_docs: int,
+    cfg: BuildConfig,
+    out_path: str,
+) -> None:
+    """Salt hot terms by doc range, shuffle partials once, stream-merge into
+    final segments, write partitioned by (kind, bucket)."""
+    partials = spark.read.parquet(partials_path)
     max_seg = cfg.max_postings_per_segment
-    frac = cfg.hot_sample_fraction
-    src = pairs.sample(frac, seed=42) if frac else pairs
-    scale = (1.0 / frac) if frac else 1.0
-    detect_at = (max_seg / 2) if frac else max_seg
+    # hot-term detection: metadata-only column scan of the level-0 parquet
+    # (kind, term, df_part) — never touches the packed binaries
     hot = (
-        src.groupBy("kind", "term")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") * scale > detect_at)
-        .withColumn(
-            "hot_salts",
-            F.greatest(
-                F.ceil(F.col("cnt") * (scale * 1.25 if frac else scale) / max_seg),
-                F.lit(1),
-            ).cast("int"),
-        )
+        partials.groupBy("kind", "term")
+        .agg(F.sum("df_part").alias("df"))
+        .filter(F.col("df") > max_seg)
+        .withColumn("hot_salts", F.ceil(F.col("df") / max_seg).cast("int"))
         .select("kind", "term", "hot_salts")
     )
+    span_denom = F.col("n_salts").cast("long")
     salted = (
-        pairs.join(F.broadcast(hot), ["kind", "term"], "left")
+        partials.join(F.broadcast(hot), ["kind", "term"], "left")
         .withColumn("n_salts", F.coalesce(F.col("hot_salts"), F.lit(1)))
-        .withColumn("salt", (F.col("doc_id") % F.col("n_salts")).cast("int"))
+        # doc-range salt: segments stay doc-contiguous per salt and a hot
+        # term's merge spreads across tasks.  Assumes occurrences are
+        # roughly uniform over docID space (true for genuinely hot terms);
+        # the merge hard-caps segment size regardless.
         .withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int")
+            "salt",
+            (
+                F.col("min_doc")
+                / F.ceil(F.lit(float(max(n_docs, 1))) / span_denom)
+            ).cast("int"),
+        )
+        .drop("hot_salts")
+    )
+    merged = (
+        salted.repartition("kind", "term", "salt")
+        .sortWithinPartitions("kind", "term", "salt", "min_doc")
+        .mapInArrow(
+            _make_partial_merger(cfg.block_size, max_seg, cfg.n_buckets),
+            POSTINGS_SCHEMA,
         )
     )
-    shuffled = (
-        salted.withColumn("block_size", F.lit(cfg.block_size))
-        .repartition("kind", "term", "salt")
-        .sortWithinPartitions("kind", "term", "salt", "doc_id")
-    )
-    packed = shuffled.mapInArrow(_pack_sorted_arrow, POSTINGS_SCHEMA)
     (
-        packed.repartition("kind", "bucket")
-        .sortWithinPartitions("term", "salt")
+        merged.repartition("kind", "bucket")
+        .sortWithinPartitions("term", "salt", "min_doc")
         .write.mode("overwrite")
         .partitionBy("kind", "bucket")
         .parquet(out_path)
@@ -300,6 +535,8 @@ def _build_postings(pairs: DataFrame, cfg: BuildConfig, out_path: str) -> None:
 
 
 def _manifest_rows(spark: SparkSession, path: str, build_id: str):
+    """Per-(kind, bucket) lineage from the pack-time metadata columns — a
+    pruned column scan; the packed binaries are never re-read."""
     df = spark.read.parquet(path)
     rows = (
         df.groupBy("kind", "bucket")
@@ -307,8 +544,8 @@ def _manifest_rows(spark: SparkSession, path: str, build_id: str):
             F.count("*").alias("n_segments"),
             F.sum("df_seg").alias("n_postings"),
             F.countDistinct("term").alias("n_terms"),
-            F.sum(F.length("docs_bin") + F.length("dl_bin")).alias("bytes"),
-            F.sum(F.crc32(F.col("docs_bin"))).alias("checksum"),
+            F.sum("seg_bytes").alias("bytes"),
+            F.sum("seg_crc").alias("checksum"),
         )
         .collect()
     )
@@ -332,11 +569,16 @@ class IndexBuilder:
     """Builds (or resumes) an index directory:
 
     index_path/
-      docs/        doc_id, conv_id, turn_idx, role, tool, ts, text, dl
-      postings/    kind={tok,raw}/bucket=*/...  packed segments
+      docs/        doc_id, conv_id, turn_idx, role, tool, ts, text, dl,
+                   tokens, raws  (tokens/raws are build-internal; queries
+                   prune them)
+      partials/    level-0 packed partial postings (deleted after merge;
+                   present only while the postings phase is in flight —
+                   a mid-build resume point)
+      postings/    kind={tok,raw}/bucket=*/...  final packed segments
                    (POSTINGS_SCHEMA; kind=raw are lowercase raw-word
                    postings serving exact/excluded query terms)
-      stats/       single row: n_docs, total_dl, avgdl, n_terms
+      stats/       single row: n_docs, total_dl, avgdl, n_buckets, ...
       manifest/    lineage rows per phase/partition
     """
 
@@ -349,20 +591,55 @@ class IndexBuilder:
         warm_python_workers(spark)
 
     # -- resume helpers -----------------------------------------------------
-    def _phase_done(self, index_path: str, phase: str) -> bool:
+    def _fs(self, path: str):
         sc = self.spark.sparkContext
         hconf = sc._jsc.hadoopConfiguration()
         Path = sc._jvm.org.apache.hadoop.fs.Path
-        p = Path(f"{index_path}/{phase}/_SUCCESS")
-        fs = p.getFileSystem(hconf)
+        p = Path(path)
+        return p.getFileSystem(hconf), p, sc._jvm.org.apache.hadoop.fs.Path
+
+    def _phase_done(self, index_path: str, phase: str) -> bool:
+        fs, p, _ = self._fs(f"{index_path}/{phase}/_SUCCESS")
         return bool(fs.exists(p))
 
+    def _delete_dir(self, path: str) -> None:
+        fs, p, _ = self._fs(path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
     def _write_manifest(self, index_path: str, rows: list[dict]) -> None:
+        """Append lineage rows.  The manifest is driver-written metadata (a
+        few rows per phase); a Spark job per append costs ~1s of serial time
+        each, so local paths go straight through pyarrow.  Non-local
+        index paths (hdfs://, s3://) fall back to a Spark write."""
         if not rows:
             return
+        path = f"{index_path}/manifest"
         pdf = pd.DataFrame(rows)
-        self.spark.createDataFrame(pdf).write.mode("append").parquet(
-            f"{index_path}/manifest"
+        if "://" in index_path and not index_path.startswith("file://"):
+            self.spark.createDataFrame(pdf).write.mode("append").parquet(path)
+            return
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        local = path[len("file://"):] if path.startswith("file://") else path
+        os.makedirs(local, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(local, f"part-{uuid.uuid4().hex}.parquet"),
+        )
+
+    def _simple_manifest(self, index_path, build_id, phase):
+        self._write_manifest(
+            index_path,
+            [
+                {
+                    "build_id": build_id, "phase": phase, "partition_id": -1,
+                    "status": "done", "n_terms": 0, "n_postings": 0,
+                    "bytes": 0, "checksum": "", "completed_at": time.time(),
+                }
+            ],
         )
 
     # -- build ---------------------------------------------------------------
@@ -377,121 +654,85 @@ class IndexBuilder:
         t0 = time.time()
         phases_run = []
 
-        tokenize_udf = F.pandas_udf(
-            lambda s: tokenize_batch(s), ArrayType(StringType())
-        )
-        raw_udf = F.pandas_udf(
-            lambda s: raw_special_words_batch(s), ArrayType(StringType())
-        )
-
+        docs_path = f"{index_path}/docs"
+        partials_path = f"{index_path}/partials"
         docs_done = self._phase_done(index_path, "docs")
         postings_done = self._phase_done(index_path, "postings")
         stats_done = self._phase_done(index_path, "stats")
+        n_docs_known: int | None = None
 
-        docs_path = f"{index_path}/docs"
-        base = (
-            spark.read.parquet(docs_path)
-            if docs_done
-            else _assign_doc_ids(transcripts, n_parts)
-        )
-
-        # ONE tokenizer pass: both pandas UDFs evaluate in a single
-        # ArrowEvalPython node; persisted so later phases reuse it.
-        need_tokens = not (postings_done and stats_done and docs_done)
-        enriched = None
-        if need_tokens:
-            enriched = base.withColumn("tokens", tokenize_udf(F.col("text")))
-            if not postings_done:
-                enriched = enriched.withColumn("raws", raw_udf(F.col("text")))
-            else:
-                enriched = enriched.withColumn(
-                    "raws", F.array().cast(ArrayType(StringType()))
-                )
-            enriched = enriched.withColumn("dl", F.size("tokens"))
-            if cfg.materialize_tokens:
-                enriched = enriched.persist()
-
-        # phase 1: docs (scalars + dl only; sorted by doc_id within range
-        # partitions so row-group stats prune doc_id lookups)
+        # phase 1: docs — docID assignment + the ONE tokenizer pass, all
+        # materialized to parquet (sorted by doc_id within range partitions
+        # so row-group stats prune doc_id lookups)
         if not docs_done:
-            (
-                enriched.select(
-                    "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                    "text", "dl",
+            with _timed("docs"):
+                base, parted, n_docs_known = _assign_and_tokenize(
+                    transcripts, n_parts
                 )
-                .sortWithinPartitions("doc_id")
-                .write.mode("overwrite")
-                .parquet(docs_path)
-            )
-            self._write_manifest(
-                index_path,
-                [
-                    {
-                        "build_id": build_id, "phase": "docs", "partition_id": -1,
-                        "status": "done", "n_terms": 0,
-                        "n_postings": 0, "bytes": 0, "checksum": "",
-                        "completed_at": time.time(),
-                    }
-                ],
-            )
+                base.write.mode("overwrite").parquet(docs_path)
+                parted.unpersist()
+            self._simple_manifest(index_path, build_id, "docs")
             phases_run.append("docs")
 
-        # phase 2: token + raw-word postings in ONE shuffle (kind column);
-        # raw words serve exact/excluded query terms (reference: quoted terms
-        # bypass tokenization, elastic_query.rs:768-773).  Tokens are already
-        # unique per doc (tokenizer dedups) -> no distinct needed.
+        docs = spark.read.parquet(docs_path)
+
+        # phase 2: map-side combine into level-0 partials, then one
+        # compressed shuffle + streaming merge into final segments
         if not postings_done:
-            toks = enriched.select(
-                F.lit("tok").alias("kind"), "doc_id", "dl",
-                F.explode("tokens").alias("term"),
-            )
-            raws = enriched.select(
-                F.lit("raw").alias("kind"), "doc_id", "dl",
-                F.explode("raws").alias("term"),
-            )
-            pairs = toks.unionByName(raws).select("kind", "term", "doc_id", "dl")
-            _build_postings(pairs, cfg, f"{index_path}/postings")
-            self._write_manifest(
-                index_path,
-                _manifest_rows(spark, f"{index_path}/postings", build_id),
-            )
+            partials_done = self._phase_done(index_path, "partials")
+            if not partials_done:
+                with _timed("partials"):
+                    (
+                        docs.select("doc_id", "dl", "tokens", "raws")
+                        .mapInArrow(
+                            _make_partial_builder(cfg.partial_flush_postings),
+                            PARTIALS_SCHEMA,
+                        )
+                        .write.mode("overwrite")
+                        .parquet(partials_path)
+                    )
+                self._simple_manifest(index_path, build_id, "partials")
+            n_docs = n_docs_known if n_docs_known is not None else docs.count()
+            with _timed("merge"):
+                _merge_partials(
+                    spark, partials_path, n_docs, cfg, f"{index_path}/postings"
+                )
+            with _timed("manifest_postings"):
+                self._write_manifest(
+                    index_path,
+                    _manifest_rows(spark, f"{index_path}/postings", build_id),
+                )
+            self._delete_dir(partials_path)
             phases_run.append("postings")
 
-        # phase 4: stats
+        # phase 3: stats (pruned dl scan over docs/)
         if not stats_done:
-            src = enriched if enriched is not None else spark.read.parquet(docs_path)
-            stats_row = src.agg(
-                F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
-            ).collect()[0]
-            n_docs = stats_row["n_docs"]
-            total_dl = stats_row["total_dl"] or 0
-            stats = spark.createDataFrame(
-                pd.DataFrame(
-                    {
-                        "n_docs": [n_docs],
-                        "total_dl": [total_dl],
-                        "avgdl": [total_dl / n_docs if n_docs else 0.0],
-                        "n_buckets": [cfg.n_buckets],
-                        "block_size": [cfg.block_size],
-                        "build_id": [build_id],
-                    }
+            with _timed("stats"):
+                stats_row = docs.agg(
+                    F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+                ).collect()[0]
+                n_docs = stats_row["n_docs"]
+                total_dl = stats_row["total_dl"] or 0
+                stats = spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "n_docs": [n_docs],
+                            "total_dl": [total_dl],
+                            "avgdl": [total_dl / n_docs if n_docs else 0.0],
+                            "n_buckets": [cfg.n_buckets],
+                            "block_size": [cfg.block_size],
+                            "build_id": [build_id],
+                        }
+                    )
                 )
-            )
-            stats.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
-            self._write_manifest(
-                index_path,
-                [
-                    {
-                        "build_id": build_id, "phase": "stats", "partition_id": -1,
-                        "status": "done", "n_terms": 0, "n_postings": 0,
-                        "bytes": 0, "checksum": "", "completed_at": time.time(),
-                    }
-                ],
-            )
+                # NOT coalesce(1): coalescing a local relation to one
+                # partition costs a flat ~5s per write in Spark 4.1 local
+                # mode (measured); repartition(1) is ~0.6s
+                stats.repartition(1).write.mode("overwrite").parquet(
+                    f"{index_path}/stats"
+                )
+            self._simple_manifest(index_path, build_id, "stats")
             phases_run.append("stats")
-
-        if enriched is not None and cfg.materialize_tokens:
-            enriched.unpersist()
 
         elapsed = time.time() - t0
         n_docs = spark.read.parquet(f"{index_path}/stats").collect()[0]["n_docs"]

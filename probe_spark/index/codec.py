@@ -18,10 +18,12 @@ _MASK = np.uint64(0x7F)
 _CONT = np.uint64(0x80)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array as concatenated LEB128 varints (vectorized)."""
+def _varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array as concatenated LEB128 varints (vectorized).
+    Returns (bytes, per-value byte start offsets, length len(values)+1 with
+    the total at the end)."""
     if len(values) == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     v = values.astype(np.uint64, copy=True)
     # bytes needed per value: ceil(bit_length / 7), min 1
     bits = np.zeros(len(v), dtype=np.int64)
@@ -46,7 +48,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = byte | (more.astype(np.uint8) << 7)
         out[idx] = byte
         shifted = shifted >> np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as concatenated LEB128 varints (vectorized)."""
+    return _varint_encode_offsets(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -71,11 +78,15 @@ def varint_decode(buf: bytes) -> np.ndarray:
 
 
 def encode_postings(doc_ids: np.ndarray, dls: np.ndarray, block: int = 128):
-    """Pack sorted doc ids + doc lengths into (docs_bin, dl_bin, blocks).
+    """Pack sorted doc ids + doc lengths into
+    (docs_bin, dl_bin, block_last, block_min_dl, block_doc_off, block_dl_off).
 
-    blocks: (last_doc per block, min_dl per block) for block-max pruning
-    (WAND upper bounds: BM25 with tf=1 is monotone decreasing in dl, so the
-    per-block max score for a term is idf * C(min_dl)).
+    Block metadata serves block-max pruning (WAND upper bounds: BM25 with
+    tf=1 is monotone decreasing in dl, so the per-block max score for a term
+    is idf * C(min_dl)); the byte offsets let a query decode ONLY surviving
+    blocks (each block's delta stream is self-contained given the previous
+    block's last doc id — the first gap of block 0 is the absolute id, so
+    base 0 works uniformly).
     """
     order = np.argsort(doc_ids, kind="stable")
     d = doc_ids[order].astype(np.int64)
@@ -83,18 +94,53 @@ def encode_postings(doc_ids: np.ndarray, dls: np.ndarray, block: int = 128):
     gaps = np.empty(len(d), dtype=np.uint64)
     gaps[0] = d[0]
     np.subtract(d[1:], d[:-1], out=gaps[1:], casting="unsafe")
-    docs_bin = varint_encode(gaps)
-    dl_bin = varint_encode(l.astype(np.uint64))
-    n_blocks = (len(d) + block - 1) // block
-    block_last = np.array(
-        [d[min((i + 1) * block, len(d)) - 1] for i in range(n_blocks)],
-        dtype=np.int64,
-    )
-    block_min_dl = np.array(
-        [int(l[i * block : (i + 1) * block].min()) for i in range(n_blocks)],
-        dtype=np.int32,
-    )
-    return docs_bin, dl_bin, block_last, block_min_dl
+    docs_bin, doc_offs = _varint_encode_offsets(gaps)
+    dl_bin, dl_offs = _varint_encode_offsets(l.astype(np.uint64))
+    n = len(d)
+    n_blocks = (n + block - 1) // block
+    starts = np.arange(n_blocks, dtype=np.int64) * block
+    ends = np.minimum(starts + block, n)
+    block_last = d[ends - 1]
+    block_min_dl = np.minimum.reduceat(l, starts).astype(np.int32)
+    block_doc_off = doc_offs[starts]
+    block_dl_off = dl_offs[starts]
+    return docs_bin, dl_bin, block_last, block_min_dl, block_doc_off, block_dl_off
+
+
+def decode_blocks(
+    docs_bin: bytes,
+    dl_bin: bytes,
+    block_last: "list[int] | np.ndarray",
+    block_doc_off: "list[int] | np.ndarray",
+    block_dl_off: "list[int] | np.ndarray",
+    keep: "list[int] | np.ndarray",
+):
+    """Decode only the selected block indices of a segment.
+
+    Deltas within block i resolve against base = block_last[i-1] (block 0's
+    first gap is the absolute doc id, base 0).  Returns (doc_ids, dls)
+    concatenated over ``keep`` in ascending block order.
+    """
+    keep = np.asarray(sorted(keep), dtype=np.int64)
+    if len(keep) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    doc_off = np.asarray(block_doc_off, dtype=np.int64)
+    dl_off = np.asarray(block_dl_off, dtype=np.int64)
+    last = np.asarray(block_last, dtype=np.int64)
+    n_blocks = len(last)
+    ids_parts = []
+    dl_parts = []
+    for i in keep:
+        i = int(i)
+        d_end = doc_off[i + 1] if i + 1 < n_blocks else len(docs_bin)
+        l_end = dl_off[i + 1] if i + 1 < n_blocks else len(dl_bin)
+        gaps = varint_decode(docs_bin[doc_off[i] : d_end])
+        base = last[i - 1] if i > 0 else 0
+        ids_parts.append(np.cumsum(gaps.astype(np.int64)) + base)
+        dl_parts.append(
+            varint_decode(dl_bin[dl_off[i] : l_end]).astype(np.int64)
+        )
+    return np.concatenate(ids_parts), np.concatenate(dl_parts)
 
 
 def decode_postings(docs_bin: bytes, dl_bin: bytes):

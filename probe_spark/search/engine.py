@@ -120,6 +120,85 @@ def _decode_map_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
         )
 
 
+_DECODE_KEEP_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("src", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("dl", IntegerType(), False),
+    ]
+)
+
+
+def _decode_blocks_arrow(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """(term, docs_bin, dl_bin, block_last_doc, block_doc_off, block_dl_off,
+    keep) -> exploded (term, src='tok', doc_id, dl) decoding ONLY the kept
+    blocks (block-max WAND survivors)."""
+    import numpy as np
+
+    from probe_spark.index.codec import decode_blocks
+
+    for batch in batches:
+        terms = batch.column("term").to_pylist()
+        docs_bins = batch.column("docs_bin").to_pylist()
+        dl_bins = batch.column("dl_bin").to_pylist()
+        lasts = batch.column("block_last_doc").to_pylist()
+        doc_offs = batch.column("block_doc_off").to_pylist()
+        dl_offs = batch.column("block_dl_off").to_pylist()
+        keeps = batch.column("keep").to_pylist()
+        out_term: list[str] = []
+        out_ids: list = []
+        out_dl: list = []
+        for t, db, lb, bl, doff, loff, kp in zip(
+            terms, docs_bins, dl_bins, lasts, doc_offs, dl_offs, keeps
+        ):
+            ids, dls = decode_blocks(db, lb, bl, doff, loff, kp)
+            out_term.extend([t] * len(ids))
+            out_ids.append(ids)
+            out_dl.append(dls)
+        ids_all = (
+            np.concatenate(out_ids) if out_ids else np.empty(0, dtype=np.int64)
+        )
+        dl_all = (
+            np.concatenate(out_dl).astype(np.int32)
+            if out_dl
+            else np.empty(0, dtype=np.int32)
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_term, pa.string()),
+                pa.array(["tok"] * len(out_term), pa.string()),
+                pa.array(ids_all, pa.int64()),
+                pa.array(dl_all, pa.int32()),
+            ],
+            names=["term", "src", "doc_id", "dl"],
+        )
+
+
+def _wand_eligible(expr: ast.Expr) -> bool:
+    """True iff the query is a pure disjunction of single-keyword optional
+    terms — the classic (block-max) WAND setting.  Multi-keyword terms have
+    all-of evaluation semantics and AND/required/excluded/exact shapes
+    change which docs qualify, which would invalidate the bootstrap
+    threshold (theta must lower-bound the k-th score of QUALIFYING docs)."""
+
+    def rec(e: ast.Expr) -> bool:
+        if isinstance(e, ast.Term):
+            return (
+                not e.required
+                and not e.excluded
+                and not e.exact
+                and len(e.keywords) == 1
+            )
+        if isinstance(e, ast.Or):
+            return rec(e.left) and rec(e.right)
+        return False
+
+    return rec(expr)
+
+
 @dataclass
 class SpecialPlan:
     keyword: str  # the query-map lookup key (original case)
@@ -266,6 +345,155 @@ class SearchEngine:
             result = req_check & result
         return result
 
+    # -- block-max WAND path --------------------------------------------------
+    def _search_pruned(
+        self,
+        expr: ast.Expr,
+        token_terms: list[str],
+        k: int,
+        with_metadata: bool,
+    ) -> DataFrame:
+        """Exact top-k for pure disjunctive queries via block-max pruning
+        (see probe_spark.search.wand).  Three metadata-scale steps pick the
+        surviving blocks; only those decode."""
+        import numpy as np
+
+        from probe_spark.search import wand
+
+        spark = self.spark
+        buckets = sorted({spark_bucket(t, self.n_buckets) for t in token_terms})
+        seg_filter = F.col("bucket").isin(buckets) & F.col("term").isin(
+            token_terms
+        )
+        # 1. metadata collect: no binary columns -> pruned parquet scan
+        meta_rows = (
+            self.postings.filter(seg_filter)
+            .select(
+                "term", "salt", "seg_seq", "df_seg", "min_doc", "max_doc",
+                "block_last_doc", "block_min_dl",
+            )
+            .collect()
+        )
+        metas = [
+            wand.SegmentMeta(
+                r["term"], int(r["salt"]), int(r["seg_seq"]),
+                int(r["min_doc"]), int(r["max_doc"]),
+                np.asarray(r["block_last_doc"], dtype=np.int64),
+                np.asarray(r["block_min_dl"], dtype=np.int32),
+            )
+            for r in meta_rows
+        ]
+        df_by_term: dict[str, int] = {}
+        for r in meta_rows:
+            df_by_term[r["term"]] = df_by_term.get(r["term"], 0) + int(r["df_seg"])
+        for t in token_terms:
+            self._df_cache.setdefault(t, df_by_term.get(t, 0))
+        idfs = {
+            t: math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            for t, df in df_by_term.items()
+            if df > 0
+        }
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not idfs:
+            return empty
+
+        refs = wand.block_refs(metas, idfs, self.avgdl)
+        best = wand.best_block_per_term(refs)
+
+        # 2. theta bootstrap: decode ONE best block per term (driver-side;
+        #    bounded by max_postings_per_segment bytes per term)
+        theta = 0.0
+        if best:
+            from probe_spark.index.codec import decode_blocks
+
+            pairs = [(b.term, b.salt, b.seg_seq) for b in best.values()]
+            pair_col = F.struct(F.col("term"), F.col("salt"), F.col("seg_seq"))
+            want = [
+                F.struct(F.lit(t), F.lit(s), F.lit(q)) for t, s, q in pairs
+            ]
+            boot_rows = (
+                self.postings.filter(seg_filter)
+                .filter(pair_col.isin(*want) if want else F.lit(False))
+                .select(
+                    "term", "salt", "seg_seq", "docs_bin", "dl_bin",
+                    "block_last_doc", "block_doc_off", "block_dl_off",
+                )
+                .collect()
+            )
+            decoded = []
+            by_pair = {
+                (r["term"], int(r["salt"]), int(r["seg_seq"])): r
+                for r in boot_rows
+            }
+            for b in best.values():
+                r = by_pair.get((b.term, b.salt, b.seg_seq))
+                if r is None:
+                    continue
+                ids, dls = decode_blocks(
+                    bytes(r["docs_bin"]), bytes(r["dl_bin"]),
+                    r["block_last_doc"], r["block_doc_off"],
+                    r["block_dl_off"], [b.block],
+                )
+                decoded.append((b.term, ids, dls))
+            theta = wand.partial_theta(decoded, idfs, self.avgdl, k)
+
+        # 3. sweep + selection
+        keep, stats = wand.select_blocks(refs, theta)
+        self.last_wand_stats = {**stats, "theta": theta}
+        if not keep:
+            return empty
+        keep_df = spark.createDataFrame(
+            [(t, s, q, sorted(blocks)) for (t, s, q), blocks in keep.items()],
+            "term string, salt int, seg_seq int, keep array<int>",
+        )
+        decoded = (
+            self.postings.filter(seg_filter)
+            .join(F.broadcast(keep_df), ["term", "salt", "seg_seq"])
+            .select(
+                "term", "docs_bin", "dl_bin", "block_last_doc",
+                "block_doc_off", "block_dl_off", "keep",
+            )
+            .mapInArrow(_decode_blocks_arrow, _DECODE_KEEP_SCHEMA)
+        )
+
+        hits = decoded.groupBy("doc_id").agg(
+            F.collect_set("term").alias("hits"), F.first("dl").alias("dl")
+        )
+        present = {
+            kw: F.array_contains(F.col("hits"), kw) for kw in token_terms
+        }
+        tf_norm = F.lit(K1 + 1.0) / (
+            F.lit(1.0)
+            + F.lit(K1)
+            * (
+                F.lit(1.0 - B)
+                + F.lit(B) * (F.col("dl").cast("double") / F.lit(self.avgdl))
+            )
+        )
+        scored = hits.withColumn("_tf_norm", tf_norm)
+        eval_col = self._compile_eval(expr, present)
+        score_col = self._compile_score(expr, idfs, present)
+        result = (
+            scored.withColumn("score", score_col)
+            .filter(eval_col & F.col("score").isNotNull())
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        if with_metadata:
+            result = (
+                F.broadcast(result)
+                .join(
+                    self.docs.select(
+                        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                        "text",
+                    ),
+                    "doc_id",
+                )
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+        return result
+
     # -- search ----------------------------------------------------------------
     def search(
         self,
@@ -273,11 +501,14 @@ class SearchEngine:
         k: int | None = 10,
         exact: bool = False,
         with_metadata: bool = True,
+        prune: bool = True,
     ) -> DataFrame:
         """Top-k BM25 results: (doc_id, score [, conv_id, turn_idx, role,
         tool, ts, text]), rank-identical to the oracle.  k=None returns the
         full scored result set unsorted (no TakeOrdered barrier) — for bulk
-        export / oracle comparison."""
+        export / oracle comparison.  ``prune=True`` enables block-max WAND
+        for eligible (pure disjunctive) top-k queries — identical results,
+        fewer decoded postings; ``prune=False`` forces the full path."""
         spark = self.spark
         empty = spark.createDataFrame(
             [], "doc_id long, score double"
@@ -301,6 +532,15 @@ class SearchEngine:
         token_terms = sorted(normal_kws)
         plans = {kw: special_plan(kw) for kw in sorted(special_kws)}
         special_lookups = [p.lookup for p in plans.values() if p.matchable]
+
+        if (
+            prune
+            and k is not None
+            and not special_kws
+            and token_terms
+            and _wand_eligible(expr)
+        ):
+            return self._search_pruned(expr, token_terms, k, with_metadata)
 
         # Special terms whose registration changes doc tokenization
         # (tokenize(w) != tokenize(w, G)): docs containing such a word as a
