@@ -1,0 +1,169 @@
+"""spark-submit entry points: build / search / stats as cluster jobs.
+
+North rule: "run via spark-submit --py-files on a multi-executor cluster".
+Usage (cluster):
+
+    zip -r probe_spark.zip probe_spark
+    spark-submit --py-files probe_spark.zip -m ... job.py build \\
+        --input iceberg_catalog.db.transcripts --output hdfs://.../index
+    spark-submit --py-files probe_spark.zip job.py search \\
+        --index hdfs://.../index "error AND handling" -k 10 --format json
+
+where job.py is ``python -m probe_spark``'s module body (probe_spark/__main__.py
+works directly as the application file).  Locally: ``python -m probe_spark ...``.
+
+``--input`` accepts either a path (read as parquet) or a dotted table
+identifier (read via ``spark.read.table`` — Iceberg/Hive tables resolve
+through whatever catalog the Spark session was submitted with; this sandbox
+has no Iceberg runtime, so the table path is exercised in production
+deployments only and the parquet path in tests).
+
+Mirrors the reference CLI surface that is meaningful for the transcript
+engine (reference: src/cli.rs:13-205 — search with --max-results /
+--session / --exact / --format; extract and ast-grep query are code-AST
+features, out of scope per SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_session(app: str):
+    from pyspark.sql import SparkSession
+
+    return SparkSession.builder.appName(app).getOrCreate()
+
+
+def _read_input(spark, inp: str):
+    """Path -> parquet scan; dotted identifier -> catalog table (Iceberg)."""
+    looks_like_table = (
+        "/" not in inp and "\\" not in inp and not inp.endswith(".parquet")
+    )
+    if looks_like_table:
+        return spark.read.table(inp)
+    return spark.read.parquet(inp)
+
+
+def cmd_build(args) -> int:
+    from probe_spark.index.build import BuildConfig, IndexBuilder
+
+    spark = _build_session("probe-spark-build")
+    df = _read_input(spark, args.input)
+    cfg = BuildConfig(
+        n_buckets=args.n_buckets,
+        max_postings_per_segment=args.max_postings_per_segment,
+        block_size=args.block_size,
+        doc_partitions=args.doc_partitions,
+    )
+    t0 = time.time()
+    result = IndexBuilder(spark, cfg).build(
+        df, args.output, build_id=args.build_id
+    )
+    result["wall_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from probe_spark.search.engine import SearchEngine
+
+    spark = _build_session("probe-spark-search")
+    eng = SearchEngine(spark, args.index)
+    res = eng.search(
+        args.query,
+        k=args.max_results,
+        exact=args.exact,
+        with_metadata=not args.ids_only,
+        prune=not args.no_prune,
+    )
+    if (args.max_bytes or args.max_tokens) and not args.ids_only:
+        from probe_spark.search.limiter import apply_limits
+
+        res = apply_limits(
+            res, max_bytes=args.max_bytes, max_tokens=args.max_tokens
+        )
+    if args.session:
+        from probe_spark.search.session_cache import filter_seen
+
+        res = filter_seen(spark, args.index, args.session, args.query, res)
+    rows = res.collect()
+    if args.format == "json":
+        for r in rows:
+            print(json.dumps({k: _jsonable(v) for k, v in r.asDict().items()}))
+    else:
+        for r in rows:
+            d = r.asDict()
+            text = (d.get("text") or "").replace("\n", " ")[:80]
+            print(f"{d['doc_id']}\t{d['score']:.4f}\t{text}")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    spark = _build_session("probe-spark-stats")
+    stats = spark.read.parquet(f"{args.index}/stats").collect()[0].asDict()
+    manifest = (
+        spark.read.parquet(f"{args.index}/manifest")
+        .orderBy("completed_at")
+        .collect()
+    )
+    stats["manifest"] = [m.asDict() for m in manifest]
+    print(json.dumps(stats, default=str))
+    return 0
+
+
+def _jsonable(v):
+    try:
+        json.dumps(v)
+        return v
+    except TypeError:
+        return str(v)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="probe_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an inverted index")
+    b.add_argument("--input", required=True,
+                   help="transcripts parquet path or catalog table name")
+    b.add_argument("--output", required=True, help="index directory")
+    b.add_argument("--build-id", default="build0")
+    b.add_argument("--n-buckets", type=int, default=32)
+    b.add_argument("--max-postings-per-segment", type=int, default=1 << 17)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--doc-partitions", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="top-k BM25 search")
+    s.add_argument("query")
+    s.add_argument("--index", required=True)
+    s.add_argument("-k", "--max-results", type=int, default=10)
+    s.add_argument("--max-bytes", type=int, default=None,
+                   help="cumulative text-byte budget over ranked results")
+    s.add_argument("--max-tokens", type=int, default=None,
+                   help="cumulative token budget over ranked results")
+    s.add_argument("--exact", action="store_true",
+                   help="whole query as one unsplit exact term")
+    s.add_argument("--ids-only", action="store_true")
+    s.add_argument("--no-prune", action="store_true",
+                   help="disable block-max WAND pruning")
+    s.add_argument("--session", default=None,
+                   help="session id: drop results already returned in this "
+                        "session and record the new ones")
+    s.add_argument("--format", choices=["text", "json"], default="text")
+    s.set_defaults(fn=cmd_search)
+
+    st = sub.add_parser("stats", help="print index stats + manifest lineage")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

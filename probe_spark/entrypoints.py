@@ -291,6 +291,60 @@ def _q_windowed_counts(spark, sf_dir):
     )
 
 
+def _q_bm25_topk_wand(spark, sf_dir):
+    """Top-k through the block-max WAND path (disjunctive single-keyword
+    query -> eligible); the oracle is the naive full-scoring SQL + LIMIT,
+    so the driver compare IS the rank-identity check."""
+    eng = get_engine(spark, sf_dir)
+    res = eng.search("hash OR join", k=50, with_metadata=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_limited_search(spark, sf_dir):
+    """apply_limits (search_limiter.rs semantics): rank-ordered greedy
+    byte-budget prefix over the scored result set."""
+    from probe_spark.search.limiter import apply_limits
+
+    eng = get_engine(spark, sf_dir)
+    res = eng.search("hash", k=None, with_metadata=False)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    joined = res.join(docs, "doc_id")
+    out = apply_limits(joined, max_bytes=20_000)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_64(docs)
+
+
+def _q_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.with_lang_id(docs).select("doc_id", "lang_pred", "lang_score")
+
+
+def _q_embedding_dup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_dup_pairs(emb, threshold=0.25)
+
+
+def _q_image_meta(spark, sf_dir):
+    """Multimodal plumbing on a real binary column (deterministically
+    synthesized from text — no external data): decode-or-error feature
+    extraction via mapInPandas."""
+    from probe_spark.ops import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("sample_id"),
+        F.encode(F.col("text"), "UTF-8").alias("image"),
+    )
+    return multimodal.image_features(docs).select(
+        "sample_id", "width", "height", "n_bytes", "phash", "status"
+    )
+
+
 QUERIES = {
     "bm25_or": _q_bm25_or,
     "bm25_and": _q_bm25_and,
@@ -311,6 +365,12 @@ QUERIES = {
     "ann_cosine": _q_ann_cosine,
     "sessionize": _q_sessionize,
     "windowed_counts": _q_windowed_counts,
+    "bm25_topk_wand": _q_bm25_topk_wand,
+    "limited_search": _q_limited_search,
+    "simhash": _q_simhash,
+    "lang_id": _q_lang_id,
+    "embedding_dup": _q_embedding_dup,
+    "image_meta": _q_image_meta,
 }
 
 
@@ -333,6 +393,140 @@ def _minhash_oracle() -> str:
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id
+"""
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n    ".join(
+        "SUM(CASE WHEN ({h} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}".format(
+            h="hi" if j >= 32 else "lo", sh=j % 32, j=j
+        )
+        for j in range(64)
+    )
+    lo63 = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(63)
+    )
+    return f"""{_SHINGLE_PRELUDE}
+, bits AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(shingle), 1, 8)) AS UBIGINT) AS hi,
+         CAST(concat('0x', substring(md5(shingle), 9, 8)) AS UBIGINT) AS lo
+  FROM sh
+), votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id AS id, ({lo63}) AS simhash_lo63,
+       (CASE WHEN v63 > 0 THEN 1 ELSE 0 END) AS simhash_top_bit
+FROM votes
+"""
+
+
+def _lang_id_oracle() -> str:
+    from probe_spark.ops.text import LANG_PROFILES
+
+    scores = []
+    for lang in sorted(LANG_PROFILES):
+        hits = " + ".join(
+            f"(CASE WHEN contains(lower(text), '{m}') THEN 1 ELSE 0 END)"
+            for m in LANG_PROFILES[lang]
+        )
+        scores.append(f"({hits}) AS s_{lang}")
+    langs = sorted(LANG_PROFILES)
+    best = f"greatest({', '.join('s_' + x for x in langs)})"
+    pred = "CASE"
+    for lang in langs:  # asc order = tie-break order
+        pred += f" WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
+    pred += " ELSE 'und' END"
+    return f"""
+WITH sc AS (
+  SELECT doc_id, {', '.join(scores)} FROM documents
+), m AS (
+  SELECT doc_id, *, {best} AS best FROM sc
+)
+SELECT doc_id, {pred} AS lang_pred, best::INT AS lang_score FROM m
+"""
+
+
+_BM25_TOPK_WAND_ORACLE = f"""{_BM25_PRELUDE}
+, pres AS (
+  SELECT dls.doc_id, dls.dl,
+         MAX(CASE WHEN tok.t = 'hash' THEN 1 ELSE 0 END) AS p_hash,
+         MAX(CASE WHEN tok.t = 'join' THEN 1 ELSE 0 END) AS p_join
+  FROM dls LEFT JOIN tok ON dls.doc_id = tok.doc_id
+  GROUP BY dls.doc_id, dls.dl
+), dfs AS (
+  SELECT SUM(p_hash) AS df_hash, SUM(p_join) AS df_join FROM pres
+), scored AS (
+  SELECT p.doc_id, {{c_hash}} + {{c_join}} AS score
+  FROM pres p, stats s, dfs d
+  WHERE p.p_hash = 1 OR p.p_join = 1
+  ORDER BY score DESC, p.doc_id ASC
+  LIMIT 50
+)
+SELECT doc_id, ROUND(score, 6) AS score FROM scored
+"""
+
+_LIMITED_SEARCH_ORACLE = f"""{_BM25_PRELUDE}
+, pres AS (
+  SELECT dls.doc_id, dls.dl,
+         MAX(CASE WHEN tok.t = 'hash' THEN 1 ELSE 0 END) AS p_hash
+  FROM dls LEFT JOIN tok ON dls.doc_id = tok.doc_id
+  GROUP BY dls.doc_id, dls.dl
+), dfs AS (
+  SELECT SUM(p_hash) AS df_hash FROM pres
+), scored AS (
+  SELECT p.doc_id, {{c_hash}} AS score
+  FROM pres p, stats s, dfs d
+  WHERE p.p_hash = 1
+), budget AS (
+  SELECT sc.doc_id, sc.score,
+         SUM(octet_length(encode(doc.text)))
+           OVER (ORDER BY sc.score DESC, sc.doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_bytes
+  FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS score FROM budget WHERE cum_bytes <= 20000
+"""
+
+_EMBEDDING_DUP_ORACLE = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+                                      x -> x::DOUBLE * x::DOUBLE))) AS nn
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 s -> s[1]::DOUBLE * s[2]::DOUBLE))
+         / (a.nn * b.nn), 6) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 s -> s[1]::DOUBLE * s[2]::DOUBLE))
+         / (a.nn * b.nn), 6) >= 0.25
+"""
+
+_IMAGE_META_ORACLE = """
+WITH b AS (
+  SELECT doc_id, text, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT doc_id AS sample_id,
+       CASE WHEN nb = 0 THEN 0 ELSE
+         16 + CAST(concat('0x', substring(hx, 1, 2)) AS INT) % 64 END AS width,
+       CASE WHEN nb = 0 THEN 0 ELSE
+         16 + CAST(concat('0x', substring(hx, 2*nb - 1, 2)) AS INT) % 64
+       END AS height,
+       nb AS n_bytes,
+       CASE WHEN nb = 0 THEN '' ELSE substring(md5(text), 1, 16) END AS phash,
+       CASE WHEN nb = 0 THEN 'error' ELSE 'ok' END AS status
+FROM b
 """
 
 
@@ -479,6 +673,14 @@ SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
 """,
+    "bm25_topk_wand": _BM25_TOPK_WAND_ORACLE.format(
+        c_hash=_contrib("hash"), c_join=_contrib("join")
+    ),
+    "limited_search": _LIMITED_SEARCH_ORACLE.format(c_hash=_contrib("hash")),
+    "simhash": _simhash_oracle(),
+    "lang_id": _lang_id_oracle(),
+    "embedding_dup": _EMBEDDING_DUP_ORACLE,
+    "image_meta": _IMAGE_META_ORACLE,
 }
 
 

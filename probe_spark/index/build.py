@@ -314,6 +314,8 @@ def _make_partial_builder(flush_postings: int):
 
         acc: dict[tuple[str, str], tuple[list, list]] = {}
         pending = 0
+        n_docs_part = 0
+        total_dl_part = 0
 
         def flush() -> pa.RecordBatch:
             nonlocal acc, pending
@@ -346,6 +348,8 @@ def _make_partial_builder(flush_postings: int):
                 continue
             ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             dls = batch.column("dl").to_numpy(zero_copy_only=False)
+            n_docs_part += int(batch.num_rows)
+            total_dl_part += int(dls.sum())
             for kind, col in (("tok", "tokens"), ("raw", "raws")):
                 arr = batch.column(col)
                 lens = (
@@ -374,6 +378,21 @@ def _make_partial_builder(flush_postings: int):
                 yield flush()
         if acc:
             yield flush()
+        # per-partition corpus stats ride the same output (kind=@stats,
+        # df_part=n_docs, min_doc=total_dl): the stats phase then aggregates
+        # partials METADATA instead of re-scanning the docs dl column
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(["@stats"], pa.string()),
+                pa.array([""], pa.string()),
+                pa.array([n_docs_part], pa.int64()),
+                pa.array([total_dl_part], pa.int64()),
+                pa.array([0], pa.int64()),
+                pa.array([b""], pa.binary()),
+                pa.array([b""], pa.binary()),
+            ],
+            schema=_PARTIALS_ARROW_SCHEMA,
+        )
 
     return gen
 
@@ -489,7 +508,9 @@ def _merge_partials(
 ) -> None:
     """Salt hot terms by doc range, shuffle partials once, stream-merge into
     final segments, write partitioned by (kind, bucket)."""
-    partials = spark.read.parquet(partials_path)
+    partials = spark.read.parquet(partials_path).filter(
+        F.col("kind") != "@stats"
+    )
     max_seg = cfg.max_postings_per_segment
     # hot-term detection: metadata-only column scan of the level-0 parquet
     # (kind, term, df_part) — never touches the packed binaries
@@ -693,6 +714,16 @@ class IndexBuilder:
                     )
                 self._simple_manifest(index_path, build_id, "partials")
             n_docs = n_docs_known if n_docs_known is not None else docs.count()
+            # stats ride the partials metadata (@stats rows emitted by the
+            # builder) — no separate docs dl scan; must run before the
+            # partials cleanup below
+            if not stats_done:
+                with _timed("stats"):
+                    n_docs_known = self._write_stats(
+                        spark.read.parquet(partials_path), index_path, build_id
+                    )
+                stats_done = True
+                phases_run.append("stats")
             with _timed("merge"):
                 _merge_partials(
                     spark, partials_path, n_docs, cfg, f"{index_path}/postings"
@@ -705,41 +736,69 @@ class IndexBuilder:
             self._delete_dir(partials_path)
             phases_run.append("postings")
 
-        # phase 3: stats (pruned dl scan over docs/)
+        # phase 3 fallback (resume path: postings already done but stats
+        # missing, partials gone) — pruned dl scan over docs/
         if not stats_done:
             with _timed("stats"):
-                stats_row = docs.agg(
-                    F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
-                ).collect()[0]
-                n_docs = stats_row["n_docs"]
-                total_dl = stats_row["total_dl"] or 0
-                stats = spark.createDataFrame(
-                    pd.DataFrame(
-                        {
-                            "n_docs": [n_docs],
-                            "total_dl": [total_dl],
-                            "avgdl": [total_dl / n_docs if n_docs else 0.0],
-                            "n_buckets": [cfg.n_buckets],
-                            "block_size": [cfg.block_size],
-                            "build_id": [build_id],
-                        }
-                    )
+                n_docs_known = self._write_stats(
+                    docs.select(
+                        F.lit("@stats").alias("kind"),
+                        F.lit(1).cast("long").alias("df_part"),
+                        F.col("dl").cast("long").alias("min_doc"),
+                    ),
+                    index_path,
+                    build_id,
                 )
-                # NOT coalesce(1): coalescing a local relation to one
-                # partition costs a flat ~5s per write in Spark 4.1 local
-                # mode (measured); repartition(1) is ~0.6s
-                stats.repartition(1).write.mode("overwrite").parquet(
-                    f"{index_path}/stats"
-                )
-            self._simple_manifest(index_path, build_id, "stats")
             phases_run.append("stats")
 
         elapsed = time.time() - t0
-        n_docs = spark.read.parquet(f"{index_path}/stats").collect()[0]["n_docs"]
+        if n_docs_known is not None:
+            n_docs = int(n_docs_known)
+        else:
+            n_docs = int(
+                spark.read.parquet(f"{index_path}/stats").collect()[0]["n_docs"]
+            )
         return {
             "build_id": build_id,
-            "phases_run": phases_run,
-            "n_docs": int(n_docs),
+            # canonical phase order (stats may execute early off the
+            # partials metadata)
+            "phases_run": [p for p in self.PHASES if p in phases_run],
+            "n_docs": n_docs,
             "elapsed_sec": elapsed,
-            "turns_per_sec": (int(n_docs) / elapsed) if elapsed > 0 else 0.0,
+            "turns_per_sec": (n_docs / elapsed) if elapsed > 0 else 0.0,
         }
+
+    def _write_stats(self, src: DataFrame, index_path: str, build_id: str) -> int:
+        """Aggregate (@stats-kind rows: df_part=n_docs, min_doc=total_dl)
+        and write stats/.  Returns n_docs."""
+        cfg = self.cfg
+        row = (
+            src.filter(F.col("kind") == "@stats")
+            .agg(
+                F.sum("df_part").alias("n_docs"),
+                F.sum("min_doc").alias("total_dl"),
+            )
+            .collect()[0]
+        )
+        n_docs = int(row["n_docs"] or 0)
+        total_dl = int(row["total_dl"] or 0)
+        stats = self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "n_docs": [n_docs],
+                    "total_dl": [total_dl],
+                    "avgdl": [total_dl / n_docs if n_docs else 0.0],
+                    "n_buckets": [cfg.n_buckets],
+                    "block_size": [cfg.block_size],
+                    "build_id": [build_id],
+                }
+            )
+        )
+        # NOT coalesce(1): coalescing a local relation to one partition
+        # costs a flat ~5s per write in Spark 4.1 local mode (measured);
+        # repartition(1) is ~0.6s
+        stats.repartition(1).write.mode("overwrite").parquet(
+            f"{index_path}/stats"
+        )
+        self._simple_manifest(index_path, build_id, "stats")
+        return n_docs

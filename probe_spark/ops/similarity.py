@@ -26,8 +26,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # cast BEFORE multiplying: float32 products then cast lose ulps vs
+    # double-everywhere (the oracle computes s::DOUBLE * s::DOUBLE)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -36,7 +38,7 @@ def _dot(a: Column, b: Column) -> Column:
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("double")),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

@@ -1,0 +1,65 @@
+"""Result limits: max_results / max_bytes / max_tokens budgets.
+
+Reference semantics (src/search/search_limiter.rs:22-226): results sorted
+by rank, then greedily accepted while the running byte and token totals
+stay under budget; rejected-by-budget results are reported as skipped.
+The reference lazily estimates tokens as bytes/4 and switches to exact
+tiktoken p50k_base counting near the budget (:151-156) because tiktoken is
+slow per row; here token counting is a vectorized JVM-side expression (the
+BPE-ish regex split used across the ops layer), so every row is counted
+exactly — a documented simplification with identical accept/reject
+semantics under the exact counter.
+
+Spark-first: a running-total window over the rank order + filter.  Intended
+post-top-k (the window orders the already-limited result set); on unlimited
+result sets the single-partition window is the documented cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+def token_count_col(col):
+    """Vectorized token count: the same BPE-ish piece count used by the
+    ops layer (probe_spark.ops.text.BPE_REGEX) — the tiktoken stand-in."""
+    from probe_spark.ops.text import BPE_REGEX
+
+    return F.regexp_count(col, F.lit(BPE_REGEX))
+
+
+def apply_limits(
+    results: DataFrame,
+    max_results: int | None = None,
+    max_bytes: int | None = None,
+    max_tokens: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy rank-order budget acceptance.
+
+    Adds _bytes/_tokens running totals internally; returns the accepted
+    rows (original schema) in rank order.  A row is accepted iff ALL
+    budgets hold after including it — matching the reference's greedy
+    loop, which stops adding once a budget would overflow (overflowing
+    rows become skipped_files, search_limiter.rs:44-72).
+    """
+    out = results
+    order = [F.desc("score"), F.asc("doc_id")]
+    w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("_rank", F.row_number().over(Window.orderBy(*order)))
+    if max_results is not None:
+        out = out.filter(F.col("_rank") <= max_results)
+    if max_bytes is not None:
+        out = out.withColumn(
+            "_cum_bytes",
+            F.sum(F.octet_length(F.coalesce(F.col(text_col), F.lit("")))).over(w),
+        ).filter(F.col("_cum_bytes") <= max_bytes)
+    if max_tokens is not None:
+        out = out.withColumn(
+            "_cum_tokens",
+            F.sum(token_count_col(F.coalesce(F.col(text_col), F.lit("")))).over(w),
+        ).filter(F.col("_cum_tokens") <= max_tokens)
+    return out.drop("_rank", "_cum_bytes", "_cum_tokens")

@@ -1,0 +1,156 @@
+"""CLI (spark-submit surface), session cache, and result limiter."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from probe_spark.search import limiter, session_cache
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, tmp_path_factory):
+    from probe_spark.fixtures import transcripts_df
+    from probe_spark.index.build import BuildConfig, IndexBuilder
+
+    path = str(tmp_path_factory.mktemp("cli") / "idx")
+    IndexBuilder(spark, BuildConfig(n_buckets=4)).build(
+        transcripts_df(spark, 60, 3), path
+    )
+    return path
+
+
+class TestCli:
+    def test_build_and_search_roundtrip(self, spark, tmp_path, capsys):
+        from probe_spark import cli
+        from probe_spark.fixtures import write_transcripts_parquet
+
+        src = str(tmp_path / "corpus.parquet")
+        write_transcripts_parquet(src, n_convs=40, seed=5)
+        idx = str(tmp_path / "idx")
+        rc = cli.main(
+            ["build", "--input", src, "--output", idx, "--n-buckets", "4"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["phases_run"] == ["docs", "postings", "stats"]
+        assert out["n_docs"] > 0
+
+        rc = cli.main(
+            ["search", "error", "--index", idx, "-k", "5", "--format", "json"]
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert 0 < len(lines) <= 5
+        row = json.loads(lines[0])
+        assert {"doc_id", "score", "text"} <= set(row)
+
+        rc = cli.main(["stats", "--index", idx])
+        assert rc == 0
+        st = json.loads(capsys.readouterr().out.strip())
+        assert st["n_docs"] == out["n_docs"]
+        assert any(m["phase"] == "docs" for m in st["manifest"])
+
+    def test_search_session_dedup(self, built_index, capsys):
+        from probe_spark import cli
+
+        cli.main(
+            ["search", "error", "--index", built_index, "-k", "5",
+             "--session", "s1", "--format", "json"]
+        )
+        first = [
+            json.loads(x)["doc_id"]
+            for x in capsys.readouterr().out.strip().splitlines()
+        ]
+        cli.main(
+            ["search", "error", "--index", built_index, "-k", "5",
+             "--session", "s1", "--format", "json"]
+        )
+        second_out = capsys.readouterr().out.strip()
+        second = [
+            json.loads(x)["doc_id"] for x in second_out.splitlines()
+        ] if second_out else []
+        assert first and not (set(first) & set(second))
+
+
+class TestSessionCache:
+    def test_filter_and_record(self, spark, built_index):
+        df = spark.createDataFrame(
+            [(1, 0.5), (2, 0.4), (3, 0.3)], "doc_id long, score double"
+        )
+        out1 = session_cache.filter_seen(
+            spark, built_index, "sess-a", "q", df
+        )
+        assert {r["doc_id"] for r in out1.collect()} == {1, 2, 3}
+        df2 = spark.createDataFrame(
+            [(2, 0.4), (4, 0.2)], "doc_id long, score double"
+        )
+        out2 = session_cache.filter_seen(
+            spark, built_index, "sess-a", "q", df2
+        )
+        assert {r["doc_id"] for r in out2.collect()} == {4}
+        # a different session sees everything
+        out3 = session_cache.filter_seen(
+            spark, built_index, "sess-b", "q", df2
+        )
+        assert {r["doc_id"] for r in out3.collect()} == {2, 4}
+
+    def test_dataframe_variant(self, spark, built_index):
+        session_cache.record_results(
+            spark, built_index, "sess-c", "q", [10, 11]
+        )
+        df = spark.createDataFrame(
+            [(10, 0.1), (12, 0.2)], "doc_id long, score double"
+        )
+        out = session_cache.filter_unseen(spark, built_index, "sess-c", df)
+        assert [r["doc_id"] for r in out.collect()] == [12]
+
+
+class TestLimiter:
+    @pytest.fixture()
+    def results(self, spark):
+        rows = [
+            (1, 0.9, "a" * 100),
+            (2, 0.8, "b" * 100),
+            (3, 0.7, "c" * 100),
+            (4, 0.6, "d" * 100),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double, text string")
+
+    def test_max_results(self, results):
+        out = limiter.apply_limits(results, max_results=2).collect()
+        assert [r["doc_id"] for r in out] == [1, 2]
+
+    def test_max_bytes_prefix_stop(self, results):
+        # 250-byte budget: rows 1,2 fit (200), row 3 would overflow (300) —
+        # reference stops at first overflow (search_limiter.rs:137-146)
+        out = limiter.apply_limits(results, max_bytes=250).collect()
+        assert [r["doc_id"] for r in out] == [1, 2]
+
+    def test_max_tokens(self, spark):
+        rows = [
+            (1, 0.9, "one two three"),
+            (2, 0.8, "four five six"),
+            (3, 0.7, "seven eight nine"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, score double, text string")
+        out = limiter.apply_limits(df, max_tokens=6).collect()
+        assert [r["doc_id"] for r in out] == [1, 2]
+
+    def test_no_limits_identity(self, results):
+        out = limiter.apply_limits(results).collect()
+        assert [r["doc_id"] for r in out] == [1, 2, 3, 4]
+
+    def test_token_count_matches_ops_regex(self, spark):
+        # parity with the ops-layer token counter on plain text
+        from probe_spark.ops import text as ops_text
+
+        df = spark.createDataFrame(
+            [(0, "foo2bar, baz! qux")], "doc_id long, text string"
+        )
+        ours = df.select(
+            limiter.token_count_col(limiter.F.col("text")).alias("n")
+        ).collect()[0]["n"]
+        theirs = ops_text.with_token_counts(df).collect()[0]["bpe_tokens"]
+        assert ours == theirs
