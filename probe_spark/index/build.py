@@ -675,6 +675,13 @@ class IndexBuilder:
         t0 = time.time()
         phases_run = []
 
+        # AQE off for the build: skew is handled explicitly (doc-range
+        # salting) and partition counts are sized by config, so AQE's only
+        # effect here is an extra job-boundary materialization per shuffle
+        # (measured ~2x fixed cost on small inputs).  Restored after.
+        aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
         docs_path = f"{index_path}/docs"
         partials_path = f"{index_path}/partials"
         docs_done = self._phase_done(index_path, "docs")
@@ -751,6 +758,7 @@ class IndexBuilder:
                 )
             phases_run.append("stats")
 
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         elapsed = time.time() - t0
         if n_docs_known is not None:
             n_docs = int(n_docs_known)
@@ -782,23 +790,42 @@ class IndexBuilder:
         )
         n_docs = int(row["n_docs"] or 0)
         total_dl = int(row["total_dl"] or 0)
-        stats = self.spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "n_docs": [n_docs],
-                    "total_dl": [total_dl],
-                    "avgdl": [total_dl / n_docs if n_docs else 0.0],
-                    "n_buckets": [cfg.n_buckets],
-                    "block_size": [cfg.block_size],
-                    "build_id": [build_id],
-                }
+        pdf = pd.DataFrame(
+            {
+                "n_docs": [n_docs],
+                "total_dl": [total_dl],
+                "avgdl": [total_dl / n_docs if n_docs else 0.0],
+                "n_buckets": [cfg.n_buckets],
+                "block_size": [cfg.block_size],
+                "build_id": [build_id],
+            }
+        )
+        path = f"{index_path}/stats"
+        if "://" in index_path and not index_path.startswith("file://"):
+            # remote FS: Spark write (its committer creates _SUCCESS).
+            # NOT coalesce(1): coalescing a local relation to one partition
+            # costs a flat ~5s per write in Spark 4.1 local mode (measured)
+            self.spark.createDataFrame(pdf).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+        else:
+            # driver-side single-row write: a Spark job for one row costs
+            # ~2s of scheduling; stats/_SUCCESS (the phase-done marker) is
+            # created explicitly
+            import pyarrow.parquet as pq
+
+            local = (
+                path[len("file://"):] if path.startswith("file://") else path
             )
-        )
-        # NOT coalesce(1): coalescing a local relation to one partition
-        # costs a flat ~5s per write in Spark 4.1 local mode (measured);
-        # repartition(1) is ~0.6s
-        stats.repartition(1).write.mode("overwrite").parquet(
-            f"{index_path}/stats"
-        )
+            if os.path.isdir(local):
+                for fn in os.listdir(local):
+                    os.unlink(os.path.join(local, fn))
+            os.makedirs(local, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                os.path.join(local, "part-00000.parquet"),
+            )
+            with open(os.path.join(local, "_SUCCESS"), "w"):
+                pass
         self._simple_manifest(index_path, build_id, "stats")
         return n_docs

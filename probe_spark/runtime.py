@@ -42,6 +42,37 @@ def warm_python_workers(spark, parallelism: int | None = None) -> None:
 
     u = F.pandas_udf(_warm, "long")
     spark.range(0, p, 1, p).select(u(F.col("id")).alias("x")).count()
+
+    # JVM warm-up: the session's FIRST shuffle / parquet write / mapInArrow
+    # pays ~10s of classloading + codegen (measured: tiny build 20.5s cold
+    # vs 9.8s warm in the same session).  A long-lived cluster amortizes
+    # this across jobs; one throwaway mini-pipeline makes a fresh session
+    # behave like one.
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    def _mini(batches):
+        for b in batches:
+            yield b
+
+    d = tempfile.mkdtemp(prefix="spark_warm_")
+    try:
+        df = spark.range(0, 1000, 1, 4).selectExpr(
+            "id", "cast(id as string) as s", "array('a','b') as arr"
+        )
+        (
+            df.repartition(4, "s")
+            .sortWithinPartitions("id")
+            .mapInArrow(_mini, df.schema)
+            .write.mode("overwrite")
+            .parquet(f"{d}/warm")
+        )
+        spark.read.parquet(f"{d}/warm").groupBy("s").count().count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    _ = pa
     _WARMED.add(app_id)
 
 

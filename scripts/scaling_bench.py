@@ -35,7 +35,7 @@ def run_once(cpus: int) -> dict:
     # larger corpus than the per-round bench: the scaling criterion measures
     # sustained throughput, which at 10^12-turn scale is never dominated by
     # the fixed per-job driver overhead a small corpus would emphasize
-    env.setdefault("SPARK_GRAFT_N_CONVS", "100000")
+    env.setdefault("SPARK_GRAFT_N_CONVS", "400000")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, timeout=3600,
