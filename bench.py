@@ -46,16 +46,80 @@ def scratch_dir() -> str:
 def build_spark(cpus: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
+    # heap scales with concurrency: 32 tasks each buffering parquet list-
+    # column row groups collapse a 16g heap into a GC storm (measured 3.5x
+    # slowdown at 3M+ turns); ~1.5g/core is the sizing guidance a real
+    # executor would get
+    default_mem = f"{max(16, int(cpus * 1.5))}g"
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"probe-spark-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem),
+        )
         .config("spark.local.dir", os.path.join(scratch_dir(), "spark-local"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+class HostSampler:
+    """Samples /proc/stat + /proc/pressure/cpu while the measured section
+    runs, so every benchmark result carries the host conditions it was
+    measured under (this sandbox VM shows multi-x noisy-neighbor windows)."""
+
+    def __init__(self):
+        import threading
+
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self.samples: list[tuple[float, float, float]] = []
+
+    @staticmethod
+    def _snap():
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        psi = 0.0
+        try:
+            with open("/proc/pressure/cpu") as f:
+                psi = float(f.readline().split()[4].split("=")[1])
+        except Exception:
+            pass
+        return sum(v), v[3] + v[4], v[7] if len(v) > 7 else 0, psi
+
+    def _loop(self):
+        prev = self._snap()
+        while not self._stop.wait(2.0):
+            cur = self._snap()
+            dt = cur[0] - prev[0]
+            if dt > 0:
+                busy = 100.0 * (dt - (cur[1] - prev[1])) / dt
+                steal = 100.0 * (cur[2] - prev[2]) / dt
+                self.samples.append((busy, steal, (cur[3] - prev[3]) / 2.0))
+            prev = cur
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def summary(self) -> dict:
+        if not self.samples:
+            return {}
+        n = len(self.samples)
+        return {
+            "host_busy_mean": round(sum(s[0] for s in self.samples) / n, 1),
+            "host_steal_mean": round(sum(s[1] for s in self.samples) / n, 2),
+            "host_psi_cpu_stall_s_per_s": round(
+                sum(s[2] for s in self.samples) / n, 3
+            ),
+        }
 
 
 def synth_corpus_size(sf: float) -> int:
@@ -99,9 +163,10 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
     warm = transcripts_df_dist(spark, n_convs=min(1000, n_convs), seed=1)
     builder.build(warm, warm_dir)
     shutil.rmtree(warm_dir, ignore_errors=True)
-    t0 = time.time()
-    builder.build(corpus, build_dir)
-    build_sec = time.time() - t0
+    with HostSampler() as sampler:
+        t0 = time.time()
+        builder.build(corpus, build_dir)
+        build_sec = time.time() - t0
     corpus.unpersist()
 
     result: dict = {
@@ -109,6 +174,7 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
         "n_turns": int(n_turns),
         "build_sec": round(build_sec, 3),
         "build_turns_per_sec": round(n_turns / build_sec, 1),
+        **sampler.summary(),
     }
 
     queries: dict[str, float] = {}

@@ -162,7 +162,15 @@ def write_transcripts_parquet(path: str, n_convs: int = 200, seed: int = 42) -> 
 def transcripts_df(spark, n_convs: int = 200, seed: int = 42):
     """Spark DataFrame of the corpus (via Arrow -> pandas for determinism)."""
     table = generate_transcripts(n_convs, seed)
-    return spark.createDataFrame(table.to_pandas())
+    # explicit schema: inference widens the arrow int32 to long, breaking the
+    # input_hint contract (turn_idx:int32)
+    return spark.createDataFrame(
+        table.to_pandas(),
+        schema=(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        ),
+    )
 
 
 def _conv_rows(conv_idx: int, seed: int) -> list[dict]:

@@ -505,6 +505,7 @@ def _merge_partials(
     n_docs: int,
     cfg: BuildConfig,
     out_path: str,
+    append: bool = False,
 ) -> None:
     """Salt hot terms by doc range, shuffle partials once, stream-merge into
     final segments, write partitioned by (kind, bucket)."""
@@ -549,7 +550,7 @@ def _merge_partials(
     (
         merged.repartition("kind", "bucket")
         .sortWithinPartitions("term", "salt", "min_doc")
-        .write.mode("overwrite")
+        .write.mode("append" if append else "overwrite")
         .partitionBy("kind", "bucket")
         .parquet(out_path)
     )
@@ -800,6 +801,13 @@ class IndexBuilder:
                 "build_id": [build_id],
             }
         )
+        self._write_stats_frame(pdf, index_path)
+        self._simple_manifest(index_path, build_id, "stats")
+        return n_docs
+
+    def _write_stats_frame(self, pdf: "pd.DataFrame", index_path: str) -> None:
+        """Overwrite stats/ with a single-row frame (driver-side for local
+        paths — a Spark job for one row costs ~2s of scheduling)."""
         path = f"{index_path}/stats"
         if "://" in index_path and not index_path.startswith("file://"):
             # remote FS: Spark write (its committer creates _SUCCESS).
@@ -827,5 +835,3 @@ class IndexBuilder:
             )
             with open(os.path.join(local, "_SUCCESS"), "w"):
                 pass
-        self._simple_manifest(index_path, build_id, "stats")
-        return n_docs

@@ -250,6 +250,14 @@ class SearchEngine:
         self.postings = segments.filter(F.col("kind") == "tok")
         self.raw_postings = segments.filter(F.col("kind") == "raw")
 
+    def refresh(self) -> None:
+        """Reload stats, docs, and segment listings — for long-lived query
+        services over a streaming-ingested index (new micro-batches appear
+        after a refresh; queries between refreshes see a consistent older
+        snapshot)."""
+        self._df_cache.clear()
+        self.__init__(self.spark, self.index_path)
+
     # -- postings access ------------------------------------------------------
     def _fetch(self, source: DataFrame, terms: list[str], src_label: str):
         """Bucket-pruned + term-pruned segment fetch.  Buckets are computed
