@@ -181,6 +181,16 @@ class BuildConfig:
     # level-0 flush threshold: bounds the partial builder's in-memory
     # accumulator (postings held per task before a flush)
     partial_flush_postings: int = 1 << 22
+    # fused=True (default): single-pass build — the tokenize pass side-writes
+    # the level-0 partials per task (posix-visible index paths only; remote
+    # object stores fall back to the two-pass path), and the merge side-
+    # writes final segments straight into kind=/bucket=/ dirs, so the token
+    # arrays never hit parquet and two full jobs + one shuffle disappear
+    fused: bool = True
+    # keep tokens/raws columns in docs/ (fused path only; the two-pass path
+    # always stores them — its partials pass re-reads them, and the
+    # streaming delta/compact path requires them)
+    store_tokens: bool = False
 
 
 def _make_docs_builder(offsets: dict[int, int]):
@@ -234,20 +244,16 @@ def _make_docs_builder(offsets: dict[int, int]):
     return gen
 
 
-def _assign_and_tokenize(
+def _range_offsets(
     df: DataFrame, n_parts: int
-) -> tuple[DataFrame, DataFrame, int]:
-    """Dense docID over stable (conv_id, turn_idx) ordering + the single
-    tokenizer pass, as one range shuffle and one mapInArrow.
-
-    Two-phase docID (SURVEY.md §4 item 7): range-repartition -> cheap
-    per-partition counts -> offsets broadcast into the builder closure ->
-    partition-local sequential ids.  Never a single-partition window, never
-    monotonically_increasing_id.
-
-    Returns (docs_df, parted_handle, n_docs); caller unpersists the handle
-    after the docs write (one-phase lifetime; no lasting memory pressure).
-    """
+) -> tuple[DataFrame, dict[int, int], int]:
+    """Two-phase docID (SURVEY.md §4 item 7): range-repartition -> cheap
+    per-partition counts -> partition offsets for dense global ids.  Never a
+    single-partition window, never monotonically_increasing_id.  The handle
+    is persisted so the count pass and the tokenize pass share one shuffle
+    (at cluster scale: StorageLevel MEMORY_AND_DISK — the alternative,
+    re-running the range exchange, re-samples boundaries non-
+    deterministically)."""
     parted = (
         df.repartitionByRange(n_parts, "conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")
@@ -266,32 +272,58 @@ def _assign_and_tokenize(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    ts_type = dict(zip(df.schema.names, df.schema.fields))["ts"].dataType
-    docs_schema = StructType(
-        [
-            StructField("doc_id", LongType(), False),
-            StructField("conv_id", StringType(), True),
-            StructField("turn_idx", IntegerType(), True),
-            StructField("role", StringType(), True),
-            StructField("tool", StringType(), True),
-            StructField("ts", ts_type, True),
-            StructField("text", StringType(), True),
-            StructField("dl", IntegerType(), False),
+    return parted, offsets, acc
+
+
+def _docs_schema(ts_type, store_tokens: bool) -> StructType:
+    fields = [
+        StructField("doc_id", LongType(), False),
+        StructField("conv_id", StringType(), True),
+        StructField("turn_idx", IntegerType(), True),
+        StructField("role", StringType(), True),
+        StructField("tool", StringType(), True),
+        StructField("ts", ts_type, True),
+        StructField("text", StringType(), True),
+        StructField("dl", IntegerType(), False),
+    ]
+    if store_tokens:
+        fields += [
             StructField("tokens", ArrayType(StringType(), True), False),
             StructField("raws", ArrayType(StringType(), True), False),
         ]
-    )
-    # canonicalize input types (input_hint: turn_idx int32) — callers may
-    # hand in a long turn_idx (row-inferred DataFrames); the arrow pass-
-    # through must match the declared output schema exactly
-    docs = parted.select(
+    return StructType(fields)
+
+
+def _canonical_input(parted: DataFrame) -> DataFrame:
+    """Canonicalize input types (input_hint: turn_idx int32) — callers may
+    hand in a long turn_idx (row-inferred DataFrames); the arrow pass-
+    through must match the declared output schema exactly."""
+    return parted.select(
         F.col("conv_id").cast("string").alias("conv_id"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
         F.col("role").cast("string").alias("role"),
         F.col("tool").cast("string").alias("tool"),
         F.col("ts"),
         F.col("text").cast("string").alias("text"),
-    ).mapInArrow(_make_docs_builder(offsets), docs_schema)
+    )
+
+
+def _assign_and_tokenize(
+    df: DataFrame, n_parts: int
+) -> tuple[DataFrame, DataFrame, int]:
+    """Dense docID over stable (conv_id, turn_idx) ordering + the single
+    tokenizer pass, as one range shuffle and one mapInArrow (two-pass
+    layout: tokens/raws ride the docs parquet for the separate partials
+    pass — the streaming delta path).
+
+    Returns (docs_df, parted_handle, n_docs); caller unpersists the handle
+    after the docs write (one-phase lifetime; no lasting memory pressure).
+    """
+    parted, offsets, acc = _range_offsets(df, n_parts)
+    ts_type = dict(zip(df.schema.names, df.schema.fields))["ts"].dataType
+    docs = _canonical_input(parted).mapInArrow(
+        _make_docs_builder(offsets), _docs_schema(ts_type, store_tokens=True)
+    )
     return docs, parted, acc
 
 
@@ -300,99 +332,217 @@ def _assign_and_tokenize(
 # ---------------------------------------------------------------------------
 
 
-def _make_partial_builder(flush_postings: int):
-    """mapInArrow generator: (doc_id, dl, tokens, raws) batches ->
-    PARTIALS_SCHEMA rows.  Vectorized: Arrow list flatten +
-    dictionary_encode give (term-code, doc, dl) triples with no per-token
-    Python; the only Python loop is per DISTINCT term per batch."""
+class _PartialAcc:
+    """Map-side-combine core shared by the two-pass partials builder and the
+    fused single-pass builder: accumulates (kind, term) -> docID/dl chunks
+    and flushes delta+varint-packed PARTIALS_SCHEMA batches to ``sink``.
+    Vectorized: Arrow list flatten + dictionary_encode give (term-code,
+    doc, dl) triples with no per-token Python; the only Python loop is per
+    DISTINCT term per batch."""
 
-    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def __init__(self, flush_postings: int, sink):
+        self.flush_postings = flush_postings
+        self.sink = sink  # callable(pa.RecordBatch)
+        self.acc: dict[tuple[str, str], tuple[list, list]] = {}
+        self.pending = 0
+        self.n_docs = 0
+        self.total_dl = 0
+
+    def add(self, ids, dls, kind_cols) -> None:
+        """ids/dls: numpy arrays; kind_cols: [(kind, arrow list<string>)]."""
         import numpy as np
         import pyarrow.compute as pc
 
+        self.n_docs += int(len(ids))
+        self.total_dl += int(dls.sum())
+        for kind, arr in kind_cols:
+            lens = (
+                pc.fill_null(pc.list_value_length(arr), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            if lens.sum() == 0:
+                continue
+            de = arr.flatten().dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = de.dictionary.to_pylist()
+            rep_ids = np.repeat(ids, lens)
+            rep_dls = np.repeat(dls, lens)
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            bounds = np.flatnonzero(np.diff(sc)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(sc)]))
+            for s, e in zip(starts, ends):
+                ent = self.acc.setdefault((kind, vocab[sc[s]]), ([], []))
+                ent[0].append(rep_ids[order[s:e]])
+                ent[1].append(rep_dls[order[s:e]])
+            self.pending += int(len(sc))
+        if self.pending >= self.flush_postings:
+            self.sink(self._flush())
+
+    def _flush(self) -> pa.RecordBatch:
+        import numpy as np
+
         from probe_spark.index.codec import varint_encode
 
-        acc: dict[tuple[str, str], tuple[list, list]] = {}
-        pending = 0
-        n_docs_part = 0
-        total_dl_part = 0
+        cols: dict[str, list] = {f.name: [] for f in _PARTIALS_ARROW_SCHEMA}
+        for (kind, term), (idc, dlc) in self.acc.items():
+            ids = np.concatenate(idc)
+            dls = np.concatenate(dlc)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            dls = dls[order]
+            gaps = np.empty(len(ids), dtype=np.uint64)
+            gaps[0] = ids[0]
+            np.subtract(ids[1:], ids[:-1], out=gaps[1:], casting="unsafe")
+            cols["kind"].append(kind)
+            cols["term"].append(term)
+            cols["df_part"].append(len(ids))
+            cols["min_doc"].append(int(ids[0]))
+            cols["max_doc"].append(int(ids[-1]))
+            cols["docs_bin"].append(varint_encode(gaps))
+            cols["dl_bin"].append(varint_encode(dls.astype(np.uint64)))
+        self.acc = {}
+        self.pending = 0
+        return pa.RecordBatch.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in _PARTIALS_ARROW_SCHEMA],
+            schema=_PARTIALS_ARROW_SCHEMA,
+        )
 
-        def flush() -> pa.RecordBatch:
-            nonlocal acc, pending
-            cols: dict[str, list] = {f.name: [] for f in _PARTIALS_ARROW_SCHEMA}
-            for (kind, term), (idc, dlc) in acc.items():
-                ids = np.concatenate(idc)
-                dls = np.concatenate(dlc)
-                order = np.argsort(ids, kind="stable")
-                ids = ids[order]
-                dls = dls[order]
-                gaps = np.empty(len(ids), dtype=np.uint64)
-                gaps[0] = ids[0]
-                np.subtract(ids[1:], ids[:-1], out=gaps[1:], casting="unsafe")
-                cols["kind"].append(kind)
-                cols["term"].append(term)
-                cols["df_part"].append(len(ids))
-                cols["min_doc"].append(int(ids[0]))
-                cols["max_doc"].append(int(ids[-1]))
-                cols["docs_bin"].append(varint_encode(gaps))
-                cols["dl_bin"].append(varint_encode(dls.astype(np.uint64)))
-            acc = {}
-            pending = 0
-            return pa.RecordBatch.from_arrays(
-                [pa.array(cols[f.name], f.type) for f in _PARTIALS_ARROW_SCHEMA],
+    def finish(self) -> None:
+        """Flush the tail, then emit the per-partition corpus stats row
+        (kind=@stats, df_part=n_docs, min_doc=total_dl): the stats phase
+        aggregates partials METADATA instead of re-scanning docs dl."""
+        if self.acc:
+            self.sink(self._flush())
+        self.sink(
+            pa.RecordBatch.from_arrays(
+                [
+                    pa.array(["@stats"], pa.string()),
+                    pa.array([""], pa.string()),
+                    pa.array([self.n_docs], pa.int64()),
+                    pa.array([self.total_dl], pa.int64()),
+                    pa.array([0], pa.int64()),
+                    pa.array([b""], pa.binary()),
+                    pa.array([b""], pa.binary()),
+                ],
                 schema=_PARTIALS_ARROW_SCHEMA,
             )
+        )
 
+
+def _make_partial_builder(flush_postings: int):
+    """mapInArrow generator: (doc_id, dl, tokens, raws) batches ->
+    PARTIALS_SCHEMA rows (two-pass layout; the streaming delta path)."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        out: list[pa.RecordBatch] = []
+        acc = _PartialAcc(flush_postings, out.append)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            dls = batch.column("dl").to_numpy(zero_copy_only=False)
-            n_docs_part += int(batch.num_rows)
-            total_dl_part += int(dls.sum())
-            for kind, col in (("tok", "tokens"), ("raw", "raws")):
-                arr = batch.column(col)
-                lens = (
-                    pc.fill_null(pc.list_value_length(arr), 0)
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.int64)
-                )
-                if lens.sum() == 0:
-                    continue
-                de = arr.flatten().dictionary_encode()
-                codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-                vocab = de.dictionary.to_pylist()
-                rep_ids = np.repeat(ids, lens)
-                rep_dls = np.repeat(dls, lens)
-                order = np.argsort(codes, kind="stable")
-                sc = codes[order]
-                bounds = np.flatnonzero(np.diff(sc)) + 1
-                starts = np.concatenate(([0], bounds))
-                ends = np.concatenate((bounds, [len(sc)]))
-                for s, e in zip(starts, ends):
-                    ent = acc.setdefault((kind, vocab[sc[s]]), ([], []))
-                    ent[0].append(rep_ids[order[s:e]])
-                    ent[1].append(rep_dls[order[s:e]])
-                pending += int(len(sc))
-            if pending >= flush_postings:
-                yield flush()
-        if acc:
-            yield flush()
-        # per-partition corpus stats ride the same output (kind=@stats,
-        # df_part=n_docs, min_doc=total_dl): the stats phase then aggregates
-        # partials METADATA instead of re-scanning the docs dl column
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(["@stats"], pa.string()),
-                pa.array([""], pa.string()),
-                pa.array([n_docs_part], pa.int64()),
-                pa.array([total_dl_part], pa.int64()),
-                pa.array([0], pa.int64()),
-                pa.array([b""], pa.binary()),
-                pa.array([b""], pa.binary()),
-            ],
-            schema=_PARTIALS_ARROW_SCHEMA,
+            acc.add(
+                batch.column("doc_id").to_numpy(zero_copy_only=False),
+                batch.column("dl").to_numpy(zero_copy_only=False),
+                [("tok", batch.column("tokens")), ("raw", batch.column("raws"))],
+            )
+            while out:
+                yield out.pop(0)
+        acc.finish()
+        yield from out
+
+    return gen
+
+
+class _ShardWriter:
+    """Task-side atomic parquet shard writer: writes to a dot-prefixed tmp
+    file (dot-files are invisible to Spark's parquet reader if leaked) and
+    renames on close, so a retried task's last successful attempt wins."""
+
+    def __init__(self, dir_path: str, name: str, schema: pa.Schema):
+        import pyarrow.parquet as pq
+
+        os.makedirs(dir_path, exist_ok=True)
+        self.final = os.path.join(dir_path, name)
+        self.tmp = os.path.join(dir_path, f".{name}.tmp{os.getpid()}")
+        self.writer = pq.ParquetWriter(self.tmp, schema)
+
+    def write(self, batch: pa.RecordBatch) -> None:
+        self.writer.write_table(pa.Table.from_batches([batch]))
+
+    def close(self) -> None:
+        self.writer.close()
+        os.replace(self.tmp, self.final)
+
+
+def _strip_scheme(path: str) -> str:
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
+def _is_posix_path(path: str) -> bool:
+    return "://" not in path or path.startswith("file://")
+
+
+def _make_fused_builder(
+    offsets: dict[int, int],
+    partials_dir: str,
+    flush_postings: int,
+    store_tokens: bool,
+):
+    """The single-pass builder: assigns dense docIDs, tokenizes, feeds the
+    map-side combiner, side-writes this task's level-0 partials shard, and
+    yields the docs rows (WITHOUT the token arrays unless store_tokens) as
+    the Spark output.  One pass over the corpus instead of two, and the
+    token arrays never touch parquet."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+        from pyspark import TaskContext
+
+        from probe_spark.functions.tokenizer import raw_special_words, tokenize
+
+        pid = TaskContext.get().partitionId()
+        next_id = offsets.get(pid, 0)
+        shard = _ShardWriter(
+            _strip_scheme(partials_dir),
+            f"part-{pid:05d}.parquet",
+            _PARTIALS_ARROW_SCHEMA,
         )
+        acc = _PartialAcc(flush_postings, shard.write)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            texts = batch.column("text").to_pylist()
+            tokens = [tokenize(t) if t else [] for t in texts]
+            raws = [raw_special_words(t) if t else [] for t in texts]
+            ids = np.arange(next_id, next_id + n, dtype=np.int64)
+            dls = np.array([len(ts) for ts in tokens], dtype=np.int64)
+            tok_arr = pa.array(tokens, pa.list_(pa.string()))
+            raw_arr = pa.array(raws, pa.list_(pa.string()))
+            acc.add(ids, dls, [("tok", tok_arr), ("raw", raw_arr)])
+            arrays = [
+                pa.array(ids),
+                batch.column("conv_id"),
+                batch.column("turn_idx"),
+                batch.column("role"),
+                batch.column("tool"),
+                batch.column("ts"),
+                batch.column("text"),
+                pa.array(dls.astype(np.int32)),
+            ]
+            names = [
+                "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                "text", "dl",
+            ]
+            if store_tokens:
+                arrays += [tok_arr, raw_arr]
+                names += ["tokens", "raws"]
+            next_id += n
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+        acc.finish()
+        shard.close()
 
     return gen
 
@@ -507,38 +657,14 @@ def _merge_partials(
     out_path: str,
     append: bool = False,
 ) -> None:
-    """Salt hot terms by doc range, shuffle partials once, stream-merge into
-    final segments, write partitioned by (kind, bucket)."""
+    """Two-pass layout merge (streaming append path): salt hot terms by doc
+    range, shuffle partials once, stream-merge into final segments, write
+    partitioned by (kind, bucket)."""
     partials = spark.read.parquet(partials_path).filter(
         F.col("kind") != "@stats"
     )
     max_seg = cfg.max_postings_per_segment
-    # hot-term detection: metadata-only column scan of the level-0 parquet
-    # (kind, term, df_part) — never touches the packed binaries
-    hot = (
-        partials.groupBy("kind", "term")
-        .agg(F.sum("df_part").alias("df"))
-        .filter(F.col("df") > max_seg)
-        .withColumn("hot_salts", F.ceil(F.col("df") / max_seg).cast("int"))
-        .select("kind", "term", "hot_salts")
-    )
-    span_denom = F.col("n_salts").cast("long")
-    salted = (
-        partials.join(F.broadcast(hot), ["kind", "term"], "left")
-        .withColumn("n_salts", F.coalesce(F.col("hot_salts"), F.lit(1)))
-        # doc-range salt: segments stay doc-contiguous per salt and a hot
-        # term's merge spreads across tasks.  Assumes occurrences are
-        # roughly uniform over docID space (true for genuinely hot terms);
-        # the merge hard-caps segment size regardless.
-        .withColumn(
-            "salt",
-            (
-                F.col("min_doc")
-                / F.ceil(F.lit(float(max(n_docs, 1))) / span_denom)
-            ).cast("int"),
-        )
-        .drop("hot_salts")
-    )
+    salted = _salted_partials(partials, n_docs, cfg)
     merged = (
         salted.repartition("kind", "term", "salt")
         .sortWithinPartitions("kind", "term", "salt", "min_doc")
@@ -554,6 +680,269 @@ def _merge_partials(
         .partitionBy("kind", "bucket")
         .parquet(out_path)
     )
+
+
+SEG_META_SCHEMA = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("bucket", IntegerType(), False),
+        StructField("term", StringType(), False),
+        StructField("df_seg", LongType(), False),
+        StructField("seg_bytes", LongType(), False),
+        StructField("seg_crc", LongType(), False),
+    ]
+)
+
+_SEG_META_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("kind", pa.string(), False),
+        pa.field("bucket", pa.int32(), False),
+        pa.field("term", pa.string(), False),
+        pa.field("df_seg", pa.int64(), False),
+        pa.field("seg_bytes", pa.int64(), False),
+        pa.field("seg_crc", pa.int64(), False),
+    ]
+)
+
+# final segment files omit kind/bucket — the kind=/bucket=/ partition dirs
+# carry them (identical to what Spark's partitionBy writer produces)
+_SEG_FILE_SCHEMA = pa.schema(
+    [f for f in _SEGMENT_ARROW_SCHEMA if f.name not in ("kind", "bucket")]
+)
+
+
+def _make_fused_merger(block_size: int, max_seg: int, out_dir: str):
+    """mapInArrow generator over partials sorted by (kind, term, salt,
+    min_doc) within the partition, shuffled on (kind, bucket, salt) so each
+    task holds whole buckets (plus hot-term salt spreads): decodes each
+    group's partial chunks, concatenates + sorts, side-writes final
+    segments straight into kind=/bucket=/ dirs, and yields only per-segment
+    METADATA rows — the second shuffle, the partitionBy commit, and the
+    manifest re-read of the old layout all disappear."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import zlib
+
+        import numpy as np
+        from pyspark import TaskContext
+
+        from probe_spark.index.codec import encode_postings, varint_decode
+
+        pid = TaskContext.get().partitionId()
+        writers: dict[tuple[str, int], tuple[_ShardWriter, dict]] = {}
+        meta: dict[str, list] = {f.name: [] for f in _SEG_META_ARROW_SCHEMA}
+
+        def _writer(kind: str, bucket: int):
+            key = (kind, bucket)
+            if key not in writers:
+                w = _ShardWriter(
+                    os.path.join(
+                        _strip_scheme(out_dir), f"kind={kind}", f"bucket={bucket}"
+                    ),
+                    f"part-{pid:05d}.parquet",
+                    _SEG_FILE_SCHEMA,
+                )
+                writers[key] = (w, {f.name: [] for f in _SEG_FILE_SCHEMA})
+            return writers[key]
+
+        def _flush_writer(w: _ShardWriter, cols: dict) -> None:
+            if not cols["term"]:
+                return
+            w.write(
+                pa.RecordBatch.from_arrays(
+                    [pa.array(cols[f.name], f.type) for f in _SEG_FILE_SCHEMA],
+                    schema=_SEG_FILE_SCHEMA,
+                )
+            )
+            for v in cols.values():
+                v.clear()
+
+        def emit(key, n_salt, bucket, idc, dlc):
+            kind, term, salt = key
+            ids = np.concatenate(idc)
+            dls = np.concatenate(dlc)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            dls = dls[order]
+            w, cols = _writer(kind, bucket)
+            for seg_seq, s in enumerate(range(0, len(ids), max_seg)):
+                d = ids[s : s + max_seg]
+                l = dls[s : s + max_seg]
+                (
+                    docs_bin, dl_bin, block_last, block_min_dl,
+                    block_doc_off, block_dl_off,
+                ) = encode_postings(d, l, block=block_size)
+                cols["term"].append(term)
+                cols["salt"].append(salt)
+                cols["seg_seq"].append(seg_seq)
+                cols["n_salts"].append(n_salt)
+                cols["df_seg"].append(len(d))
+                cols["min_doc"].append(int(d[0]))
+                cols["max_doc"].append(int(d[-1]))
+                cols["docs_bin"].append(docs_bin)
+                cols["dl_bin"].append(dl_bin)
+                cols["block_last_doc"].append(block_last.tolist())
+                cols["block_min_dl"].append(block_min_dl.tolist())
+                cols["block_doc_off"].append(block_doc_off.tolist())
+                cols["block_dl_off"].append(block_dl_off.tolist())
+                cols["seg_bytes"].append(len(docs_bin) + len(dl_bin))
+                cols["seg_crc"].append(zlib.crc32(docs_bin))
+                meta["kind"].append(kind)
+                meta["bucket"].append(bucket)
+                meta["term"].append(term)
+                meta["df_seg"].append(len(d))
+                meta["seg_bytes"].append(len(docs_bin) + len(dl_bin))
+                meta["seg_crc"].append(zlib.crc32(docs_bin))
+            if len(cols["term"]) >= 256:
+                _flush_writer(w, cols)
+
+        def flush_meta() -> pa.RecordBatch:
+            batch = pa.RecordBatch.from_arrays(
+                [pa.array(meta[f.name], f.type) for f in _SEG_META_ARROW_SCHEMA],
+                schema=_SEG_META_ARROW_SCHEMA,
+            )
+            for v in meta.values():
+                v.clear()
+            return batch
+
+        carry: dict | None = None
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            kinds = batch.column("kind").to_pylist()
+            terms = batch.column("term").to_pylist()
+            salts = batch.column("salt").to_numpy(zero_copy_only=False)
+            n_salts = batch.column("n_salts").to_numpy(zero_copy_only=False)
+            buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+            docs_bins = batch.column("docs_bin").to_pylist()
+            dl_bins = batch.column("dl_bin").to_pylist()
+            for i in range(n):
+                key = (kinds[i], terms[i], int(salts[i]))
+                gaps = varint_decode(docs_bins[i])
+                ids = np.cumsum(gaps.astype(np.int64))
+                dls = varint_decode(dl_bins[i]).astype(np.int64)
+                if carry is not None and carry["key"] != key:
+                    emit(
+                        carry["key"], carry["n_salt"], carry["bucket"],
+                        carry["idc"], carry["dlc"],
+                    )
+                    carry = None
+                if carry is None:
+                    carry = {
+                        "key": key,
+                        "n_salt": int(n_salts[i]),
+                        "bucket": int(buckets[i]),
+                        "idc": [],
+                        "dlc": [],
+                    }
+                carry["idc"].append(ids)
+                carry["dlc"].append(dls)
+            if meta["term"]:
+                yield flush_meta()
+        if carry is not None:
+            emit(
+                carry["key"], carry["n_salt"], carry["bucket"],
+                carry["idc"], carry["dlc"],
+            )
+        for w, cols in writers.values():
+            _flush_writer(w, cols)
+            w.close()
+        if meta["term"]:
+            yield flush_meta()
+
+    return gen
+
+
+def _salted_partials(
+    partials: DataFrame, n_docs: int, cfg: BuildConfig
+) -> DataFrame:
+    """Hot-term detection + doc-range salting (shared by both merge paths).
+    Hot detection is a metadata-only column scan of the level-0 parquet
+    (kind, term, df_part) — never touches the packed binaries."""
+    max_seg = cfg.max_postings_per_segment
+    hot = (
+        partials.groupBy("kind", "term")
+        .agg(F.sum("df_part").alias("df"))
+        .filter(F.col("df") > max_seg)
+        .withColumn("hot_salts", F.ceil(F.col("df") / max_seg).cast("int"))
+        .select("kind", "term", "hot_salts")
+    )
+    span_denom = F.col("n_salts").cast("long")
+    return (
+        partials.join(F.broadcast(hot), ["kind", "term"], "left")
+        .withColumn("n_salts", F.coalesce(F.col("hot_salts"), F.lit(1)))
+        # doc-range salt: segments stay doc-contiguous per salt and a hot
+        # term's merge spreads across tasks.  Assumes occurrences are
+        # roughly uniform over docID space (true for genuinely hot terms);
+        # the merge hard-caps segment size regardless.
+        .withColumn(
+            "salt",
+            (
+                F.col("min_doc")
+                / F.ceil(F.lit(float(max(n_docs, 1))) / span_denom)
+            ).cast("int"),
+        )
+        .drop("hot_salts")
+    )
+
+
+def _merge_partials_fused(
+    spark: SparkSession,
+    partials_path: str,
+    n_docs: int,
+    cfg: BuildConfig,
+    out_path: str,
+    build_id: str,
+) -> list[dict]:
+    """One compressed shuffle keyed on (kind, bucket, salt): whole buckets
+    land on one task (final files per bucket = 1 + hot-salt spread, not
+    n_tasks), hot terms still spread by salt, and the merge side-writes
+    segments while Spark carries only per-segment metadata.  Returns
+    manifest rows aggregated from that metadata — the final postings are
+    never re-read."""
+    partials = spark.read.parquet(partials_path).filter(
+        F.col("kind") != "@stats"
+    )
+    salted = _salted_partials(partials, n_docs, cfg).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("term")), F.lit(cfg.n_buckets)).cast("int"),
+    )
+    meta = (
+        salted.repartition("kind", "bucket", "salt")
+        .sortWithinPartitions("kind", "term", "salt", "min_doc")
+        .mapInArrow(
+            _make_fused_merger(
+                cfg.block_size, cfg.max_postings_per_segment, out_path
+            ),
+            SEG_META_SCHEMA,
+        )
+    )
+    rows = (
+        meta.groupBy("kind", "bucket")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("df_seg").alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("seg_bytes").alias("bytes"),
+            F.sum("seg_crc").alias("checksum"),
+        )
+        .collect()
+    )
+    return [
+        {
+            "build_id": build_id,
+            "phase": f"postings_{r['kind']}",
+            "partition_id": int(r["bucket"]),
+            "status": "done",
+            "n_terms": int(r["n_terms"]),
+            "n_postings": int(r["n_postings"]),
+            "bytes": int(r["bytes"]),
+            "checksum": str(r["checksum"]),
+            "completed_at": time.time(),
+        }
+        for r in rows
+    ]
 
 
 def _manifest_rows(spark: SparkSession, path: str, build_id: str):
@@ -629,6 +1018,18 @@ class IndexBuilder:
         if fs.exists(p):
             fs.delete(p, True)
 
+    def _finalize_side_dir(self, path: str) -> None:
+        """Commit a task-side-written directory: drop leaked dot-tmp files
+        (failed attempts) and write the _SUCCESS phase marker."""
+        local = _strip_scheme(path)
+        os.makedirs(local, exist_ok=True)
+        for root, _dirs, files in os.walk(local):
+            for fn in files:
+                if fn.startswith("."):
+                    os.unlink(os.path.join(root, fn))
+        with open(os.path.join(local, "_SUCCESS"), "w"):
+            pass
+
     def _write_manifest(self, index_path: str, rows: list[dict]) -> None:
         """Append lineage rows.  The manifest is driver-written metadata (a
         few rows per phase); a Spark job per append costs ~1s of serial time
@@ -690,10 +1091,48 @@ class IndexBuilder:
         stats_done = self._phase_done(index_path, "stats")
         n_docs_known: int | None = None
 
+        fused = cfg.fused and _is_posix_path(index_path)
+
         # phase 1: docs — docID assignment + the ONE tokenizer pass, all
         # materialized to parquet (sorted by doc_id within range partitions
-        # so row-group stats prune doc_id lookups)
-        if not docs_done:
+        # so row-group stats prune doc_id lookups).  Fused mode side-writes
+        # the level-0 partials from the SAME pass, so the token arrays never
+        # hit parquet and the separate partials job disappears.
+        if fused:
+            # partials are deleted after a successful merge, so their
+            # absence only forces a rebuild while postings are missing
+            if not (
+                docs_done
+                and (postings_done or self._phase_done(index_path, "partials"))
+            ):
+                with _timed("docs+partials"):
+                    self._delete_dir(partials_path)
+                    parted, offsets, n_docs_known = _range_offsets(
+                        transcripts, n_parts
+                    )
+                    ts_type = dict(
+                        zip(transcripts.schema.names, transcripts.schema.fields)
+                    )["ts"].dataType
+                    (
+                        _canonical_input(parted)
+                        .mapInArrow(
+                            _make_fused_builder(
+                                offsets,
+                                partials_path,
+                                cfg.partial_flush_postings,
+                                cfg.store_tokens,
+                            ),
+                            _docs_schema(ts_type, cfg.store_tokens),
+                        )
+                        .write.mode("overwrite")
+                        .parquet(docs_path)
+                    )
+                    parted.unpersist()
+                    self._finalize_side_dir(partials_path)
+                self._simple_manifest(index_path, build_id, "docs")
+                self._simple_manifest(index_path, build_id, "partials")
+                phases_run.append("docs")
+        elif not docs_done:
             with _timed("docs"):
                 base, parted, n_docs_known = _assign_and_tokenize(
                     transcripts, n_parts
@@ -705,11 +1144,11 @@ class IndexBuilder:
 
         docs = spark.read.parquet(docs_path)
 
-        # phase 2: map-side combine into level-0 partials, then one
-        # compressed shuffle + streaming merge into final segments
+        # phase 2: level-0 partials (two-pass layout only — fused already
+        # wrote them), then one compressed shuffle + streaming merge into
+        # final segments
         if not postings_done:
-            partials_done = self._phase_done(index_path, "partials")
-            if not partials_done:
+            if not fused and not self._phase_done(index_path, "partials"):
                 with _timed("partials"):
                     (
                         docs.select("doc_id", "dl", "tokens", "raws")
@@ -721,7 +1160,6 @@ class IndexBuilder:
                         .parquet(partials_path)
                     )
                 self._simple_manifest(index_path, build_id, "partials")
-            n_docs = n_docs_known if n_docs_known is not None else docs.count()
             # stats ride the partials metadata (@stats rows emitted by the
             # builder) — no separate docs dl scan; must run before the
             # partials cleanup below
@@ -732,14 +1170,36 @@ class IndexBuilder:
                     )
                 stats_done = True
                 phases_run.append("stats")
-            with _timed("merge"):
-                _merge_partials(
-                    spark, partials_path, n_docs, cfg, f"{index_path}/postings"
+            if n_docs_known is not None:
+                n_docs = int(n_docs_known)
+            else:
+                n_docs = int(
+                    spark.read.parquet(f"{index_path}/stats").collect()[0][
+                        "n_docs"
+                    ]
                 )
+            with _timed("merge"):
+                if fused:
+                    self._delete_dir(f"{index_path}/postings")
+                    manifest_rows = _merge_partials_fused(
+                        spark, partials_path, n_docs, cfg,
+                        f"{index_path}/postings", build_id,
+                    )
+                    self._finalize_side_dir(f"{index_path}/postings")
+                else:
+                    _merge_partials(
+                        spark, partials_path, n_docs, cfg,
+                        f"{index_path}/postings",
+                    )
+                    manifest_rows = None
             with _timed("manifest_postings"):
                 self._write_manifest(
                     index_path,
-                    _manifest_rows(spark, f"{index_path}/postings", build_id),
+                    manifest_rows
+                    if manifest_rows is not None
+                    else _manifest_rows(
+                        spark, f"{index_path}/postings", build_id
+                    ),
                 )
             self._delete_dir(partials_path)
             phases_run.append("postings")

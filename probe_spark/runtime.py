@@ -81,20 +81,31 @@ def ensure_package_on_executors(spark) -> None:
     app_id = sc.applicationId
     if app_id in _SHIPPED:
         return
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    entries = []
+    digest = hashlib.sha256()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            full = os.path.join(root, fn)
+            rel = os.path.join("probe_spark", os.path.relpath(full, pkg_dir))
+            entries.append((full, rel))
+            digest.update(rel.encode())
+            with open(full, "rb") as f:
+                digest.update(f.read())
+    # content-hashed name: a stale zip from an earlier process (pid reuse)
+    # or an edited source tree can never be served to executors
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"probe_spark_pkg_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"probe_spark_pkg_{digest.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fn)
-                    rel = os.path.join(
-                        "probe_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full, rel in sorted(entries, key=lambda e: e[1]):
+                zf.write(full, rel)
+        os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     _SHIPPED.add(app_id)

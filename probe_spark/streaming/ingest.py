@@ -53,9 +53,14 @@ class StreamingIndexer:
         index_path: str,
         cfg: BuildConfig | None = None,
     ):
+        import dataclasses
+
         self.spark = spark
         self.index_path = index_path
-        self.cfg = cfg or BuildConfig()
+        # streaming deltas use the two-pass layout: docs/ must carry the
+        # token arrays (compact() re-packs from them without re-tokenizing)
+        # and segment appends go through the partitionBy writer
+        self.cfg = dataclasses.replace(cfg or BuildConfig(), fused=False)
         self.builder = IndexBuilder(spark, self.cfg)
 
     # -- bookkeeping ---------------------------------------------------------
