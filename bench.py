@@ -57,6 +57,10 @@ def build_spark(cpus: int, shuffle_partitions: int | None = None):
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
+        )
+        .config(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem),
         )
@@ -195,6 +199,28 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
             lat.append(dt)
         lat.sort()
         result["query_p95_sec"] = round(lat[int(0.95 * (len(lat) - 1))], 3)
+
+        # -- phase 4: the driver-local low-latency front-end over the SAME
+        # index (search/local.py; rank-identity pinned by tests) — the
+        # apples-to-apples number against the reference's in-process
+        # single-node latency targets (BENCHMARKING.md:204-205)
+        from probe_spark.search.local import LocalSearcher
+
+        local = LocalSearcher(build_dir)
+        for qid, qtext, k in REFERENCE_QUERIES:  # warm postings cache
+            local.search(qtext, k=k)
+        lat_local = []
+        for qid, qtext, k in REFERENCE_QUERIES:
+            t0 = time.time()
+            local.search(qtext, k=k)
+            lat_local.append(time.time() - t0)
+        lat_local.sort()
+        result["query_p95_local_sec"] = round(
+            lat_local[int(0.95 * (len(lat_local) - 1))], 4
+        )
+        result["query_p50_local_sec"] = round(
+            lat_local[len(lat_local) // 2], 4
+        )
 
     shutil.rmtree(build_dir, ignore_errors=True)
     result.update(

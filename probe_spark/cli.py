@@ -71,6 +71,23 @@ def cmd_build(args) -> int:
 def cmd_search(args) -> int:
     from probe_spark.search.engine import SearchEngine
 
+    if args.local:
+        # driver-local low-latency path (no Spark session; posix index
+        # paths): same results as the distributed engine, pinned by tests
+        from probe_spark.search.local import LocalSearcher
+
+        rows = LocalSearcher(args.index).search(
+            args.query, k=args.max_results, exact=args.exact,
+            with_metadata=not args.ids_only,
+        )
+        for d in rows:
+            if args.format == "json":
+                print(json.dumps({k: _jsonable(v) for k, v in d.items()}))
+            else:
+                text = (d.get("text") or "").replace("\n", " ")[:80]
+                print(f"{d['doc_id']}\t{d['score']:.4f}\t{text}")
+        return 0
+
     spark = _build_session("probe-spark-search")
     eng = SearchEngine(spark, args.index)
     res = eng.search(
@@ -90,6 +107,13 @@ def cmd_search(args) -> int:
         from probe_spark.search.session_cache import filter_seen
 
         res = filter_seen(spark, args.index, args.session, args.query, res)
+    if args.merge_turns is not None and not args.ids_only:
+        # block_merging.rs analog: adjacent turns of one conversation merge
+        # into a span (opt-in: turns are atomic units, unlike the
+        # reference's line blocks which merge by default)
+        from probe_spark.search.merging import merge_adjacent_turns
+
+        res = merge_adjacent_turns(res, threshold=args.merge_turns)
     rows = res.collect()
     if args.format == "json":
         for r in rows:
@@ -155,6 +179,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="session id: drop results already returned in this "
                         "session and record the new ones")
     s.add_argument("--format", choices=["text", "json"], default="text")
+    s.add_argument("--merge-turns", type=int, default=None, metavar="N",
+                   help="merge result turns of one conversation within N "
+                        "of each other into spans (block-merging analog)")
+    s.add_argument("--local", action="store_true",
+                   help="driver-local low-latency path (no Spark jobs; "
+                        "posix index paths; no --session/--max-bytes)")
     s.set_defaults(fn=cmd_search)
 
     st = sub.add_parser("stats", help="print index stats + manifest lineage")

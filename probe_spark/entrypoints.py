@@ -300,6 +300,23 @@ def _q_bm25_topk_wand(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_topk_local(spark, sf_dir):
+    """Top-k through the driver-local front-end (search/local.py — pyarrow
+    segment reads + numpy scoring, no Spark jobs), lifted into a DataFrame
+    so the driver's DuckDB compare pins the local path's rank-identity
+    against the same naive full-scoring oracle as the WAND path."""
+    from probe_spark.search.local import LocalSearcher
+
+    get_engine(spark, sf_dir)  # ensure the index exists on disk
+    rows = LocalSearcher(index_path_for(sf_dir)).search(
+        "hash OR join", k=50, with_metadata=False
+    )
+    return spark.createDataFrame(
+        [(r["doc_id"], round(r["score"], 6)) for r in rows],
+        "doc_id long, score double",
+    )
+
+
 def _q_limited_search(spark, sf_dir):
     """apply_limits (search_limiter.rs semantics): rank-ordered greedy
     byte-budget prefix over the scored result set."""
@@ -366,6 +383,7 @@ QUERIES = {
     "sessionize": _q_sessionize,
     "windowed_counts": _q_windowed_counts,
     "bm25_topk_wand": _q_bm25_topk_wand,
+    "bm25_topk_local": _q_bm25_topk_local,
     "limited_search": _q_limited_search,
     "simhash": _q_simhash,
     "lang_id": _q_lang_id,
@@ -674,6 +692,9 @@ SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
 FROM events GROUP BY 1, 2
 """,
     "bm25_topk_wand": _BM25_TOPK_WAND_ORACLE.format(
+        c_hash=_contrib("hash"), c_join=_contrib("join")
+    ),
+    "bm25_topk_local": _BM25_TOPK_WAND_ORACLE.format(
         c_hash=_contrib("hash"), c_join=_contrib("join")
     ),
     "limited_search": _LIMITED_SEARCH_ORACLE.format(c_hash=_contrib("hash")),

@@ -83,7 +83,7 @@ from probe_spark.runtime import ensure_package_on_executors, warm_python_workers
 
 # bump when the on-disk layout changes incompatibly (resume across versions
 # must start a fresh directory)
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5
 
 POSTINGS_SCHEMA = StructType(
     [
@@ -191,6 +191,10 @@ class BuildConfig:
     # always stores them — its partials pass re-reads them, and the
     # streaming delta/compact path requires them)
     store_tokens: bool = False
+    # shuffle-free merge: target input bytes per merge task (one task per
+    # (bucket, doc-range group)); bounds task memory AND spreads hot
+    # buckets across tasks — the doc-range salting, by construction
+    merge_group_bytes: int = 48 << 20
 
 
 def _make_docs_builder(offsets: dict[int, int]):
@@ -471,6 +475,9 @@ class _ShardWriter:
     def write(self, batch: pa.RecordBatch) -> None:
         self.writer.write_table(pa.Table.from_batches([batch]))
 
+    def write_table(self, table: pa.Table) -> None:
+        self.writer.write_table(table)
+
     def close(self) -> None:
         self.writer.close()
         os.replace(self.tmp, self.final)
@@ -484,17 +491,80 @@ def _is_posix_path(path: str) -> bool:
     return "://" not in path or path.startswith("file://")
 
 
+class _BucketShardSink:
+    """Routes PARTIALS batches into per-bucket shard files
+    (partials/bg=N/part-{pid}.parquet): the merge then reads each bucket's
+    files directly — no shuffle ever touches the packed postings.  @stats
+    rows land under bg=-1.  Rows are written sorted by (kind, term) within
+    each flush."""
+
+    def __init__(self, base_dir: str, pid: int, n_buckets: int):
+        self.base = _strip_scheme(base_dir)
+        self.pid = pid
+        self.n_buckets = n_buckets
+        self.writers: dict[int, _ShardWriter] = {}
+        self._bucket_cache: dict[str, int] = {}
+
+    def _writer(self, bg: int) -> _ShardWriter:
+        w = self.writers.get(bg)
+        if w is None:
+            w = _ShardWriter(
+                os.path.join(self.base, f"bg={bg}"),
+                f"part-{self.pid:05d}.parquet",
+                _PARTIALS_ARROW_SCHEMA,
+            )
+            self.writers[bg] = w
+        return w
+
+    def write(self, batch: pa.RecordBatch) -> None:
+        import numpy as np
+
+        from probe_spark.index.xxhash import spark_bucket
+
+        kinds = batch.column("kind").to_pylist()
+        terms = batch.column("term").to_pylist()
+        cache = self._bucket_cache
+        buckets = np.empty(len(terms), dtype=np.int64)
+        for i, (kind, term) in enumerate(zip(kinds, terms)):
+            if kind == "@stats":
+                buckets[i] = -1
+                continue
+            b = cache.get(term)
+            if b is None:
+                b = spark_bucket(term, self.n_buckets)
+                cache[term] = b
+            buckets[i] = b
+        order = np.lexsort((terms, kinds, buckets))
+        sorted_batch = batch.take(pa.array(order))
+        sb = buckets[order]
+        bounds = np.flatnonzero(np.diff(sb)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sb)]))
+        for s, e in zip(starts, ends):
+            self._writer(int(sb[s])).write(sorted_batch.slice(s, e - s))
+
+    def close(self) -> None:
+        for w in self.writers.values():
+            w.close()
+
+
 def _make_fused_builder(
     offsets: dict[int, int],
+    docs_dir: str,
     partials_dir: str,
     flush_postings: int,
     store_tokens: bool,
+    n_buckets: int,
 ):
     """The single-pass builder: assigns dense docIDs, tokenizes, feeds the
-    map-side combiner, side-writes this task's level-0 partials shard, and
-    yields the docs rows (WITHOUT the token arrays unless store_tokens) as
-    the Spark output.  One pass over the corpus instead of two, and the
-    token arrays never touch parquet."""
+    map-side combiner, and side-writes BOTH this task's docs shard and its
+    level-0 partials shard with pyarrow's vectorized parquet writer.  The
+    Spark output is a single @stats metadata row per partition — the JVM
+    never row-converts or parquet-writes the bulk data (measured: Spark's
+    row-based ParquetWriteSupport on the docs write burned ~40 JVM
+    core-seconds per million turns and was the 32-core bottleneck), and the
+    stats job disappears (the driver folds the collected @stats rows).
+    One pass over the corpus; the token arrays never touch parquet."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -504,12 +574,19 @@ def _make_fused_builder(
 
         pid = TaskContext.get().partitionId()
         next_id = offsets.get(pid, 0)
-        shard = _ShardWriter(
-            _strip_scheme(partials_dir),
-            f"part-{pid:05d}.parquet",
-            _PARTIALS_ARROW_SCHEMA,
-        )
-        acc = _PartialAcc(flush_postings, shard.write)
+        sink = _BucketShardSink(partials_dir, pid, n_buckets)
+        acc = _PartialAcc(flush_postings, sink.write)
+        docs_shard: _ShardWriter | None = None  # schema from first batch
+        docs_buf: list[pa.RecordBatch] = []
+        docs_buf_rows = 0
+
+        def flush_docs() -> None:
+            nonlocal docs_buf, docs_buf_rows
+            if docs_buf:
+                docs_shard.write_table(pa.Table.from_batches(docs_buf))
+                docs_buf = []
+                docs_buf_rows = 0
+
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -540,9 +617,35 @@ def _make_fused_builder(
                 arrays += [tok_arr, raw_arr]
                 names += ["tokens", "raws"]
             next_id += n
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            docs_batch = pa.RecordBatch.from_arrays(arrays, names=names)
+            if docs_shard is None:
+                docs_shard = _ShardWriter(
+                    _strip_scheme(docs_dir),
+                    f"part-{pid:05d}.parquet",
+                    docs_batch.schema,
+                )
+            docs_buf.append(docs_batch)
+            docs_buf_rows += n
+            if docs_buf_rows >= 1 << 17:  # ~128k rows per row group
+                flush_docs()
         acc.finish()
-        shard.close()
+        sink.close()
+        if docs_shard is not None:
+            flush_docs()
+            docs_shard.close()
+        # the Spark output: this partition's stats row (pid rides max_doc)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(["@stats"], pa.string()),
+                pa.array([""], pa.string()),
+                pa.array([acc.n_docs], pa.int64()),
+                pa.array([acc.total_dl], pa.int64()),
+                pa.array([pid], pa.int64()),
+                pa.array([b""], pa.binary()),
+                pa.array([b""], pa.binary()),
+            ],
+            schema=_PARTIALS_ARROW_SCHEMA,
+        )
 
     return gen
 
@@ -711,90 +814,27 @@ _SEG_FILE_SCHEMA = pa.schema(
 )
 
 
-def _make_fused_merger(block_size: int, max_seg: int, out_dir: str):
-    """mapInArrow generator over partials sorted by (kind, term, salt,
-    min_doc) within the partition, shuffled on (kind, bucket, salt) so each
-    task holds whole buckets (plus hot-term salt spreads): decodes each
-    group's partial chunks, concatenates + sorts, side-writes final
-    segments straight into kind=/bucket=/ dirs, and yields only per-segment
-    METADATA rows — the second shuffle, the partitionBy commit, and the
-    manifest re-read of the old layout all disappear."""
+def _make_file_merger(block_size: int, max_seg: int, out_dir: str):
+    """mapInArrow generator over MERGE-PLAN rows (bucket, salt, n_salts,
+    files): each row names the level-0 shard files of one bucket's
+    doc-range group.  The task reads those files directly with pyarrow,
+    concatenates + sorts each (kind, term)'s chunks, emits final segments
+    hard-capped at ``max_seg`` postings into kind=/bucket=/ dirs, and
+    yields only per-segment metadata.  NO SHUFFLE anywhere: the packed
+    postings move exactly once, file -> file, and skew is handled by the
+    driver's size-based range grouping (a hot term's postings are split
+    across groups by construction)."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import zlib
 
         import numpy as np
-        from pyspark import TaskContext
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
 
         from probe_spark.index.codec import encode_postings, varint_decode
 
-        pid = TaskContext.get().partitionId()
-        writers: dict[tuple[str, int], tuple[_ShardWriter, dict]] = {}
         meta: dict[str, list] = {f.name: [] for f in _SEG_META_ARROW_SCHEMA}
-
-        def _writer(kind: str, bucket: int):
-            key = (kind, bucket)
-            if key not in writers:
-                w = _ShardWriter(
-                    os.path.join(
-                        _strip_scheme(out_dir), f"kind={kind}", f"bucket={bucket}"
-                    ),
-                    f"part-{pid:05d}.parquet",
-                    _SEG_FILE_SCHEMA,
-                )
-                writers[key] = (w, {f.name: [] for f in _SEG_FILE_SCHEMA})
-            return writers[key]
-
-        def _flush_writer(w: _ShardWriter, cols: dict) -> None:
-            if not cols["term"]:
-                return
-            w.write(
-                pa.RecordBatch.from_arrays(
-                    [pa.array(cols[f.name], f.type) for f in _SEG_FILE_SCHEMA],
-                    schema=_SEG_FILE_SCHEMA,
-                )
-            )
-            for v in cols.values():
-                v.clear()
-
-        def emit(key, n_salt, bucket, idc, dlc):
-            kind, term, salt = key
-            ids = np.concatenate(idc)
-            dls = np.concatenate(dlc)
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            dls = dls[order]
-            w, cols = _writer(kind, bucket)
-            for seg_seq, s in enumerate(range(0, len(ids), max_seg)):
-                d = ids[s : s + max_seg]
-                l = dls[s : s + max_seg]
-                (
-                    docs_bin, dl_bin, block_last, block_min_dl,
-                    block_doc_off, block_dl_off,
-                ) = encode_postings(d, l, block=block_size)
-                cols["term"].append(term)
-                cols["salt"].append(salt)
-                cols["seg_seq"].append(seg_seq)
-                cols["n_salts"].append(n_salt)
-                cols["df_seg"].append(len(d))
-                cols["min_doc"].append(int(d[0]))
-                cols["max_doc"].append(int(d[-1]))
-                cols["docs_bin"].append(docs_bin)
-                cols["dl_bin"].append(dl_bin)
-                cols["block_last_doc"].append(block_last.tolist())
-                cols["block_min_dl"].append(block_min_dl.tolist())
-                cols["block_doc_off"].append(block_doc_off.tolist())
-                cols["block_dl_off"].append(block_dl_off.tolist())
-                cols["seg_bytes"].append(len(docs_bin) + len(dl_bin))
-                cols["seg_crc"].append(zlib.crc32(docs_bin))
-                meta["kind"].append(kind)
-                meta["bucket"].append(bucket)
-                meta["term"].append(term)
-                meta["df_seg"].append(len(d))
-                meta["seg_bytes"].append(len(docs_bin) + len(dl_bin))
-                meta["seg_crc"].append(zlib.crc32(docs_bin))
-            if len(cols["term"]) >= 256:
-                _flush_writer(w, cols)
 
         def flush_meta() -> pa.RecordBatch:
             batch = pa.RecordBatch.from_arrays(
@@ -805,49 +845,132 @@ def _make_fused_merger(block_size: int, max_seg: int, out_dir: str):
                 v.clear()
             return batch
 
-        carry: dict | None = None
         for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                continue
-            kinds = batch.column("kind").to_pylist()
-            terms = batch.column("term").to_pylist()
-            salts = batch.column("salt").to_numpy(zero_copy_only=False)
-            n_salts = batch.column("n_salts").to_numpy(zero_copy_only=False)
-            buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
-            docs_bins = batch.column("docs_bin").to_pylist()
-            dl_bins = batch.column("dl_bin").to_pylist()
-            for i in range(n):
-                key = (kinds[i], terms[i], int(salts[i]))
-                gaps = varint_decode(docs_bins[i])
-                ids = np.cumsum(gaps.astype(np.int64))
-                dls = varint_decode(dl_bins[i]).astype(np.int64)
-                if carry is not None and carry["key"] != key:
-                    emit(
-                        carry["key"], carry["n_salt"], carry["bucket"],
-                        carry["idc"], carry["dlc"],
+            for row in batch.to_pylist():
+                bucket = int(row["bucket"])
+                salt = int(row["salt"])
+                n_salts = int(row["n_salts"])
+                files = list(row["files"])
+                tables = [
+                    pq.read_table(
+                        f,
+                        columns=[
+                            "kind", "term", "min_doc", "docs_bin", "dl_bin",
+                        ],
                     )
-                    carry = None
-                if carry is None:
-                    carry = {
-                        "key": key,
-                        "n_salt": int(n_salts[i]),
-                        "bucket": int(buckets[i]),
-                        "idc": [],
-                        "dlc": [],
-                    }
-                carry["idc"].append(ids)
-                carry["dlc"].append(dls)
-            if meta["term"]:
-                yield flush_meta()
-        if carry is not None:
-            emit(
-                carry["key"], carry["n_salt"], carry["bucket"],
-                carry["idc"], carry["dlc"],
-            )
-        for w, cols in writers.values():
-            _flush_writer(w, cols)
-            w.close()
+                    for f in files
+                ]
+                t = pa.concat_tables(tables)
+                if t.num_rows == 0:
+                    continue
+                t = t.take(
+                    pc.sort_indices(
+                        t,
+                        sort_keys=[
+                            ("kind", "ascending"),
+                            ("term", "ascending"),
+                            ("min_doc", "ascending"),
+                        ],
+                    )
+                )
+                kinds = t.column("kind").to_pylist()
+                terms = t.column("term").to_pylist()
+                docs_bins = t.column("docs_bin").to_pylist()
+                dl_bins = t.column("dl_bin").to_pylist()
+                writers: dict[str, tuple[_ShardWriter, dict]] = {}
+
+                def _writer(kind: str):
+                    ent = writers.get(kind)
+                    if ent is None:
+                        w = _ShardWriter(
+                            os.path.join(
+                                _strip_scheme(out_dir),
+                                f"kind={kind}",
+                                f"bucket={bucket}",
+                            ),
+                            f"part-s{salt:05d}.parquet",
+                            _SEG_FILE_SCHEMA,
+                        )
+                        ent = (w, {f.name: [] for f in _SEG_FILE_SCHEMA})
+                        writers[kind] = ent
+                    return ent
+
+                def emit(kind: str, term: str, idc: list, dlc: list) -> None:
+                    ids = np.concatenate(idc)
+                    dls = np.concatenate(dlc)
+                    order = np.argsort(ids, kind="stable")
+                    ids = ids[order]
+                    dls = dls[order]
+                    w, cols = _writer(kind)
+                    for seg_seq, s in enumerate(range(0, len(ids), max_seg)):
+                        d = ids[s : s + max_seg]
+                        l = dls[s : s + max_seg]
+                        (
+                            docs_bin, dl_bin, block_last, block_min_dl,
+                            block_doc_off, block_dl_off,
+                        ) = encode_postings(d, l, block=block_size)
+                        cols["term"].append(term)
+                        cols["salt"].append(salt)
+                        cols["seg_seq"].append(seg_seq)
+                        cols["n_salts"].append(n_salts)
+                        cols["df_seg"].append(len(d))
+                        cols["min_doc"].append(int(d[0]))
+                        cols["max_doc"].append(int(d[-1]))
+                        cols["docs_bin"].append(docs_bin)
+                        cols["dl_bin"].append(dl_bin)
+                        cols["block_last_doc"].append(block_last.tolist())
+                        cols["block_min_dl"].append(block_min_dl.tolist())
+                        cols["block_doc_off"].append(block_doc_off.tolist())
+                        cols["block_dl_off"].append(block_dl_off.tolist())
+                        cols["seg_bytes"].append(len(docs_bin) + len(dl_bin))
+                        cols["seg_crc"].append(zlib.crc32(docs_bin))
+                        meta["kind"].append(kind)
+                        meta["bucket"].append(bucket)
+                        meta["term"].append(term)
+                        meta["df_seg"].append(len(d))
+                        meta["seg_bytes"].append(len(docs_bin) + len(dl_bin))
+                        meta["seg_crc"].append(zlib.crc32(docs_bin))
+                    if len(cols["term"]) >= 256:
+                        w.write(
+                            pa.RecordBatch.from_arrays(
+                                [
+                                    pa.array(cols[f.name], f.type)
+                                    for f in _SEG_FILE_SCHEMA
+                                ],
+                                schema=_SEG_FILE_SCHEMA,
+                            )
+                        )
+                        for v in cols.values():
+                            v.clear()
+
+                cur: tuple[str, str] | None = None
+                idc: list = []
+                dlc: list = []
+                for i in range(t.num_rows):
+                    key = (kinds[i], terms[i])
+                    if cur is not None and key != cur:
+                        emit(cur[0], cur[1], idc, dlc)
+                        idc, dlc = [], []
+                    cur = key
+                    gaps = varint_decode(docs_bins[i])
+                    idc.append(np.cumsum(gaps.astype(np.int64)))
+                    dlc.append(varint_decode(dl_bins[i]).astype(np.int64))
+                if cur is not None:
+                    emit(cur[0], cur[1], idc, dlc)
+                for w, cols in writers.values():
+                    if cols["term"]:
+                        w.write(
+                            pa.RecordBatch.from_arrays(
+                                [
+                                    pa.array(cols[f.name], f.type)
+                                    for f in _SEG_FILE_SCHEMA
+                                ],
+                                schema=_SEG_FILE_SCHEMA,
+                            )
+                        )
+                    w.close()
+                if meta["term"]:
+                    yield flush_meta()
         if meta["term"]:
             yield flush_meta()
 
@@ -890,33 +1013,56 @@ def _salted_partials(
 def _merge_partials_fused(
     spark: SparkSession,
     partials_path: str,
-    n_docs: int,
     cfg: BuildConfig,
     out_path: str,
     build_id: str,
 ) -> list[dict]:
-    """One compressed shuffle keyed on (kind, bucket, salt): whole buckets
-    land on one task (final files per bucket = 1 + hot-salt spread, not
-    n_tasks), hot terms still spread by salt, and the merge side-writes
-    segments while Spark carries only per-segment metadata.  Returns
-    manifest rows aggregated from that metadata — the final postings are
-    never re-read."""
-    partials = spark.read.parquet(partials_path).filter(
-        F.col("kind") != "@stats"
-    )
-    salted = _salted_partials(partials, n_docs, cfg).withColumn(
-        "bucket",
-        F.pmod(F.xxhash64(F.col("term")), F.lit(cfg.n_buckets)).cast("int"),
-    )
-    meta = (
-        salted.repartition("kind", "bucket", "salt")
-        .sortWithinPartitions("kind", "term", "salt", "min_doc")
-        .mapInArrow(
-            _make_fused_merger(
-                cfg.block_size, cfg.max_postings_per_segment, out_path
-            ),
-            SEG_META_SCHEMA,
+    """Shuffle-free merge: the level-0 partials are already bucket-
+    partitioned on disk (bg=N dirs, one shard per doc-range source
+    partition), so the driver plans one merge task per (bucket, doc-range
+    group) straight from file-size metadata — greedy grouping keeps each
+    task's input under ``cfg.merge_group_bytes``, which both bounds task
+    memory and spreads hot buckets across tasks (the doc-range salting of
+    the north rule, achieved by construction).  The packed postings move
+    exactly once (shard file -> segment file); Spark carries only the plan
+    in and per-segment metadata out.  Returns manifest rows."""
+    local = _strip_scheme(partials_path)
+    plan: list[tuple[int, int, int, list[str]]] = []
+    for entry in sorted(os.listdir(local)):
+        if not entry.startswith("bg="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        if b < 0:
+            continue  # @stats shards
+        d = os.path.join(local, entry)
+        files = sorted(
+            fn for fn in os.listdir(d) if fn.endswith(".parquet")
         )
+        groups: list[list[str]] = []
+        cur: list[str] = []
+        cur_bytes = 0
+        for fn in files:
+            sz = os.path.getsize(os.path.join(d, fn))
+            if cur and cur_bytes + sz > cfg.merge_group_bytes:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(os.path.join(d, fn))
+            cur_bytes += sz
+        if cur:
+            groups.append(cur)
+        for salt, g in enumerate(groups):
+            plan.append((b, salt, len(groups), g))
+    os.makedirs(_strip_scheme(out_path), exist_ok=True)
+    if not plan:
+        return []
+    plan_df = spark.createDataFrame(
+        plan, "bucket int, salt int, n_salts int, files array<string>"
+    ).repartition(len(plan))
+    meta = plan_df.mapInArrow(
+        _make_file_merger(
+            cfg.block_size, cfg.max_postings_per_segment, out_path
+        ),
+        SEG_META_SCHEMA,
     )
     rows = (
         meta.groupBy("kind", "bucket")
@@ -1107,28 +1253,42 @@ class IndexBuilder:
             ):
                 with _timed("docs+partials"):
                     self._delete_dir(partials_path)
+                    self._delete_dir(docs_path)
                     parted, offsets, n_docs_known = _range_offsets(
                         transcripts, n_parts
                     )
-                    ts_type = dict(
-                        zip(transcripts.schema.names, transcripts.schema.fields)
-                    )["ts"].dataType
-                    (
+                    # the action: collect one @stats row per partition —
+                    # docs/ and partials/ are side-written by the tasks
+                    # (pyarrow vectorized writer; the JVM never touches the
+                    # bulk rows), and stats fold out of the collected rows,
+                    # so the stats job disappears too
+                    stat_rows = (
                         _canonical_input(parted)
                         .mapInArrow(
                             _make_fused_builder(
                                 offsets,
+                                docs_path,
                                 partials_path,
                                 cfg.partial_flush_postings,
                                 cfg.store_tokens,
+                                cfg.n_buckets,
                             ),
-                            _docs_schema(ts_type, cfg.store_tokens),
+                            PARTIALS_SCHEMA,
                         )
-                        .write.mode("overwrite")
-                        .parquet(docs_path)
+                        .collect()
                     )
                     parted.unpersist()
                     self._finalize_side_dir(partials_path)
+                    self._ensure_docs_nonempty(docs_path, transcripts)
+                    self._finalize_side_dir(docs_path)
+                    n_docs_known = sum(int(r["df_part"]) for r in stat_rows)
+                    total_dl = sum(int(r["min_doc"]) for r in stat_rows)
+                if not stats_done:
+                    self._write_stats_values(
+                        n_docs_known, total_dl, index_path, build_id
+                    )
+                    stats_done = True
+                    phases_run.append("stats")
                 self._simple_manifest(index_path, build_id, "docs")
                 self._simple_manifest(index_path, build_id, "partials")
                 phases_run.append("docs")
@@ -1182,7 +1342,7 @@ class IndexBuilder:
                 if fused:
                     self._delete_dir(f"{index_path}/postings")
                     manifest_rows = _merge_partials_fused(
-                        spark, partials_path, n_docs, cfg,
+                        spark, partials_path, cfg,
                         f"{index_path}/postings", build_id,
                     )
                     self._finalize_side_dir(f"{index_path}/postings")
@@ -1240,7 +1400,6 @@ class IndexBuilder:
     def _write_stats(self, src: DataFrame, index_path: str, build_id: str) -> int:
         """Aggregate (@stats-kind rows: df_part=n_docs, min_doc=total_dl)
         and write stats/.  Returns n_docs."""
-        cfg = self.cfg
         row = (
             src.filter(F.col("kind") == "@stats")
             .agg(
@@ -1251,6 +1410,13 @@ class IndexBuilder:
         )
         n_docs = int(row["n_docs"] or 0)
         total_dl = int(row["total_dl"] or 0)
+        self._write_stats_values(n_docs, total_dl, index_path, build_id)
+        return n_docs
+
+    def _write_stats_values(
+        self, n_docs: int, total_dl: int, index_path: str, build_id: str
+    ) -> None:
+        cfg = self.cfg
         pdf = pd.DataFrame(
             {
                 "n_docs": [n_docs],
@@ -1263,7 +1429,24 @@ class IndexBuilder:
         )
         self._write_stats_frame(pdf, index_path)
         self._simple_manifest(index_path, build_id, "stats")
-        return n_docs
+
+    def _ensure_docs_nonempty(self, docs_path: str, transcripts: DataFrame) -> None:
+        """A 0-row corpus leaves no side-written docs shards; write one
+        empty, correctly-typed file so docs/ stays readable."""
+        local = _strip_scheme(docs_path)
+        os.makedirs(local, exist_ok=True)
+        if any(fn.endswith(".parquet") for fn in os.listdir(local)):
+            return
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        ts_type = dict(
+            zip(transcripts.schema.names, transcripts.schema.fields)
+        )["ts"].dataType
+        schema = to_arrow_schema(_docs_schema(ts_type, self.cfg.store_tokens))
+        pq.write_table(
+            schema.empty_table(), os.path.join(local, "part-00000.parquet")
+        )
 
     def _write_stats_frame(self, pdf: "pd.DataFrame", index_path: str) -> None:
         """Overwrite stats/ with a single-row frame (driver-side for local

@@ -1,0 +1,363 @@
+"""Driver-local low-latency query path over the persisted index.
+
+The distributed engine (probe_spark.search.engine) answers every query
+through Spark jobs — correct at any scale, but each job costs ~0.3-1s of
+scheduling, so point-query p95 is seconds.  The reference (a single-node
+in-process engine, result1.txt:5 "Search completed in 34ms") is the
+latency bar for SMALL corpora, and this module is the apples-to-apples
+answer: a query front-end that reads the SAME segment files with pyarrow
+directly (bucket-dir pruning + parquet row-group pruning on term, exactly
+like the Spark plan), decodes with the SAME varint codec, and scores with
+numpy using the SAME parser/AST semantics — no Spark session involved.
+
+Deployment story at 10^12-turn scale: the index layout is bucket-
+partitioned parquet, so a query tier mounts (or caches on local SSD) the
+term dictionary + hot buckets and serves point queries at memory speed,
+while analytic/bulk queries run through the Spark engine.  Rank-identity
+between the two paths is pinned by tests/test_local_search.py.
+
+Semantics parity map (same references as engine.py):
+  - BM25: idf = ln(1+(N-df+.5)/(df+.5)), k1=1.5, b=0.5, binary tf
+    (ranking.rs:129-143, 186-208, 361-362)
+  - AST eval/scoring incl. required/excluded gates (elastic_query.rs:
+    148-292, ranking.rs:226-274) — vectorized numpy mirror of the
+    engine's Column compiler
+  - special (exact/excluded) keywords via engine.special_plan, including
+    the raw-word repair retokenization for G-set-affected docs
+  - tie-break: score desc, doc_id asc (ranking.rs:406-418)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+from probe_spark.functions import tokenizer as tok
+from probe_spark.index.xxhash import spark_bucket
+from probe_spark.query import ast
+from probe_spark.query.parser import ParseError, parse_query
+from probe_spark.search.engine import (
+    B,
+    K1,
+    MAX_QUERY_TERMS,
+    special_plan,
+)
+
+RESULT_COLUMNS = [
+    "doc_id", "score", "conv_id", "turn_idx", "role", "tool", "ts", "text",
+]
+
+
+class LocalSearcher:
+    """In-process top-k BM25 search over an index directory (posix paths).
+
+    Caches decoded postings per term (an explicit LRU would bound this for
+    a long-lived service; a per-process dict is the honest small-footprint
+    default) and memoizes term df from segment metadata.
+    """
+
+    def __init__(self, index_path: str):
+        import pyarrow.parquet as pq
+
+        self.index_path = index_path.removeprefix("file://")
+        stats = pq.read_table(os.path.join(self.index_path, "stats")).to_pylist()[0]
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self.n_buckets = int(stats["n_buckets"])
+        self._postings_cache: dict[tuple[str, str], tuple] = {}
+        self._docs_ds = None
+
+    # -- index access --------------------------------------------------------
+    def _bucket_files(self, kind: str, bucket: int) -> list[str]:
+        d = os.path.join(self.index_path, "postings", f"kind={kind}", f"bucket={bucket}")
+        if not os.path.isdir(d):
+            return []
+        return [
+            os.path.join(d, fn)
+            for fn in sorted(os.listdir(d))
+            if fn.endswith(".parquet")
+        ]
+
+    def _postings(self, kind: str, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, dls) for one term, concatenated over its segments in
+        doc order.  Parquet row groups whose term stats exclude the term are
+        skipped (same pruning the Spark plan gets from the bucket filter +
+        row-group stats)."""
+        key = (kind, term)
+        if key in self._postings_cache:
+            return self._postings_cache[key]
+        import pyarrow.dataset as ds
+
+        from probe_spark.index.codec import decode_postings
+
+        files = self._bucket_files(kind, spark_bucket(term, self.n_buckets))
+        parts: list[tuple[int, np.ndarray, np.ndarray]] = []
+        if files:
+            dataset = ds.dataset(files, format="parquet")
+            table = dataset.to_table(
+                columns=["min_doc", "docs_bin", "dl_bin"],
+                filter=ds.field("term") == term,
+            )
+            for row in table.to_pylist():
+                ids, dls = decode_postings(row["docs_bin"], row["dl_bin"])
+                parts.append((row["min_doc"], ids, dls))
+        parts.sort(key=lambda p: p[0])
+        if parts:
+            ids = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+        else:
+            ids = np.empty(0, dtype=np.int64)
+            dls = np.empty(0, dtype=np.int64)
+        self._postings_cache[key] = (ids, dls)
+        return ids, dls
+
+    def _docs_dataset(self):
+        import pyarrow.dataset as ds
+
+        if self._docs_ds is None:
+            self._docs_ds = ds.dataset(
+                os.path.join(self.index_path, "docs"), format="parquet"
+            )
+        return self._docs_ds
+
+    # -- scoring -------------------------------------------------------------
+    def _score_eval(
+        self,
+        expr: ast.Expr,
+        present: dict[str, np.ndarray],
+        idfs: dict[str, float],
+        tf_norm: np.ndarray,
+        n: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized mirror of engine._compile_score/_compile_eval:
+        returns (score, ok) arrays; excluded-doc scores arrive as NaN."""
+        false = np.zeros(n, dtype=bool)
+
+        def pres(kw: str) -> np.ndarray:
+            return present.get(kw, false)
+
+        def score_rec(e: ast.Expr) -> np.ndarray:
+            if isinstance(e, ast.Term):
+                s = np.zeros(n)
+                for kw in e.keywords:
+                    idf = idfs.get(kw, 0.0)
+                    if idf:
+                        s = s + np.where(pres(kw), idf * tf_norm, 0.0)
+                if e.excluded:
+                    return np.where(s > 0.0, np.nan, 0.0)
+                if e.required:
+                    return np.where(s > 0.0, s, np.nan)
+                return s
+            l, r = score_rec(e.left), score_rec(e.right)
+            if isinstance(e, ast.And):
+                return l + r  # NaN propagates: either null -> null
+            both_nan = np.isnan(l) & np.isnan(r)
+            s = np.nan_to_num(l) + np.nan_to_num(r)
+            return np.where(both_nan, np.nan, s)
+
+        has_req = ast.has_required_term(expr)
+
+        def eval_rec(e: ast.Expr) -> np.ndarray:
+            if isinstance(e, ast.Term):
+                if not e.keywords:
+                    return np.full(n, e.excluded)
+                all_p = np.ones(n, dtype=bool)
+                any_p = np.zeros(n, dtype=bool)
+                for kw in e.keywords:
+                    p = pres(kw)
+                    all_p &= p
+                    any_p |= p
+                if e.excluded:
+                    return ~any_p
+                if e.required:
+                    return all_p
+                if has_req:
+                    return np.ones(n, dtype=bool)
+                return any_p & all_p
+            if isinstance(e, ast.And):
+                return eval_rec(e.left) & eval_rec(e.right)
+            return eval_rec(e.left) | eval_rec(e.right)
+
+        ok = eval_rec(expr)
+        if has_req:
+            for t in ast.walk_terms(expr):
+                if t.required and not t.excluded:
+                    for kw in t.keywords:
+                        ok &= pres(kw)
+        return score_rec(expr), ok
+
+    # -- search --------------------------------------------------------------
+    def search(
+        self, query: str, k: int | None = 10, exact: bool = False,
+        with_metadata: bool = True,
+    ) -> list[dict]:
+        try:
+            expr, _special = parse_query(query, exact=exact)
+        except ParseError:
+            return []
+        query_terms = ast.extract_query_terms(expr)
+        if len(query_terms) > MAX_QUERY_TERMS or not query_terms:
+            return []
+
+        special_kws: set[str] = set()
+        for t in ast.walk_terms(expr):
+            if t.exact or t.excluded:
+                special_kws.update(t.keywords)
+        normal_kws = query_terms - special_kws
+        plans = {kw: special_plan(kw) for kw in sorted(special_kws)}
+        kw_to_match: dict[str, str] = {kw: kw for kw in normal_kws}
+        for kw, p in plans.items():
+            if p.matchable:
+                kw_to_match[kw] = p.lookup
+        all_lookups = sorted(set(kw_to_match.values()))
+
+        g_set = frozenset(
+            p.lookup
+            for p in plans.values()
+            if p.lookup and all(c.isalnum() for c in p.lookup)
+        )
+        affecting = sorted(
+            w for w in g_set if tok.tokenize(w) != tok.tokenize(w, g_set)
+        )
+
+        # per-doc hits from the token index
+        per_term = {t: self._postings("tok", t) for t in all_lookups}
+        avgdl = self.avgdl
+        all_ids = (
+            np.concatenate([v[0] for v in per_term.values()])
+            if per_term
+            else np.empty(0, dtype=np.int64)
+        )
+        cand_ids, inv = np.unique(all_ids, return_inverse=True)
+        n = len(cand_ids)
+        present: dict[str, np.ndarray] = {}
+        dl = np.zeros(n, dtype=np.int64)
+        pos = 0
+        lookup_present: dict[str, np.ndarray] = {}
+        for t in all_lookups:
+            ids, dls = per_term[t]
+            m = len(ids)
+            idx = inv[pos : pos + m]
+            pos += m
+            mask = np.zeros(n, dtype=bool)
+            mask[idx] = True
+            lookup_present[t] = mask
+            dl[idx] = dls
+
+        df_by_term = {t: int(len(per_term[t][0])) for t in all_lookups}
+
+        if affecting:
+            # repair retokenization: docs containing an affecting word as a
+            # whole raw word re-tokenize with the per-query special set
+            import pyarrow.dataset as ds
+
+            raw_ids = np.unique(
+                np.concatenate(
+                    [self._postings("raw", w)[0] for w in affecting]
+                )
+            )
+            table = self._docs_dataset().to_table(
+                columns=["doc_id", "text", "dl"],
+                filter=ds.field("doc_id").isin(raw_ids.tolist()),
+            )
+            rows = sorted(table.to_pylist(), key=lambda r: r["doc_id"])
+            re_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+            re_toks = [
+                tok.tokenize(r["text"], g_set) if r["text"] else [] for r in rows
+            ]
+            delta = sum(len(ts) for ts in re_toks) - sum(r["dl"] for r in rows)
+            avgdl = (
+                (self.avgdl * self.n_docs + delta) / self.n_docs
+                if self.n_docs
+                else 0.0
+            )
+            cand_ids = np.unique(np.concatenate([cand_ids, re_ids]))
+            n = len(cand_ids)
+            re_pos = np.searchsorted(cand_ids, re_ids)
+            re_mask = np.zeros(n, dtype=bool)
+            re_mask[re_pos] = True
+            # rebuild presence on the widened candidate set
+            new_present: dict[str, np.ndarray] = {}
+            new_dl = np.zeros(n, dtype=np.int64)
+            for t in all_lookups:
+                ids, dls = per_term[t]
+                idx = np.searchsorted(cand_ids, ids)
+                mask = np.zeros(n, dtype=bool)
+                mask[idx] = True
+                new_present[t] = mask
+                new_dl[idx] = dls
+            # overwrite repaired docs: presence from retokenized tokens
+            tok_sets = [set(ts) for ts in re_toks]
+            for t in all_lookups:
+                m = new_present[t]
+                m[re_pos] = np.array([t in s for s in tok_sets])
+                new_present[t] = m
+            new_dl[re_pos] = np.array([len(ts) for ts in re_toks])
+            lookup_present, dl = new_present, new_dl
+            df_by_term = {
+                t: int(lookup_present[t].sum()) for t in all_lookups
+            }
+
+        idfs: dict[str, float] = {}
+        for kw in query_terms:
+            match = kw_to_match.get(kw)
+            df = df_by_term.get(match, 0) if match else 0
+            if df > 0:
+                idfs[kw] = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+        zero_included = ast.evaluate(expr, lambda kw: False) and (
+            ast.score(expr, lambda kw: 0.0) is not None
+        )
+        if zero_included:
+            # every doc is a candidate (only-excluded queries)
+            table = self._docs_dataset().to_table(columns=["doc_id", "dl"])
+            every = table.column("doc_id").to_numpy(zero_copy_only=False)
+            every_dl = table.column("dl").to_numpy(zero_copy_only=False)
+            order = np.argsort(every, kind="stable")
+            every, every_dl = every[order], every_dl[order]
+            idx = np.searchsorted(every, cand_ids)
+            full_dl = every_dl.astype(np.int64).copy()
+            full_dl[idx] = dl
+            widened: dict[str, np.ndarray] = {}
+            for t, mask in lookup_present.items():
+                m = np.zeros(len(every), dtype=bool)
+                m[idx] = mask
+                widened[t] = m
+            cand_ids, dl, lookup_present = every, full_dl, widened
+            n = len(cand_ids)
+
+        for kw in query_terms:
+            match = kw_to_match.get(kw)
+            if match is None:
+                present[kw] = np.zeros(n, dtype=bool)
+            else:
+                present[kw] = lookup_present[match]
+
+        tf_norm = (K1 + 1.0) / (
+            1.0 + K1 * ((1.0 - B) + B * (dl.astype(np.float64) / avgdl))
+        )
+        score, ok = self._score_eval(expr, present, idfs, tf_norm, n)
+        keep = ok & ~np.isnan(score)
+        ids_k = cand_ids[keep]
+        sc_k = score[keep]
+        if k is not None:
+            order = np.lexsort((ids_k, -sc_k))[:k]
+        else:
+            order = np.lexsort((ids_k, -sc_k))
+        ids_k, sc_k = ids_k[order], sc_k[order]
+        results = [
+            {"doc_id": int(i), "score": float(s)} for i, s in zip(ids_k, sc_k)
+        ]
+        if with_metadata and results:
+            import pyarrow.dataset as ds
+
+            table = self._docs_dataset().to_table(
+                columns=["doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text"],
+                filter=ds.field("doc_id").isin([r["doc_id"] for r in results]),
+            )
+            meta = {r["doc_id"]: r for r in table.to_pylist()}
+            for r in results:
+                r.update(meta.get(r["doc_id"], {}))
+        return results

@@ -25,7 +25,15 @@ def main():
         .appName("profile-build")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
+        )
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+            or f"{max(16, int(cpus * 1.5))}g",
+        )
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4055")
         .getOrCreate()
@@ -50,19 +58,22 @@ def main():
     stages = json.load(urllib.request.urlopen(url))
     stages.sort(key=lambda s: s["stageId"])
     total = 0.0
-    print(f"{'id':>4} {'tasks':>6} {'wall_s':>8} {'cpu_core_s':>10}  name")
+    print(
+        f"{'id':>4} {'tasks':>6} {'wall_s':>8} {'run_core_s':>10} "
+        f"{'cpu_core_s':>10} {'gc_s':>6}  name"
+    )
     for s in stages:
         if s["status"] != "COMPLETE":
             continue
-        dur = (s.get("completionTime_epoch") or 0)
-        # firstTaskLaunchedTime / completionTime are ISO strings; use executorRunTime
         run_s = s["executorRunTime"] / 1000.0
+        cpu_s = s.get("executorCpuTime", 0) / 1e9
+        gc_s = s.get("jvmGcTime", 0) / 1000.0
         sub = time.strptime(s["submissionTime"][:19], "%Y-%m-%dT%H:%M:%S")
         comp = time.strptime(s["completionTime"][:19], "%Y-%m-%dT%H:%M:%S")
         wall_s = time.mktime(comp) - time.mktime(sub)
         total += wall_s
         print(f"{s['stageId']:>4} {s['numCompleteTasks']:>6} {wall_s:>8.1f} "
-              f"{run_s:>10.1f}  {s['name'][:90]}")
+              f"{run_s:>10.1f} {cpu_s:>10.1f} {gc_s:>6.1f}  {s['name'][:80]}")
     print(f"\nsum stage wall: {total:.1f}s (overlaps possible)")
     shutil.rmtree(build_dir, ignore_errors=True)
     spark.stop()

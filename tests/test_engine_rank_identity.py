@@ -29,7 +29,12 @@ def index_path(spark, tmp_index_root, corpus_rows):
 
     path = f"{tmp_index_root}/idx_main"
     df = transcripts_df(spark, N_CONVS, SEED)
-    cfg = BuildConfig(n_buckets=8, max_postings_per_segment=64)  # force salting
+    # force multi-segment terms AND multi-group (salted) merges: tiny
+    # segment cap + tiny merge-group byte target (the shuffle-free merge
+    # salts by doc-range group, driven by partial-shard sizes)
+    cfg = BuildConfig(
+        n_buckets=8, max_postings_per_segment=64, merge_group_bytes=4096
+    )
     result = IndexBuilder(spark, cfg).build(df, path)
     assert result["n_docs"] == len(corpus_rows)
     return path

@@ -1,0 +1,93 @@
+"""Adjacent-turn merging (block_merging.rs analog) vs a direct Python
+reference implementation on real search results."""
+
+from __future__ import annotations
+
+import pytest
+
+from probe_spark.fixtures import transcripts_df
+
+
+@pytest.fixture(scope="module")
+def merged_inputs(spark, tmp_index_root):
+    from probe_spark.index.build import BuildConfig, IndexBuilder
+    from probe_spark.search.engine import SearchEngine
+
+    path = f"{tmp_index_root}/idx_merge"
+    IndexBuilder(spark, BuildConfig(n_buckets=8)).build(
+        transcripts_df(spark, 30, 5), path
+    )
+    eng = SearchEngine(spark, path)
+    res = eng.search("error OR handling", k=40)
+    return [r.asDict() for r in res.collect()]
+
+
+def _python_merge(rows: list[dict], threshold: int) -> list[tuple]:
+    by_conv: dict[str, list[dict]] = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    spans = []
+    for conv, turns in by_conv.items():
+        turns.sort(key=lambda r: r["turn_idx"])
+        cur: list[dict] = []
+        for r in turns:
+            if cur and r["turn_idx"] - cur[-1]["turn_idx"] > threshold:
+                spans.append((conv, cur))
+                cur = []
+            cur.append(r)
+        if cur:
+            spans.append((conv, cur))
+    out = []
+    for conv, members in spans:
+        score = max(m["score"] for m in members)
+        best = min(
+            (m for m in members if m["score"] == score),
+            key=lambda m: m["doc_id"],
+        )
+        out.append(
+            (
+                conv,
+                members[0]["turn_idx"],
+                members[-1]["turn_idx"],
+                len(members),
+                round(score, 9),
+                best["doc_id"],
+                "\n".join(m["text"] for m in members),
+            )
+        )
+    out.sort(key=lambda t: (-t[4], t[5]))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [1, 5])
+def test_merge_matches_reference_impl(spark, merged_inputs, threshold):
+    from probe_spark.search.merging import merge_adjacent_turns
+
+    df = spark.createDataFrame(
+        [
+            (
+                r["doc_id"], r["score"], r["conv_id"], r["turn_idx"],
+                r["text"],
+            )
+            for r in merged_inputs
+        ],
+        "doc_id long, score double, conv_id string, turn_idx int, text string",
+    )
+    got = [
+        (
+            r["conv_id"], r["turn_lo"], r["turn_hi"], r["n_turns"],
+            round(r["score"], 9), r["doc_id"], r["text"],
+        )
+        for r in merge_adjacent_turns(df, threshold).collect()
+    ]
+    want = _python_merge(merged_inputs, threshold)
+    assert got == want
+
+
+def test_merge_empty(spark):
+    from probe_spark.search.merging import merge_adjacent_turns
+
+    df = spark.createDataFrame(
+        [], "doc_id long, score double, conv_id string, turn_idx int, text string"
+    )
+    assert merge_adjacent_turns(df).collect() == []
