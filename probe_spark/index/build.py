@@ -1,60 +1,66 @@
 """Distributed inverted-index build over transcript tables.
 
-Pipeline (all DataFrame/Catalyst; Python only inside Arrow-batched UDFs):
+Two layouts, selected by ``BuildConfig.fused`` (default True on
+posix-visible index paths; streaming deltas and remote object stores use
+the two-pass layout):
+
+FUSED SINGLE-PASS PIPELINE (the scale path)
 
   1. deterministic dense docID assignment over stable (conv_id, turn_idx)
      ordering — two-phase (range-repartition -> per-partition counts ->
-     offset broadcast -> partition-local row_number), never a
+     offset broadcast -> partition-local row numbers), never a
      single-partition window and never monotonically_increasing_id
-     (SURVEY.md §4 item 7)
-  2. docs phase: ONE tokenizer pass ever — docID assignment and the token +
-     raw-word tokenization run in a single mapInArrow over the range
-     partitioning (no second shuffle; a window keyed on partition id would
-     hash ~n_parts distinct keys into n_parts buckets and skew badly), and
-     the result (including the tokens/raws arrays) is written to docs/
-     parquet, sorted by doc_id.
-     Parquet is the materialization: later phases re-read the pruned
-     (doc_id, dl, tokens, raws) columns instead of holding a multi-GB
-     DataFrame cache whose eviction would silently re-run the tokenizer
-     (measured 3x run-to-run variance with the cache design).  The query
-     engine never reads tokens/raws (column pruning).
-  3. partials phase (map-side combine): one mapInArrow pass over docs/
-     builds PER-PARTITION partial posting lists — (kind, term) ->
-     delta+varint-packed docID and dl arrays — entirely vectorized
-     (Arrow list flatten + dictionary_encode + np.repeat/argsort; no
-     per-token Python).  Partials land in partials/ parquet (level-0
-     segments).  Shuffle/storage is then proportional to the COMPRESSED
-     index size, not to sum(dl) raw posting rows (~30 bytes/posting row
-     -> ~2 bytes/posting packed).
-  4. merge phase: hot terms (df > max_postings_per_segment, from a
-     metadata-only column scan of partials/) get doc-RANGE salts
-     (salt = min_doc // ceil(n_docs / n_salts)) so one term's merge
-     spreads over many tasks while segments stay doc-contiguous; a
-     streaming mapInArrow merge (sorted by kind, term, salt, min_doc)
-     decodes partial chunks, concatenates, sorts, and emits final
-     segments hard-capped at max_postings_per_segment, with block-max
-     metadata (block_last_doc, block_min_dl) for WAND pruning.  Final
-     segments are parquet partitioned by (kind, bucket=hash(term)) for
-     query-time partition pruning, sorted by term within files
-     (row-group stats pruning).
-  5. stats: n_docs, total_dl, avgdl (ranking.rs:64-72 semantics: mean over
-     ALL docs incl. empty) from the docs/ dl column (pruned scan)
-  6. manifest: per-phase + per-bucket lineage rows (build_id, phase,
-     partition, counts, checksum, completed_at); a finished phase is
-     skipped on resume (idempotent overwrite otherwise); partials/ is a
-     resume point for the merge as well
+     (SURVEY.md §4 item 7).  The range-partitioned corpus is persisted so
+     the count pass and the build pass share one shuffle.
+  2. THE pass (one mapInArrow over the range partitioning):
+       * tokenize each turn (probe-parity tokenizer, §2.3) — the ONE
+         tokenizer pass ever;
+       * side-write this partition's docs/ shard with pyarrow's
+         vectorized parquet writer (doc_id, conv_id, turn_idx, role,
+         tool, ts, text, dl — token arrays excluded unless store_tokens:
+         they never touch parquet).  Spark's row-based parquet writer was
+         measured at ~40 JVM core-seconds per million turns at 32
+         threads; the arrow writer removes that entirely;
+       * map-side combine postings into level-0 partials — (kind, term)
+         -> delta+varint-packed docID/dl arrays, fully vectorized (Arrow
+         list flatten + dictionary_encode + np.repeat/argsort, no
+         per-token Python), flushed at partial_flush_postings — and
+         side-write them BUCKET-PARTITIONED (partials/bg=N/part-P.parquet,
+         bucket = pmod(xxhash64(term), n_buckets));
+       * the Spark output is ONE @stats metadata row per partition; the
+         driver folds n_docs/total_dl/avgdl out of the collected rows, so
+         there is no stats job.
+     All side writes are atomic (dot-tmp + rename; retries overwrite).
+  3. SHUFFLE-FREE merge: the driver plans one task per (bucket,
+     doc-range group) from partial-shard file sizes — greedy grouping
+     under merge_group_bytes bounds task memory AND spreads hot buckets
+     over tasks (the north rule's doc-range salting, by construction;
+     salt = group index).  Each task reads its group's shard files
+     directly with pyarrow, concatenates + sorts each (kind, term)'s
+     chunks, emits final segments hard-capped at max_postings_per_segment
+     with block-max metadata (block_last_doc/block_min_dl + per-block
+     byte offsets for WAND), side-written into postings/kind=/bucket=/
+     dirs.  The packed postings move exactly once, file -> file; Spark
+     carries only the plan in and per-segment metadata out (which also
+     yields the manifest without re-reading the index).
+  4. manifest lineage rows per phase + per bucket (build_id, counts,
+     bytes, checksum, completed_at); finished phases are skipped on
+     resume (docs+partials commit together; partials/ is the merge's
+     resume point and is deleted after it).
 
-Scale notes (10^12 turns): no caching anywhere — every intermediate that
-must be revisited is parquet, so memory pressure cannot trigger lineage
-recompute; the only full-corpus shuffles are the docID range partition and
-the docs write, both O(corpus); posting data shuffles once, compressed
-(partials -> merge), with per-group memory bounded by
-max_postings_per_segment regardless of term skew ("the" at 10^12 docs
-becomes ~10^7 independent doc-range segments instead of one 10^12-row
-group).  Per-partition partial memory is bounded by partial_flush_postings
-(the builder flushes level-0 segments early; the merge treats multiple
-partials per (partition, term) identically to one).  Bucket count and
-shuffle partitions scale with input size via builder args.
+TWO-PASS PIPELINE (fused=False — streaming deltas, non-posix stores):
+docs/ parquet carries tokens/raws; a second mapInArrow pass builds
+partials; the merge shuffles partials on (kind, term, salt) with
+df-threshold hot-term salting and writes via partitionBy.  StreamingIndexer
+appends micro-batch deltas through this path and compact() re-packs from
+the stored token arrays.
+
+Scale notes (10^12 turns): no DataFrame caching of bulk data — the only
+full-corpus shuffle is the docID range partition; postings are packed to
+~2 bytes/posting BEFORE leaving the tokenize task and are never shuffled;
+per-merge-task memory is bounded by merge_group_bytes regardless of term
+skew ("the" at 10^12 docs becomes many independent doc-range groups);
+bucket count, partition counts, and group bytes scale via BuildConfig.
 """
 
 from __future__ import annotations
