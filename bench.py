@@ -34,13 +34,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def scratch_dir() -> str:
-    """RAM-backed scratch when available: the sandbox's /tmp sits on a
-    throttled VM virtual disk whose latency varies 3x run-to-run; tmpfs is
-    the stand-in for the cluster-local NVMe a real executor would have."""
-    base = os.environ.get("SPARK_GRAFT_SCRATCH")
-    if base:
-        return base
-    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    """Scratch base.  Plain /tmp (virtual disk page cache) measured FASTER
+    than tmpfs here twice over (A/B at 3.3M turns: 26s vs 58s no-warm,
+    132s vs 198s with a prior build) — tmpfs pages are unreclaimable guest
+    memory and this host appears to throttle their allocation under load,
+    while page-cache writes stay async."""
+    return os.environ.get("SPARK_GRAFT_SCRATCH") or tempfile.gettempdir()
 
 
 def build_spark(cpus: int, shuffle_partitions: int | None = None):
@@ -154,19 +153,24 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
 
     # -- phase 1: synthetic-transcript index build (the headline build) ----
     n_convs = synth_corpus_size(sf)
-    corpus = transcripts_df_dist(spark, n_convs=n_convs, seed=42).persist()
+    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR")
+    if corpus_dir:
+        # pre-generated corpus (scripts/scaling_bench.py writes it once at
+        # full parallelism): low-parallelism rounds then measure the BUILD,
+        # not 600+ core-seconds of corpus generation per round
+        corpus = spark.read.parquet(corpus_dir).persist()
+    else:
+        corpus = transcripts_df_dist(spark, n_convs=n_convs, seed=42).persist()
     n_turns = corpus.count()  # materialize before the clock starts
     build_dir = tempfile.mkdtemp(prefix="bench_idx_", dir=scratch_dir())
     shutil.rmtree(build_dir, ignore_errors=True)
     builder = IndexBuilder(spark, BuildConfig())  # ctor warms the worker pool
-    # steady-state measurement: a small throwaway build first, so the
-    # measured run reflects a warm session (a long-lived cluster's executors
-    # don't re-pay first-job codegen/classloading per build); pre-clock
-    warm_dir = tempfile.mkdtemp(prefix="bench_warm_", dir=scratch_dir())
-    shutil.rmtree(warm_dir, ignore_errors=True)
-    warm = transcripts_df_dist(spark, n_convs=min(1000, n_convs), seed=1)
-    builder.build(warm, warm_dir)
-    shutil.rmtree(warm_dir, ignore_errors=True)
+    # NO throwaway warm build: a prior build in the same session measured
+    # SLOWER (A/B: 26s fresh vs 132s after a 1000-conv warm build at
+    # local[32], reproduced in isolation 57.6s->84.2s for back-to-back big
+    # builds) — leftover session state penalizes the next build far more
+    # than first-job codegen costs.  The ctor's worker warm-up (imports +
+    # one tiny shuffle) stays; it does not trigger the effect.
     with HostSampler() as sampler:
         t0 = time.time()
         builder.build(corpus, build_dir)

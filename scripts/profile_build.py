@@ -45,6 +45,14 @@ def main():
 
     corpus = transcripts_df_dist(spark, n_convs=n_convs, seed=42).persist()
     n_turns = corpus.count()
+    if os.environ.get("PROFILE_WARM", "") == "1":
+        import shutil as _sh
+        wd = tempfile.mkdtemp(prefix="prof_warm_")
+        _sh.rmtree(wd, ignore_errors=True)
+        IndexBuilder(spark, BuildConfig()).build(
+            transcripts_df_dist(spark, n_convs=1000, seed=1), wd
+        )
+        _sh.rmtree(wd, ignore_errors=True)
     build_dir = tempfile.mkdtemp(prefix="prof_idx_")
     shutil.rmtree(build_dir, ignore_errors=True)
     builder = IndexBuilder(spark, BuildConfig())

@@ -49,6 +49,31 @@ def hw_capacity(workers: int) -> float:
     return workers / dt
 
 
+def pregen_corpus(n_convs: int) -> str:
+    """Generate the corpus parquet ONCE at full parallelism; every measured
+    round reads it instead of regenerating (corpus gen costs ~1250 core-s
+    at 200k convs and would dominate low-parallelism rounds)."""
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), f"scaling_corpus_{n_convs}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pyspark.sql import SparkSession\n"
+        "from probe_spark.fixtures import transcripts_df_dist\n"
+        "spark = (SparkSession.builder.master('local[32]')"
+        ".config('spark.ui.enabled','false')"
+        ".config('spark.driver.memory','16g').getOrCreate())\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "transcripts_df_dist(spark, n_convs=%d, seed=42)"
+        ".write.mode('overwrite').parquet(%r)\n"
+        "spark.stop()\n" % (REPO, n_convs, out)
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=1800)
+    return out
+
+
 def run_once(cpus: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
@@ -56,11 +81,14 @@ def run_once(cpus: int) -> dict:
     # turns/sec at N vs 4N); the query suite is measured by the per-round
     # bench, not here — including it would triple each round's wall time
     env["SPARK_GRAFT_BUILD_ONLY"] = "1"
-    env["SPARK_GRAFT_BUILD_ONLY"] = "1"
     # larger corpus than the per-round bench: the scaling criterion measures
     # sustained throughput, which at 10^12-turn scale is never dominated by
     # the fixed per-job driver overhead a small corpus would emphasize
     env.setdefault("SPARK_GRAFT_N_CONVS", "200000")
+    env.setdefault(
+        "SPARK_GRAFT_CORPUS_DIR",
+        pregen_corpus(int(env["SPARK_GRAFT_N_CONVS"])),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, timeout=3600,
