@@ -53,7 +53,14 @@ def build_spark(cpus: int, shuffle_partitions: int | None = None):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"probe-spark-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(
+                shuffle_partitions
+                or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "0"))
+                or 4 * cpus  # 2-4x tasks/core: stragglers amortize in waves
+            ),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
