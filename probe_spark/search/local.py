@@ -67,6 +67,7 @@ class LocalSearcher:
         self.avgdl = float(stats["avgdl"])
         self.n_buckets = int(stats["n_buckets"])
         self._postings_cache: dict[tuple[str, str], tuple] = {}
+        self._repair_cache: dict[frozenset, tuple] = {}
         self._docs_ds = None
 
     # -- index access --------------------------------------------------------
@@ -250,24 +251,35 @@ class LocalSearcher:
 
         if affecting:
             # repair retokenization: docs containing an affecting word as a
-            # whole raw word re-tokenize with the per-query special set
-            import pyarrow.dataset as ds
+            # whole raw word re-tokenize with the per-query special set.
+            # Memoized per g-set: the retokenize loop costs seconds for a
+            # hot special word, and query services see the same exclusion /
+            # exact vocabularies repeatedly.
+            repair = self._repair_cache.get(g_set)
+            if repair is None:
+                import pyarrow.dataset as ds
 
-            raw_ids = np.unique(
-                np.concatenate(
-                    [self._postings("raw", w)[0] for w in affecting]
+                raw_ids = np.unique(
+                    np.concatenate(
+                        [self._postings("raw", w)[0] for w in affecting]
+                    )
                 )
-            )
-            table = self._docs_dataset().to_table(
-                columns=["doc_id", "text", "dl"],
-                filter=ds.field("doc_id").isin(raw_ids.tolist()),
-            )
-            rows = sorted(table.to_pylist(), key=lambda r: r["doc_id"])
-            re_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-            re_toks = [
-                tok.tokenize(r["text"], g_set) if r["text"] else [] for r in rows
-            ]
-            delta = sum(len(ts) for ts in re_toks) - sum(r["dl"] for r in rows)
+                table = self._docs_dataset().to_table(
+                    columns=["doc_id", "text", "dl"],
+                    filter=ds.field("doc_id").isin(raw_ids.tolist()),
+                )
+                rows = sorted(table.to_pylist(), key=lambda r: r["doc_id"])
+                repair = (
+                    np.array([r["doc_id"] for r in rows], dtype=np.int64),
+                    [
+                        tok.tokenize(r["text"], g_set) if r["text"] else []
+                        for r in rows
+                    ],
+                    sum(r["dl"] for r in rows),
+                )
+                self._repair_cache[g_set] = repair
+            re_ids, re_toks, old_dl_sum = repair
+            delta = sum(len(ts) for ts in re_toks) - old_dl_sum
             avgdl = (
                 (self.avgdl * self.n_docs + delta) / self.n_docs
                 if self.n_docs
