@@ -108,7 +108,10 @@ class HostSampler:
             if dt > 0:
                 busy = 100.0 * (dt - (cur[1] - prev[1])) / dt
                 steal = 100.0 * (cur[2] - prev[2]) / dt
-                self.samples.append((busy, steal, (cur[3] - prev[3]) / 2.0))
+                # PSI total= is cumulative stall time in microseconds
+                self.samples.append(
+                    (busy, steal, (cur[3] - prev[3]) / 2.0 / 1e6)
+                )
             prev = cur
 
     def __enter__(self):
