@@ -154,3 +154,27 @@ class TestLimiter:
         ).collect()[0]["n"]
         theirs = ops_text.with_token_counts(df).collect()[0]["bpe_tokens"]
         assert ours == theirs
+
+
+class TestReadInput:
+    def test_dotted_identifier_reads_catalog_table(self, spark):
+        # Iceberg/Hive tables arrive through the same spark.read.table
+        # branch; in-sandbox we exercise it with a global temp view, whose
+        # dotted identifier (global_temp.x) resolves through the catalog.
+        from probe_spark import cli
+        from probe_spark.fixtures import transcripts_df
+
+        transcripts_df(spark, 10, seed=3).createOrReplaceGlobalTempView(
+            "transcripts_in"
+        )
+        df = cli._read_input(spark, "global_temp.transcripts_in")
+        assert df.count() > 0
+        assert {"conv_id", "turn_idx", "text"} <= set(df.columns)
+
+    def test_path_reads_parquet(self, spark, tmp_path):
+        from probe_spark import cli
+        from probe_spark.fixtures import write_transcripts_parquet
+
+        src = str(tmp_path / "corpus.parquet")
+        write_transcripts_parquet(src, n_convs=5, seed=1)
+        assert cli._read_input(spark, src).count() > 0
