@@ -590,6 +590,7 @@ class SearchEngine:
         )
 
         avgdl = self.avgdl
+        df_adj: dict[str, int] = {}
         if affecting:
             raw_f = self._fetch(self.raw_postings, affecting, "raw")
             raw_decoded = raw_f.mapInArrow(_decode_map_arrow, _DECODED_SCHEMA)
@@ -628,49 +629,81 @@ class SearchEngine:
                     )
 
             retok = affected.mapInPandas(retokenize, retok_schema).persist()
-            delta_row = retok.agg(F.sum("dl_delta").alias("d")).collect()[0]
-            delta = int(delta_row["d"] or 0)
-            avgdl = (
-                (self.avgdl * self.n_docs + delta) / self.n_docs
-                if self.n_docs
-                else 0.0
-            )
-            hits = hits.join(affected_ids, "doc_id", "left_anti").unionByName(
-                retok.select("doc_id", "hits", "dl")
-            )
 
-        # df per lookup term.  Fast path (no retokenization): sum of df_seg
-        # straight from segment metadata — a parquet column scan, no posting
-        # decode; results memoized per engine.  Affecting queries recompute
-        # from the repaired hit arrays (retok changes df).
-        if affecting:
-            df_rows = (
-                hits.select(
-                    "doc_id", F.explode("hits").alias("term")
+            # ONE stats job over the (small) affected set: dl-delta sum plus
+            # per-lookup df adjustments (old token-index hits out, repaired
+            # hits in).  Corpus-wide df comes from segment metadata below;
+            # this replaces a full-corpus hits explode+groupBy that dominated
+            # special-term query latency.
+            _DL = "\x00dl"
+            old_rows = (
+                hits.join(retok.select("doc_id"), "doc_id", "semi")
+                .select(F.explode("hits").alias("term"))
+                .filter(F.col("term").isin(list(all_lookups)))
+                .select(
+                    "term",
+                    F.lit(-1).alias("df_adj"),
+                    F.lit(0).alias("dl_delta"),
                 )
-                .filter(F.col("term").isin(all_lookups))
+            )
+            new_rows = retok.select(F.explode("hits").alias("term")).select(
+                "term", F.lit(1).alias("df_adj"), F.lit(0).alias("dl_delta")
+            )
+            dl_rows = retok.select(
+                F.lit(_DL).alias("term"),
+                F.lit(0).alias("df_adj"),
+                F.col("dl_delta"),
+            )
+            stats_rows = (
+                old_rows.unionByName(new_rows)
+                .unionByName(dl_rows)
                 .groupBy("term")
-                .agg(F.count("*").alias("df"))
+                .agg(
+                    F.sum("df_adj").alias("df_adj"),
+                    F.sum("dl_delta").alias("dl_delta"),
+                )
                 .collect()
             )
-            df_by_term = {r["term"]: r["df"] for r in df_rows}
-        else:
-            missing = [t for t in all_lookups if t not in self._df_cache]
-            if missing:
-                buckets = sorted({spark_bucket(t, self.n_buckets) for t in missing})
-                rows = (
-                    self.postings.filter(
-                        F.col("bucket").isin(buckets)
-                        & F.col("term").isin(missing)
-                    )
-                    .groupBy("term")
-                    .agg(F.sum("df_seg").alias("df"))
-                    .collect()
+            df_adj = {
+                r["term"]: int(r["df_adj"])
+                for r in stats_rows
+                if r["term"] != _DL and r["df_adj"]
+            }
+            has_affected = any(r["term"] == _DL for r in stats_rows)
+            if has_affected:
+                delta = sum(
+                    int(r["dl_delta"]) for r in stats_rows if r["term"] == _DL
                 )
-                found = {r["term"]: int(r["df"]) for r in rows}
-                for t in missing:
-                    self._df_cache[t] = found.get(t, 0)
-            df_by_term = {t: self._df_cache[t] for t in all_lookups}
+                avgdl = (
+                    (self.avgdl * self.n_docs + delta) / self.n_docs
+                    if self.n_docs
+                    else 0.0
+                )
+                hits = hits.join(
+                    retok.select("doc_id"), "doc_id", "left_anti"
+                ).unionByName(retok.select("doc_id", "hits", "dl"))
+
+        # df per lookup term: sum of df_seg straight from segment metadata —
+        # a parquet column scan, no posting decode; memoized per engine —
+        # plus the affected-doc adjustments (retokenization changes df).
+        missing = [t for t in all_lookups if t not in self._df_cache]
+        if missing:
+            buckets = sorted({spark_bucket(t, self.n_buckets) for t in missing})
+            rows = (
+                self.postings.filter(
+                    F.col("bucket").isin(buckets)
+                    & F.col("term").isin(missing)
+                )
+                .groupBy("term")
+                .agg(F.sum("df_seg").alias("df"))
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        df_by_term = {
+            t: self._df_cache[t] + df_adj.get(t, 0) for t in all_lookups
+        }
         idfs: dict[str, float] = {}
         for kw in query_terms:
             match = kw_to_match.get(kw)
