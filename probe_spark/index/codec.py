@@ -149,3 +149,65 @@ def decode_postings(docs_bin: bytes, dl_bin: bytes):
     doc_ids = np.cumsum(gaps.astype(np.int64))
     dls = varint_decode(dl_bin).astype(np.int64)
     return doc_ids, dls
+
+
+def raw_doc_ids(
+    index_path: str,
+    n_buckets: int,
+    terms: list[str],
+    max_df: int = 5_000_000,
+) -> "np.ndarray | None":
+    """Driver-side decode of the raw-word posting lists for ``terms``:
+    sorted unique doc_ids, or None when the caller must use the
+    distributed path instead (index not POSIX-visible, or the lists
+    exceed ``max_df`` — at 10^12-doc scale an excluded hot word's raw
+    postings don't fit on the driver).
+
+    A term's raw postings are a few KB-MB of varint bytes in one bucket
+    directory; reading them with pyarrow costs milliseconds, versus
+    ~1.5s of job scheduling + Python-worker overhead for the equivalent
+    two-task Spark job.  Row-group pruning on the term column mirrors
+    the pruning the Spark plan gets from the bucket+term filter.
+    """
+    import os
+
+    base = os.path.join(index_path, "postings", "kind=raw")
+    if not os.path.isdir(base):
+        return None
+    import pyarrow.dataset as ds
+
+    from probe_spark.index.xxhash import spark_bucket
+
+    buckets: dict[int, list[str]] = {}
+    for t in terms:
+        buckets.setdefault(spark_bucket(t, n_buckets), []).append(t)
+    parts: list[np.ndarray] = []
+    total = 0
+    for bucket, bterms in sorted(buckets.items()):
+        d = os.path.join(base, f"bucket={bucket}")
+        if not os.path.isdir(d):
+            continue
+        files = [
+            os.path.join(d, fn)
+            for fn in sorted(os.listdir(d))
+            if fn.endswith(".parquet")
+        ]
+        if not files:
+            continue
+        dataset = ds.dataset(files, format="parquet")
+        # cheap cardinality gate before decoding any bytes
+        meta = dataset.to_table(
+            columns=["df_seg"], filter=ds.field("term").isin(bterms)
+        )
+        total += sum(meta["df_seg"].to_pylist())
+        if total > max_df:
+            return None
+        table = dataset.to_table(
+            columns=["docs_bin"], filter=ds.field("term").isin(bterms)
+        )
+        for buf in table["docs_bin"].to_pylist():
+            ids, _ = decode_postings(buf, b"")
+            parts.append(ids)
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))

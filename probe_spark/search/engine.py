@@ -61,6 +61,7 @@ from pyspark.sql.types import (
 
 from probe_spark.functions import tokenizer as tok
 from probe_spark.functions.porter2 import stem
+from probe_spark.index.codec import raw_doc_ids
 from probe_spark.index.xxhash import spark_bucket
 from probe_spark.query import ast
 from probe_spark.query.parser import ParseError, parse_query
@@ -591,10 +592,36 @@ class SearchEngine:
 
         avgdl = self.avgdl
         df_adj: dict[str, int] = {}
+        ids = None
         if affecting:
-            raw_f = self._fetch(self.raw_postings, affecting, "raw")
-            raw_decoded = raw_f.mapInArrow(_decode_map_arrow, _DECODED_SCHEMA)
-            affected_ids = raw_decoded.select("doc_id").distinct()
+            # Affected-id set: for a POSIX-visible index with raw df under
+            # the driver cap, a pyarrow read + varint decode on the driver
+            # (ms) beats the equivalent two-task Spark job (~1.5s of
+            # scheduling + worker overhead); raw_doc_ids returns None past
+            # the cap or off-POSIX and we fall back to distributed decode.
+            ids = raw_doc_ids(self.index_path, self.n_buckets, affecting)
+            if ids is not None and ids.size == 0:
+                # no whole-raw-word occurrence anywhere: registering the
+                # special terms changes no doc's tokenization — skip the
+                # repair machinery entirely
+                affecting = []
+        if affecting:
+            if ids is not None:
+                import pandas as pd  # noqa: PLC0415
+
+                affected_ids = F.broadcast(
+                    spark.createDataFrame(
+                        pd.DataFrame({"doc_id": ids}), schema="doc_id long"
+                    )
+                )
+                anti_ids = affected_ids
+            else:
+                raw_f = self._fetch(self.raw_postings, affecting, "raw")
+                raw_decoded = raw_f.mapInArrow(
+                    _decode_map_arrow, _DECODED_SCHEMA
+                )
+                affected_ids = raw_decoded.select("doc_id").distinct()
+                anti_ids = None  # derive from persisted retok below
             affected = self.docs.join(affected_ids, "doc_id").select(
                 "doc_id", "text", "dl"
             )
@@ -634,11 +661,15 @@ class SearchEngine:
             # per-lookup df adjustments (old token-index hits out, repaired
             # hits in).  Corpus-wide df comes from segment metadata below;
             # this replaces a full-corpus hits explode+groupBy that dominated
-            # special-term query latency.
+            # special-term query latency.  Old hits come straight from the
+            # decoded (term, doc) pairs — segments hold disjoint doc ranges
+            # per term, so pair counts equal collect_set counts — keeping
+            # the semi-join map-side against the broadcast id set instead
+            # of forcing the postings aggregation a second time.
             _DL = "\x00dl"
+            old_src = anti_ids if anti_ids is not None else retok.select("doc_id")
             old_rows = (
-                hits.join(retok.select("doc_id"), "doc_id", "semi")
-                .select(F.explode("hits").alias("term"))
+                decoded.join(old_src, "doc_id", "semi")
                 .filter(F.col("term").isin(list(all_lookups)))
                 .select(
                     "term",
@@ -680,7 +711,10 @@ class SearchEngine:
                     else 0.0
                 )
                 hits = hits.join(
-                    retok.select("doc_id"), "doc_id", "left_anti"
+                    anti_ids if anti_ids is not None
+                    else retok.select("doc_id"),
+                    "doc_id",
+                    "left_anti",
                 ).unionByName(retok.select("doc_id", "hits", "dl"))
 
         # df per lookup term: sum of df_seg straight from segment metadata —
