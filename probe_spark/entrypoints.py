@@ -264,6 +264,17 @@ def _q_ann_cosine(spark, sf_dir):
     )
 
 
+def _q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN scale path (brief): candidates = the query's
+    sign-bit bucket only (multiprobe=0 keeps the probe set margin-free,
+    so the DuckDB oracle can mirror it exactly), cosine top-k within."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_topk(
+        emb, qvec, k=25, n_planes=8, multiprobe=0
+    ).select(F.col("id").alias("vec_id"), "cos_sim")
+
+
 def _q_sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = events.sessionize(ev, gap_minutes=30)
@@ -380,6 +391,7 @@ QUERIES = {
     "quality": _q_quality,
     "fingerprint": _q_fingerprint,
     "ann_cosine": _q_ann_cosine,
+    "ann_lsh": _q_ann_lsh,
     "sessionize": _q_sessionize,
     "windowed_counts": _q_windowed_counts,
     "bm25_topk_wand": _q_bm25_topk_wand,
@@ -509,6 +521,49 @@ _LIMITED_SEARCH_ORACLE = f"""{_BM25_PRELUDE}
 )
 SELECT doc_id, ROUND(score, 6) AS score FROM budget WHERE cum_bytes <= 20000
 """
+
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:
+    """SQL mirror of similarity.lsh_topk(multiprobe=0): the deterministic
+    hyperplanes are baked in as literals, buckets are sign-bit codes, the
+    candidate set is the query vector's own bucket."""
+    planes = similarity._seeded_planes(dim, n_planes, seed)
+    rows = ",\n      ".join(
+        "({p}, [{xs}]::DOUBLE[])".format(
+            p=p, xs=", ".join(repr(float(x)) for x in planes[p])
+        )
+        for p in range(n_planes)
+    )
+    return f"""
+WITH proj AS (
+  SELECT e.vec_id, pl.p,
+         list_sum(list_transform(list_zip(e.embedding, pl.vec),
+                                 s -> s[1]::DOUBLE * s[2]::DOUBLE)) AS pr
+  FROM embeddings e
+  CROSS JOIN (VALUES
+      {rows}) pl(p, vec)
+),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(
+         list_sum(list_transform(list_zip(e.embedding, q.qv),
+                                 s -> s[1]::DOUBLE * s[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                                         x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv,
+                                           x -> x::DOUBLE * x::DOUBLE)))),
+         6) AS cos_sim
+FROM embeddings e
+JOIN codes c ON c.vec_id = e.vec_id, q
+WHERE c.bucket = (SELECT bucket FROM codes WHERE vec_id = 0)
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 25
+"""
+
 
 _EMBEDDING_DUP_ORACLE = """
 WITH n AS (
@@ -700,6 +755,7 @@ FROM events GROUP BY 1, 2
     "limited_search": _LIMITED_SEARCH_ORACLE.format(c_hash=_contrib("hash")),
     "simhash": _simhash_oracle(),
     "lang_id": _lang_id_oracle(),
+    "ann_lsh": _ann_lsh_oracle(),
     "embedding_dup": _EMBEDDING_DUP_ORACLE,
     "image_meta": _IMAGE_META_ORACLE,
 }

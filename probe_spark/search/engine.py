@@ -656,6 +656,13 @@ class SearchEngine:
                     )
 
             retok = affected.mapInPandas(retokenize, retok_schema).persist()
+            # long-lived query services: drop the previous query's repair
+            # cache blocks (the returned DataFrame of THIS query still
+            # references retok, so eviction is deferred one query)
+            prev = getattr(self, "_prev_retok", None)
+            if prev is not None:
+                prev.unpersist(blocking=False)
+            self._prev_retok = retok
 
             # ONE stats job over the (small) affected set: dl-delta sum plus
             # per-lookup df adjustments (old token-index hits out, repaired
