@@ -275,6 +275,18 @@ def _q_ann_lsh(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"), "cos_sim")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN scale path: deterministic coarse quantizer assigns each
+    vector to its argmax-dot cell; the query scans only its n_probe nearest
+    cells.  Candidate pruning + exact cosine within, same shape a trained
+    quantizer would use (ops.similarity.ivf_topk)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk(
+        emb, qvec, k=25, n_cells=16, n_probe=4
+    ).select(F.col("id").alias("vec_id"), "cos_sim")
+
+
 def _q_sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = events.sessionize(ev, gap_minutes=30)
@@ -392,6 +404,7 @@ QUERIES = {
     "fingerprint": _q_fingerprint,
     "ann_cosine": _q_ann_cosine,
     "ann_lsh": _q_ann_lsh,
+    "ann_ivf": _q_ann_ivf,
     "sessionize": _q_sessionize,
     "windowed_counts": _q_windowed_counts,
     "bm25_topk_wand": _q_bm25_topk_wand,
@@ -560,6 +573,61 @@ SELECT e.vec_id,
 FROM embeddings e
 JOIN codes c ON c.vec_id = e.vec_id, q
 WHERE c.bucket = (SELECT bucket FROM codes WHERE vec_id = 0)
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 25
+"""
+
+
+def _ann_ivf_oracle(
+    dim: int = 64, n_cells: int = 16, n_probe: int = 4, seed: int = 13
+) -> str:
+    """SQL mirror of similarity.ivf_topk: seeded centroids baked in as
+    literals; cell = argmax-dot centroid (ties -> lowest index) via a
+    row_number window; probes = the n_probe cells ranked by dot with the
+    query vector (vec_id=0); exact cosine top-k within the probed cells."""
+    cents = similarity._seeded_centroids(dim, n_cells, seed)
+    rows = ",\n      ".join(
+        "({c}, [{xs}]::DOUBLE[])".format(
+            c=c, xs=", ".join(repr(float(x)) for x in cents[c])
+        )
+        for c in range(n_cells)
+    )
+    return f"""
+WITH cents(c, vec) AS (VALUES
+      {rows}),
+dots AS (
+  SELECT e.vec_id, ct.c,
+         list_sum(list_transform(list_zip(e.embedding, ct.vec),
+                                 s -> s[1]::DOUBLE * s[2]::DOUBLE)) AS d
+  FROM embeddings e CROSS JOIN cents ct
+),
+cells AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qdots AS (
+  SELECT ct.c,
+         list_sum(list_transform(list_zip(ct.vec, q.qv),
+                                 s -> s[1]::DOUBLE * s[2]::DOUBLE)) AS d
+  FROM cents ct, q
+),
+probes AS (SELECT c FROM qdots ORDER BY d DESC, c ASC LIMIT {n_probe})
+SELECT e.vec_id,
+       ROUND(
+         list_sum(list_transform(list_zip(e.embedding, q.qv),
+                                 s -> s[1]::DOUBLE * s[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                                         x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv,
+                                           x -> x::DOUBLE * x::DOUBLE)))),
+         6) AS cos_sim
+FROM embeddings e
+JOIN cells cl ON cl.vec_id = e.vec_id, q
+WHERE cl.cell IN (SELECT c FROM probes)
 ORDER BY cos_sim DESC, e.vec_id ASC
 LIMIT 25
 """
@@ -756,6 +824,7 @@ FROM events GROUP BY 1, 2
     "simhash": _simhash_oracle(),
     "lang_id": _lang_id_oracle(),
     "ann_lsh": _ann_lsh_oracle(),
+    "ann_ivf": _ann_ivf_oracle(),
     "embedding_dup": _EMBEDDING_DUP_ORACLE,
     "image_meta": _IMAGE_META_ORACLE,
 }

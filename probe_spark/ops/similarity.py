@@ -12,6 +12,14 @@ Two paths:
     probes), cutting the scan by ~2^n_planes.  Plane vectors derive from a
     seeded counter hash (md5 -> uniform in [-1,1]) so driver and executors
     agree without shipping state.
+  * IVF-flat (coarse quantizer cells) — every vector is assigned to its
+    nearest of n_cells centroid directions (argmax dot); queries scan only
+    the n_probe closest cells.  Centroids are seeded-deterministic rather
+    than k-means-trained (training would make the assignment depend on
+    iterative float state that no independent oracle could reproduce);
+    the partition-by-cell / probe-pruning plumbing is identical to a
+    trained quantizer, which can be dropped in by replacing
+    _seeded_centroids with persisted trained centroids.
 
 Embedding near-dup (cosine > threshold pairs) composes bucketing with an
 exact verify join — the same candidate/verify shape as ops.dedup.
@@ -137,6 +145,82 @@ def lsh_topk(
                 break
     bucketed = with_lsh_bucket(df, dim, n_planes, vec_col, seed)
     cand = bucketed.filter(F.col("bucket").isin(sorted(probes)))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def _seeded_centroids(dim: int, n_cells: int, seed: int = 13) -> np.ndarray:
+    """Deterministic coarse-quantizer directions, same scheme as
+    _seeded_planes (md5 counter hash -> uniform in [-1,1])."""
+    out = np.empty((n_cells, dim), dtype=np.float64)
+    for c in range(n_cells):
+        for d in range(dim):
+            h = hashlib.md5(f"ivf|{seed}|{c}|{d}".encode()).hexdigest()
+            out[c, d] = int(h[:12], 16) / float(1 << 48) * 2.0 - 1.0
+    return out
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> DataFrame:
+    """Add ``cell`` = index of the max-dot centroid (ties -> lowest index).
+
+    Build side of an IVF index: write partitioned by cell; queries prune
+    to their n_probe nearest cells.  Dot products run inside codegen."""
+    cents = _seeded_centroids(dim, n_cells, seed)
+    v = F.col(vec_col)
+    dots = F.array(
+        *[
+            _dot(v, F.array(*[F.lit(float(x)) for x in cents[c]]))
+            for c in range(n_cells)
+        ]
+    )
+    return (
+        df.withColumn("_ivf_dots", dots)
+        .withColumn(
+            "cell",
+            (
+                F.expr("array_position(_ivf_dots, array_max(_ivf_dots))") - 1
+            ).cast("int"),
+        )
+        .drop("_ivf_dots")
+    )
+
+
+def _left_fold_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Strict left-to-right summed dot — the same accumulation order as
+    the F.aggregate fold and DuckDB's list_sum, so the driver-side probe
+    ranking can't diverge from the plan/oracle by a reassociation ulp."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k: scan only the n_probe cells whose centroid dot
+    with the query is highest (ties -> lowest cell index)."""
+    dim = len(query_vec)
+    cents = _seeded_centroids(dim, n_cells, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qdots = [_left_fold_dot(cents[c], qv) for c in range(n_cells)]
+    order = sorted(range(n_cells), key=lambda c: (-qdots[c], c))
+    probes = sorted(order[:n_probe])
+    cand = with_ivf_cell(df, dim, n_cells, vec_col, seed).filter(
+        F.col("cell").isin(probes)
+    )
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 

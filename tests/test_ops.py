@@ -163,6 +163,40 @@ class TestSimilarity:
         assert got[0] == 3
         assert 7 in got  # the planted near-duplicate shares the bucket
 
+    def test_ivf_topk_matches_numpy_probe_scan(self, emb_df):
+        # exactness contract: ivf_topk == brute-force restricted to the
+        # n_probe cells picked by the (deterministic) coarse quantizer
+        df, vecs = emb_df
+        q = vecs[3].astype(np.float64)
+        cents = similarity._seeded_centroids(16, 8, seed=13)
+        dots = vecs.astype(np.float64) @ cents.T  # (40, 8)
+        cells = dots.argmax(axis=1)
+        qdots = [similarity._left_fold_dot(cents[c], q) for c in range(8)]
+        probes = set(sorted(range(8), key=lambda c: (-qdots[c], c))[:3])
+        cand = [i for i in range(40) if cells[i] in probes]
+        sims = (vecs.astype(np.float64) @ q) / (
+            np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q)
+        )
+        exp = sorted(cand, key=lambda i: (-round(sims[i], 6), i))[:5]
+        got = [
+            r["id"]
+            for r in similarity.ivf_topk(
+                df, list(vecs[3]), k=5, n_cells=8, n_probe=3
+            ).collect()
+        ]
+        assert got == exp
+        assert got[0] == 3 and 7 in got  # near-dup lands in the same cell
+
+    def test_with_ivf_cell_matches_numpy_argmax(self, emb_df):
+        df, vecs = emb_df
+        cents = similarity._seeded_centroids(16, 8, seed=13)
+        exp = (vecs.astype(np.float64) @ cents.T).argmax(axis=1)
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in similarity.with_ivf_cell(df, 16, n_cells=8).collect()
+        }
+        assert got == {i: int(exp[i]) for i in range(40)}
+
     def test_embedding_dup_pairs_exact_vs_lsh(self, emb_df):
         df, _ = emb_df
         exact = {
