@@ -799,8 +799,8 @@ WITH x AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts, value,
-         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS session_id
+         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_id
   FROM x
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
