@@ -53,6 +53,8 @@ def cmd_build(args) -> int:
 
     spark = _build_session("probe-spark-build")
     df = _read_input(spark, args.input)
+    if args.filter:
+        df = df.filter(args.filter)
     cfg = BuildConfig(
         n_buckets=args.n_buckets,
         max_postings_per_segment=args.max_postings_per_segment,
@@ -71,6 +73,30 @@ def cmd_build(args) -> int:
 def cmd_search(args) -> int:
     from probe_spark.search.engine import SearchEngine
 
+    if args.reranker.startswith("ms-marco-"):
+        # reference gates these behind --features bert-reranker; BERT
+        # reranking is documented out of scope (SURVEY.md §2.6)
+        print(
+            f"error: reranker '{args.reranker}' requires a BERT runtime "
+            "(out of scope; use bm25/tfidf/hybrid/hybrid2, which all rank "
+            "with BM25 as the reference does)", file=sys.stderr,
+        )
+        return 2
+    args.query = " AND ".join(args.query)
+    timer = None
+    if args.timeout:
+        import os
+        import threading
+
+        def _expire():
+            print(f"error: search timed out after {args.timeout}s",
+                  file=sys.stderr)
+            os._exit(1)  # reference hard-exits the process (timeout.rs:38-40)
+
+        timer = threading.Timer(args.timeout, _expire)
+        timer.daemon = True
+        timer.start()
+
     if args.local:
         # driver-local low-latency path (no Spark session; posix index
         # paths): same results as the distributed engine, pinned by tests
@@ -86,6 +112,8 @@ def cmd_search(args) -> int:
             else:
                 text = (d.get("text") or "").replace("\n", " ")[:80]
                 print(f"{d['doc_id']}\t{d['score']:.4f}\t{text}")
+        if timer:
+            timer.cancel()
         return 0
 
     spark = _build_session("probe-spark-search")
@@ -123,6 +151,8 @@ def cmd_search(args) -> int:
             d = r.asDict()
             text = (d.get("text") or "").replace("\n", " ")[:80]
             print(f"{d['doc_id']}\t{d['score']:.4f}\t{text}")
+    if timer:
+        timer.cancel()
     return 0
 
 
@@ -160,10 +190,18 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--max-postings-per-segment", type=int, default=1 << 17)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--doc-partitions", type=int, default=None)
+    b.add_argument("--filter", default=None, metavar="SQL_PREDICATE",
+                   help="restrict the corpus before indexing, e.g. "
+                        "\"role = 'assistant'\" — the language-filter "
+                        "analog (reference --language restricts the scan; "
+                        "here the predicate pushes down to the table scan)")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="top-k BM25 search")
-    s.add_argument("query")
+    s.add_argument("query", nargs="+",
+                   help="one or more queries; multiple queries are joined "
+                        "with ' AND ' before parsing (reference: "
+                        "search_runner.rs:358-364)")
     s.add_argument("--index", required=True)
     s.add_argument("-k", "--max-results", type=int, default=10)
     s.add_argument("--max-bytes", type=int, default=None,
@@ -179,6 +217,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="session id: drop results already returned in this "
                         "session and record the new ones")
     s.add_argument("--format", choices=["text", "json"], default="text")
+    s.add_argument("-r", "--reranker", default="bm25",
+                   choices=["bm25", "tfidf", "hybrid", "hybrid2",
+                            "ms-marco-tinybert", "ms-marco-minilm-l6",
+                            "ms-marco-minilm-l12"],
+                   help="reference parity: every non-BERT value takes the "
+                        "same BM25 path (result_ranking.rs:19-167 ranks "
+                        "with rank_documents regardless); ms-marco-* BERT "
+                        "rerankers are out of scope and error out")
+    s.add_argument("--timeout", type=int, default=None, metavar="SECS",
+                   help="hard kill-switch: exit(1) the whole process if the "
+                        "search exceeds SECS (reference timeout.rs:8-43)")
     s.add_argument("--merge-turns", type=int, default=None, metavar="N",
                    help="merge result turns of one conversation within N "
                         "of each other into spans (block-merging analog)")

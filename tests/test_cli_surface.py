@@ -52,6 +52,56 @@ class TestCli:
         assert st["n_docs"] == out["n_docs"]
         assert any(m["phase"] == "docs" for m in st["manifest"])
 
+    def test_multi_query_joined_with_and(self, built_index, capsys):
+        # reference joins multiple CLI queries with " AND "
+        # (search_runner.rs:358-364): two queries == the explicit AND query
+        from probe_spark import cli
+
+        cli.main(["search", "error", "handling", "--index", built_index,
+                  "-k", "5", "--format", "json"])
+        two = [json.loads(x)["doc_id"]
+               for x in capsys.readouterr().out.strip().splitlines()]
+        cli.main(["search", "error AND handling", "--index", built_index,
+                  "-k", "5", "--format", "json"])
+        one = [json.loads(x)["doc_id"]
+               for x in capsys.readouterr().out.strip().splitlines()]
+        assert two == one and two
+
+    def test_reranker_aliases_and_bert_error(self, built_index, capsys):
+        # non-BERT reranker values all rank with BM25 (the reference's
+        # result_ranking.rs dispatch ignores them); ms-marco-* errors out
+        from probe_spark import cli
+
+        cli.main(["search", "error", "--index", built_index, "-k", "3",
+                  "--format", "json"])
+        base = capsys.readouterr().out
+        for rr in ["tfidf", "hybrid", "hybrid2"]:
+            cli.main(["search", "error", "--index", built_index, "-k", "3",
+                      "--format", "json", "--reranker", rr])
+            assert capsys.readouterr().out == base
+        rc = cli.main(["search", "error", "--index", built_index,
+                       "--reranker", "ms-marco-tinybert"])
+        assert rc == 2
+        assert "out of scope" in capsys.readouterr().err
+
+    def test_build_filter_restricts_corpus(self, spark, tmp_path, capsys):
+        from probe_spark import cli
+        from probe_spark.fixtures import write_transcripts_parquet
+
+        src = str(tmp_path / "corpus.parquet")
+        write_transcripts_parquet(src, n_convs=20, seed=9)
+        idx_all = str(tmp_path / "idx_all")
+        cli.main(["build", "--input", src, "--output", idx_all,
+                  "--n-buckets", "4"])
+        n_all = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])["n_docs"]
+        idx_f = str(tmp_path / "idx_f")
+        cli.main(["build", "--input", src, "--output", idx_f,
+                  "--n-buckets", "4", "--filter", "role = 'assistant'"])
+        n_f = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])["n_docs"]
+        assert 0 < n_f < n_all
+
     def test_search_session_dedup(self, built_index, capsys):
         from probe_spark import cli
 
