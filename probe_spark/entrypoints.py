@@ -385,6 +385,30 @@ def _q_image_meta(spark, sf_dir):
     )
 
 
+def _q_image_resize(spark, sf_dir):
+    """Multimodal resize path (mean-pool fold to a fixed 8x8 grayscale
+    array; rows-only check — pixel folding is not SQL-expressible)."""
+    from probe_spark.ops import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("sample_id"),
+        F.encode(F.col("text"), "UTF-8").alias("image"),
+    )
+    return multimodal.image_resize(docs, out_w=8, out_h=8)
+
+
+def _q_audio_meta(spark, sf_dir):
+    """Multimodal audio path (int16-PCM fake decode -> duration/RMS/zero
+    crossings; rows-only check — PCM math is not SQL-expressible)."""
+    from probe_spark.ops import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("sample_id"),
+        F.encode(F.col("text"), "UTF-8").alias("audio"),
+    )
+    return multimodal.audio_features(docs)
+
+
 QUERIES = {
     "bm25_or": _q_bm25_or,
     "bm25_and": _q_bm25_and,
@@ -414,7 +438,29 @@ QUERIES = {
     "lang_id": _q_lang_id,
     "embedding_dup": _q_embedding_dup,
     "image_meta": _q_image_meta,
+    "image_resize": _q_image_resize,
+    "audio_meta": _q_audio_meta,
 }
+
+
+def _shipped(fn):
+    """Every contract query ships the package to executors first: entries
+    backed by Python-worker ops (mapInPandas / pandas UDFs) must work in a
+    FRESH session regardless of run order — without this, they only work
+    if an engine/builder ctor (which ships the zip) happened to run first."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir):
+        from probe_spark.runtime import ensure_package_on_executors
+
+        ensure_package_on_executors(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
+QUERIES = {name: _shipped(fn) for name, fn in QUERIES.items()}
 
 
 # --------------------------------------------------------------------------
@@ -828,6 +874,12 @@ FROM events GROUP BY 1, 2
     "embedding_dup": _EMBEDDING_DUP_ORACLE,
     "image_meta": _IMAGE_META_ORACLE,
 }
+
+# queries with no SQL oracle (the driver records a rows-only check):
+# decode-side math (pixel folds, PCM statistics) is not expressible in
+# DuckDB SQL over binary payloads.  Every other query MUST carry an oracle
+# (pinned by tests/test_entry_contract.py).
+ROWS_ONLY = {"image_resize", "audio_meta"}
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -59,6 +59,27 @@ FRAME_SAMPLE_SCHEMA = StructType(
     ]
 )
 
+IMAGE_RESIZE_SCHEMA = StructType(
+    [
+        StructField("sample_id", LongType(), False),
+        StructField("out_w", IntegerType(), False),
+        StructField("out_h", IntegerType(), False),
+        StructField("pixels", ArrayType(FloatType(), False), False),
+        StructField("status", StringType(), False),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("sample_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("duration_ms", FloatType(), False),
+        StructField("rms", FloatType(), False),
+        StructField("zero_crossings", IntegerType(), False),
+        StructField("status", StringType(), False),
+    ]
+)
+
 
 def _fake_decode_image(data: bytes) -> tuple[int, int]:
     """Deterministic stand-in for a real decoder: derive (w, h) from content.
@@ -104,6 +125,80 @@ def image_features(df: DataFrame, id_col: str = "sample_id",
             )
 
     return df.select(id_col, bin_col).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def image_resize(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    id_col: str = "sample_id",
+    bin_col: str = "image",
+) -> DataFrame:
+    """Resize to a fixed out_w x out_h grayscale pixel array.
+
+    The "decoded image" is the deterministic fake (bytes = row-major
+    grayscale); resize = mean-pool fold into out_w*out_h cells — a real
+    deployment swaps the two marked lines for PIL decode + PIL resize and
+    keeps the identical batch/schema plumbing.  Output is a fixed-width
+    float array, so downstream stages shuffle out_w*out_h floats per
+    sample, never the source blob."""
+    n_px = out_w * out_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for sid, data in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(data) if data is not None else b""
+                try:
+                    _fake_decode_image(b)  # deployment: PIL.Image.open
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.float32)
+                    pad = (-len(arr)) % n_px  # deployment: img.resize((w, h))
+                    px = np.pad(arr, (0, pad)).reshape(-1, n_px).mean(axis=0)
+                    rows.append((int(sid), out_w, out_h, px.tolist(), "ok"))
+                except (ValueError, OSError):
+                    rows.append((int(sid), out_w, out_h, [], "error"))
+            yield pd.DataFrame(
+                rows, columns=["sample_id", "out_w", "out_h", "pixels", "status"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, IMAGE_RESIZE_SCHEMA)
+
+
+def audio_features(
+    df: DataFrame,
+    sample_rate: int = 16_000,
+    id_col: str = "sample_id",
+    bin_col: str = "audio",
+) -> DataFrame:
+    """Audio decode + feature extraction: duration, RMS level, zero
+    crossings.  The fake decoder reads the payload as int16 PCM mono at
+    ``sample_rate`` (a deployment swaps it for soundfile/torchaudio inside
+    the same batch function); corrupt/empty rows return status='error'."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for sid, data in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(data) if data is not None else b""
+                if len(b) < 2:
+                    rows.append((int(sid), len(b), 0.0, 0.0, 0, "error"))
+                    continue
+                pcm = np.frombuffer(
+                    b[: len(b) - len(b) % 2], dtype="<i2"
+                ).astype(np.float64)
+                dur = len(pcm) / sample_rate * 1000.0
+                rms = float(np.sqrt(np.mean(pcm * pcm)))
+                zc = int(np.count_nonzero(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+                rows.append((int(sid), len(b), float(dur), rms, zc, "ok"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "sample_id", "n_bytes", "duration_ms",
+                    "rms", "zero_crossings", "status",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample(

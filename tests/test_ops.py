@@ -263,6 +263,34 @@ class TestMultimodal:
         assert out[1]["status"] == "error"
         assert out[2]["byte_mean"] == pytest.approx(np.mean(range(100)), rel=1e-6)
 
+    def test_image_resize_fixed_width_output(self, spark):
+        rows = [
+            (0, bytearray(bytes(range(200)))),
+            (1, bytearray(b"")),  # corrupt -> error row with empty pixels
+        ]
+        df = spark.createDataFrame(rows, "sample_id long, image binary")
+        out = {r["sample_id"]: r
+               for r in multimodal.image_resize(df, out_w=4, out_h=4).collect()}
+        assert out[0]["status"] == "ok" and len(out[0]["pixels"]) == 16
+        # mean-pool fold: cell 0 = mean of bytes 0,16,32,... with zero-pad
+        arr = np.pad(np.arange(200, dtype=np.float32), (0, (-200) % 16))
+        exp = arr.reshape(-1, 16).mean(axis=0)
+        assert out[0]["pixels"][0] == pytest.approx(float(exp[0]), rel=1e-6)
+        assert out[1]["status"] == "error" and out[1]["pixels"] == []
+
+    def test_audio_features_pcm_math(self, spark):
+        # 4 int16 samples: +1000, -1000, +1000, -1000 -> 3 zero crossings,
+        # rms 1000, duration 4/16000 s = 0.25 ms
+        pcm = np.array([1000, -1000, 1000, -1000], dtype="<i2").tobytes()
+        rows = [(0, bytearray(pcm)), (1, bytearray(b"\x01"))]
+        df = spark.createDataFrame(rows, "sample_id long, audio binary")
+        out = {r["sample_id"]: r for r in multimodal.audio_features(df).collect()}
+        assert out[0]["status"] == "ok"
+        assert out[0]["zero_crossings"] == 3
+        assert out[0]["rms"] == pytest.approx(1000.0, rel=1e-6)
+        assert out[0]["duration_ms"] == pytest.approx(0.25, rel=1e-6)
+        assert out[1]["status"] == "error"
+
     def test_frame_sample_expands_rows(self, spark):
         df = spark.createDataFrame(
             [(0, bytearray(bytes(range(64))))], "sample_id long, video binary"
