@@ -224,6 +224,52 @@ def ivf_topk(
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> None:
+    """Materialize an IVF index: the corpus written partitioned by ``cell``.
+
+    At 100 TB this is the point of IVF — cell assignment (n_cells dot
+    products per vector) happens ONCE at build; every query then reads only
+    its n_probe cell directories via partition pruning, never touching the
+    other (n_cells - n_probe)/n_cells of the data and never recomputing
+    assignment dots."""
+    with_ivf_cell(df, dim, n_cells, vec_col, seed).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Top-k over a write_ivf_index() directory.  The driver picks the
+    n_probe cells (same seeded centroids), and ``cell IN (...)`` is a
+    partition filter — the scan lists only those directories
+    (PartitionFilters in .explain), so per-query IO is n_probe/n_cells of
+    the corpus.  Rank-identical to ivf_topk() on the same parameters."""
+    dim = len(query_vec)
+    cents = _seeded_centroids(dim, n_cells, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qdots = [_left_fold_dot(cents[c], qv) for c in range(n_cells)]
+    order = sorted(range(n_cells), key=lambda c: (-qdots[c], c))
+    probes = sorted(order[:n_probe])
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

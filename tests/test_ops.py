@@ -197,6 +197,29 @@ class TestSimilarity:
         }
         assert got == {i: int(exp[i]) for i in range(40)}
 
+    def test_ivf_indexed_prunes_partitions_and_matches(self, emb_df, tmp_path):
+        # the materialized IVF path must (a) be rank-identical to the
+        # on-the-fly ivf_topk and (b) actually prune: the filtered scan
+        # lists only the n_probe cell directories
+        df, vecs = emb_df
+        path = str(tmp_path / "ivf_idx")
+        similarity.write_ivf_index(df, path, dim=16, n_cells=8)
+        spark = df.sparkSession
+        got = similarity.ivf_topk_indexed(
+            spark, path, list(vecs[3]), k=5, n_cells=8, n_probe=3
+        )
+        exp = similarity.ivf_topk(
+            df, list(vecs[3]), k=5, n_cells=8, n_probe=3
+        ).collect()
+        assert [(r["id"], r["cos_sim"]) for r in got.collect()] == [
+            (r["id"], r["cos_sim"]) for r in exp
+        ]
+        # pruning evidence: the scan carries the cell predicate as a
+        # PARTITION filter (directory pruning), not a data filter
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "cell" in pf[0] and "PartitionFilters: []" not in pf[0]
+
     def test_embedding_dup_pairs_exact_vs_lsh(self, emb_df):
         df, _ = emb_df
         exact = {
