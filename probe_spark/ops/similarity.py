@@ -113,20 +113,13 @@ def with_lsh_bucket(
     return df.withColumn("bucket", code.cast("int"))
 
 
-def lsh_topk(
-    df: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    n_planes: int = 8,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    seed: int = 7,
-    multiprobe: int = 1,
-) -> DataFrame:
-    """Approximate top-k: scan only buckets within ``multiprobe`` sign flips
-    of the query's bucket (1 + n_planes buckets for multiprobe=1)."""
-    dim = len(query_vec)
-    planes = _seeded_planes(dim, n_planes, seed)
+def _lsh_probes(
+    query_vec: list[float], n_planes: int, seed: int, multiprobe: int
+) -> list[int]:
+    """Driver-side probe bucket set: the query's own sign-bit code, plus
+    (for multiprobe > 0) codes reached by flipping the lowest-margin planes
+    first, capped at 1 + n_planes * multiprobe buckets."""
+    planes = _seeded_planes(len(query_vec), n_planes, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
     qcode = 0
     margins = []
@@ -143,8 +136,24 @@ def lsh_topk(
                 probes.add(base ^ (1 << p))
             if len(probes) >= 1 + n_planes * multiprobe:
                 break
-    bucketed = with_lsh_bucket(df, dim, n_planes, vec_col, seed)
-    cand = bucketed.filter(F.col("bucket").isin(sorted(probes)))
+    return sorted(probes)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only buckets within ``multiprobe`` sign flips
+    of the query's bucket (1 + n_planes buckets for multiprobe=1)."""
+    probes = _lsh_probes(query_vec, n_planes, seed, multiprobe)
+    bucketed = with_lsh_bucket(df, len(query_vec), n_planes, vec_col, seed)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
@@ -221,6 +230,42 @@ def ivf_topk(
     cand = with_ivf_cell(df, dim, n_cells, vec_col, seed).filter(
         F.col("cell").isin(probes)
     )
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> None:
+    """Materialize an LSH index: the corpus written partitioned by
+    ``bucket`` (sign-bit code).  Same scale rationale as write_ivf_index:
+    bucketing happens once at build; queries partition-prune to their
+    probe buckets."""
+    with_lsh_bucket(df, dim, n_planes, vec_col, seed).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Top-k over a write_lsh_index() directory: the driver computes the
+    probe bucket set (same plane math as lsh_topk) and ``bucket IN (...)``
+    prunes to those directories.  Rank-identical to lsh_topk()."""
+    probes = _lsh_probes(query_vec, n_planes, seed, multiprobe)
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 

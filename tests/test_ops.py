@@ -220,6 +220,24 @@ class TestSimilarity:
         pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
         assert pf and "cell" in pf[0] and "PartitionFilters: []" not in pf[0]
 
+    def test_lsh_indexed_prunes_partitions_and_matches(self, emb_df, tmp_path):
+        df, vecs = emb_df
+        path = str(tmp_path / "lsh_idx")
+        similarity.write_lsh_index(df, path, dim=16, n_planes=6)
+        spark = df.sparkSession
+        got = similarity.lsh_topk_indexed(
+            spark, path, list(vecs[3]), k=3, n_planes=6, multiprobe=1
+        )
+        exp = similarity.lsh_topk(
+            df, list(vecs[3]), k=3, n_planes=6, multiprobe=1
+        ).collect()
+        assert [(r["id"], r["cos_sim"]) for r in got.collect()] == [
+            (r["id"], r["cos_sim"]) for r in exp
+        ]
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "bucket" in pf[0] and "PartitionFilters: []" not in pf[0]
+
     def test_embedding_dup_pairs_exact_vs_lsh(self, emb_df):
         df, _ = emb_df
         exact = {
