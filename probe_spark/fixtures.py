@@ -205,6 +205,11 @@ def transcripts_df_dist(spark, n_convs: int, seed: int = 42, parts: int | None =
     import pandas as pd
     from pyspark.sql import functions as F  # noqa: F401
 
+    from probe_spark.runtime import ensure_package_on_executors
+
+    # the gen closure unpickles against this module — ship the package so
+    # the generator works in a fresh session with no builder/engine first
+    ensure_package_on_executors(spark)
     p = parts or spark.sparkContext.defaultParallelism * 2
 
     def gen(batches):

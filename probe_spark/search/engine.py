@@ -70,6 +70,11 @@ from probe_spark.runtime import ensure_package_on_executors, warm_python_workers
 K1 = 1.5
 B = 0.5
 MAX_QUERY_TERMS = 256
+# affected-doc fetches at or below this cardinality go through a literal
+# doc_id IN (...) predicate (parquet row-group pruning); above it, a
+# broadcast-join full scan is the lesser evil (a 100k-literal In bloats
+# planning more than the scan saves)
+ISIN_PUSHDOWN_CAP = 10_000
 
 _DECODED_SCHEMA = StructType(
     [
@@ -615,6 +620,20 @@ class SearchEngine:
                     )
                 )
                 anti_ids = affected_ids
+                if ids.size <= ISIN_PUSHDOWN_CAP:
+                    # a literal IN predicate reaches the parquet scan
+                    # (PushedFilters: In(doc_id, ...)) — docs/ is sorted by
+                    # doc_id within range partitions, so row-group stats
+                    # skip everything but the touched groups.  The broadcast
+                    # join can't prune IO: it scans every text byte of the
+                    # corpus to keep a handful of rows.
+                    affected = self.docs.filter(
+                        F.col("doc_id").isin([int(x) for x in ids])
+                    ).select("doc_id", "text", "dl")
+                else:
+                    affected = self.docs.join(affected_ids, "doc_id").select(
+                        "doc_id", "text", "dl"
+                    )
             else:
                 raw_f = self._fetch(self.raw_postings, affecting, "raw")
                 raw_decoded = raw_f.mapInArrow(
@@ -622,9 +641,9 @@ class SearchEngine:
                 )
                 affected_ids = raw_decoded.select("doc_id").distinct()
                 anti_ids = None  # derive from persisted retok below
-            affected = self.docs.join(affected_ids, "doc_id").select(
-                "doc_id", "text", "dl"
-            )
+                affected = self.docs.join(affected_ids, "doc_id").select(
+                    "doc_id", "text", "dl"
+                )
             retok_schema = StructType(
                 [
                     StructField("doc_id", LongType(), False),
