@@ -128,17 +128,32 @@ def decode_blocks(
     dl_off = np.asarray(block_dl_off, dtype=np.int64)
     last = np.asarray(block_last, dtype=np.int64)
     n_blocks = len(last)
+    # Consecutive kept blocks share one continuous delta stream (gaps never
+    # reset at block boundaries), so a run [s, e) decodes with ONE
+    # varint_decode over the whole byte range — when pruning keeps most
+    # blocks (single-term queries with narrow dl spread), this turns
+    # thousands of tiny decode calls into a handful of big vectorized ones.
+    runs: list[tuple[int, int]] = []
+    s = int(keep[0])
+    prev = s
+    for i in keep[1:]:
+        i = int(i)
+        if i == prev + 1:
+            prev = i
+            continue
+        runs.append((s, prev + 1))
+        s = prev = i
+    runs.append((s, prev + 1))
     ids_parts = []
     dl_parts = []
-    for i in keep:
-        i = int(i)
-        d_end = doc_off[i + 1] if i + 1 < n_blocks else len(docs_bin)
-        l_end = dl_off[i + 1] if i + 1 < n_blocks else len(dl_bin)
-        gaps = varint_decode(docs_bin[doc_off[i] : d_end])
-        base = last[i - 1] if i > 0 else 0
+    for s, e in runs:
+        d_end = doc_off[e] if e < n_blocks else len(docs_bin)
+        l_end = dl_off[e] if e < n_blocks else len(dl_bin)
+        gaps = varint_decode(docs_bin[doc_off[s] : d_end])
+        base = last[s - 1] if s > 0 else 0
         ids_parts.append(np.cumsum(gaps.astype(np.int64)) + base)
         dl_parts.append(
-            varint_decode(dl_bin[dl_off[i] : l_end]).astype(np.int64)
+            varint_decode(dl_bin[dl_off[s] : l_end]).astype(np.int64)
         )
     return np.concatenate(ids_parts), np.concatenate(dl_parts)
 

@@ -420,27 +420,37 @@ class SearchEngine:
         if best:
             from probe_spark.index.codec import decode_blocks
 
-            pairs = [(b.term, b.salt, b.seg_seq) for b in best.values()]
-            pair_col = F.struct(F.col("term"), F.col("salt"), F.col("seg_seq"))
+            pairs = [
+                (b.term, b.salt, b.seg_seq, b.min_doc) for b in best.values()
+            ]
+            pair_col = F.struct(
+                F.col("term"), F.col("salt"), F.col("seg_seq"),
+                F.col("min_doc"),
+            )
             want = [
-                F.struct(F.lit(t), F.lit(s), F.lit(q)) for t, s, q in pairs
+                F.struct(
+                    F.lit(t), F.lit(s), F.lit(q), F.lit(m).cast("long")
+                )
+                for t, s, q, m in pairs
             ]
             boot_rows = (
                 self.postings.filter(seg_filter)
                 .filter(pair_col.isin(*want) if want else F.lit(False))
                 .select(
-                    "term", "salt", "seg_seq", "docs_bin", "dl_bin",
-                    "block_last_doc", "block_doc_off", "block_dl_off",
+                    "term", "salt", "seg_seq", "min_doc", "docs_bin",
+                    "dl_bin", "block_last_doc", "block_doc_off",
+                    "block_dl_off",
                 )
                 .collect()
             )
             decoded = []
             by_pair = {
-                (r["term"], int(r["salt"]), int(r["seg_seq"])): r
+                (r["term"], int(r["salt"]), int(r["seg_seq"]),
+                 int(r["min_doc"])): r
                 for r in boot_rows
             }
             for b in best.values():
-                r = by_pair.get((b.term, b.salt, b.seg_seq))
+                r = by_pair.get((b.term, b.salt, b.seg_seq, b.min_doc))
                 if r is None:
                     continue
                 ids, dls = decode_blocks(
@@ -457,12 +467,16 @@ class SearchEngine:
         if not keep:
             return empty
         keep_df = spark.createDataFrame(
-            [(t, s, q, sorted(blocks)) for (t, s, q), blocks in keep.items()],
-            "term string, salt int, seg_seq int, keep array<int>",
+            [
+                (t, s, q, m, sorted(blocks))
+                for (t, s, q, m), blocks in keep.items()
+            ],
+            "term string, salt int, seg_seq int, min_doc long, "
+            "keep array<int>",
         )
         decoded = (
             self.postings.filter(seg_filter)
-            .join(F.broadcast(keep_df), ["term", "salt", "seg_seq"])
+            .join(F.broadcast(keep_df), ["term", "salt", "seg_seq", "min_doc"])
             .select(
                 "term", "docs_bin", "dl_bin", "block_last_doc",
                 "block_doc_off", "block_dl_off", "keep",
@@ -470,12 +484,6 @@ class SearchEngine:
             .mapInArrow(_decode_blocks_arrow, _DECODE_KEEP_SCHEMA)
         )
 
-        hits = decoded.groupBy("doc_id").agg(
-            F.collect_set("term").alias("hits"), F.first("dl").alias("dl")
-        )
-        present = {
-            kw: F.array_contains(F.col("hits"), kw) for kw in token_terms
-        }
         tf_norm = F.lit(K1 + 1.0) / (
             F.lit(1.0)
             + F.lit(K1)
@@ -484,6 +492,29 @@ class SearchEngine:
                 + F.lit(B) * (F.col("dl").cast("double") / F.lit(self.avgdl))
             )
         )
+        if isinstance(expr, ast.Term):
+            # single optional term: each doc appears once in decoded
+            # (segments hold disjoint doc ranges per term), the boolean
+            # eval is trivially true, and score = idf * tf_norm — so the
+            # groupBy(doc_id) shuffle is a no-op.  Skipping it makes the
+            # whole query scan -> decode -> TakeOrderedAndProject, no
+            # exchange at all.
+            idf = next(iter(idfs.values()))
+            result = (
+                decoded.select(
+                    "doc_id", (F.lit(idf) * tf_norm).alias("score")
+                )
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+            return self._with_meta(result) if with_metadata else result
+
+        hits = decoded.groupBy("doc_id").agg(
+            F.collect_set("term").alias("hits"), F.first("dl").alias("dl")
+        )
+        present = {
+            kw: F.array_contains(F.col("hits"), kw) for kw in token_terms
+        }
         scored = hits.withColumn("_tf_norm", tf_norm)
         eval_col = self._compile_eval(expr, present)
         score_col = self._compile_score(expr, idfs, present)
@@ -495,18 +526,22 @@ class SearchEngine:
             .limit(k)
         )
         if with_metadata:
-            result = (
-                F.broadcast(result)
-                .join(
-                    self.docs.select(
-                        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                        "text",
-                    ),
-                    "doc_id",
-                )
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-            )
+            result = self._with_meta(result)
         return result
+
+    def _with_meta(self, result: DataFrame) -> DataFrame:
+        """k winners are tiny -> broadcast them against docs metadata."""
+        return (
+            F.broadcast(result)
+            .join(
+                self.docs.select(
+                    "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                    "text",
+                ),
+                "doc_id",
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
 
     # -- search ----------------------------------------------------------------
     def search(

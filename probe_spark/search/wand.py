@@ -73,6 +73,10 @@ class BlockRef:
     term: str
     salt: int
     seg_seq: int
+    min_doc: int  # segment's min_doc — part of the segment key: streamed
+    # delta builds append segments whose seg_seq restarts at 0 per batch,
+    # so (term, salt, seg_seq) alone collides across deltas; per-term doc
+    # ranges are disjoint, so min_doc disambiguates
     block: int
     start: int  # first possible doc id in the block
     end: int  # last doc id in the block (inclusive)
@@ -93,7 +97,7 @@ def block_refs(metas: list[SegmentMeta], idfs: dict[str, float], avgdl: float):
         for i in range(len(m.block_last)):
             refs.append(
                 BlockRef(
-                    m.term, m.salt, m.seg_seq, i,
+                    m.term, m.salt, m.seg_seq, m.min_doc, i,
                     int(starts[i]), int(m.block_last[i]), float(ubs[i]),
                 )
             )
@@ -114,16 +118,18 @@ def select_blocks(
 ) -> tuple[dict[tuple[str, int, int], list[int]], dict[str, int]]:
     """Event-sweep bound computation + block selection.
 
-    Returns ({(term, salt, seg_seq): [kept block indices]}, stats).  With
-    theta <= 0 everything is kept (no pruning possible).
+    Returns ({(term, salt, seg_seq, min_doc): [kept block indices]}, stats).
+    With theta <= 0 everything is kept (no pruning possible).
     """
     stats = {"blocks_total": len(refs), "blocks_kept": 0}
-    keep: dict[tuple[str, int, int], list[int]] = {}
+    keep: dict[tuple[str, int, int, int], list[int]] = {}
     if not refs:
         return keep, stats
     if theta <= 0.0:
         for r in refs:
-            keep.setdefault((r.term, r.salt, r.seg_seq), []).append(r.block)
+            keep.setdefault(
+                (r.term, r.salt, r.seg_seq, r.min_doc), []
+            ).append(r.block)
         stats["blocks_kept"] = len(refs)
         return keep, stats
 
@@ -156,7 +162,9 @@ def select_blocks(
         if hi[i] > lo[i]:
             mx = max(mx, float(bound_at[lo[i] : hi[i]].max()))
         if mx >= theta - 1e-12:
-            keep.setdefault((r.term, r.salt, r.seg_seq), []).append(r.block)
+            keep.setdefault(
+                (r.term, r.salt, r.seg_seq, r.min_doc), []
+            ).append(r.block)
             stats["blocks_kept"] += 1
     return keep, stats
 

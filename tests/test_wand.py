@@ -52,16 +52,16 @@ class TestSweep:
         # term a: two blocks [0,99] ub=2.0, [100,199] ub=1.0
         # term b: one block [50,149] ub=0.5
         return [
-            wand.BlockRef("a", 0, 0, 0, 0, 99, 2.0),
-            wand.BlockRef("a", 0, 0, 1, 100, 199, 1.0),
-            wand.BlockRef("b", 0, 0, 0, 50, 149, 0.5),
+            wand.BlockRef("a", 0, 0, 0, 0, 0, 99, 2.0),
+            wand.BlockRef("a", 0, 0, 0, 1, 100, 199, 1.0),
+            wand.BlockRef("b", 0, 0, 50, 0, 50, 149, 0.5),
         ]
 
     def test_bound_sums_overlaps(self):
         keep, stats = wand.select_blocks(self._refs(), theta=2.4)
         # bound peaks at 2.5 on [50,99]: blocks a0 and b0 survive, a1 (max
         # bound 1.5 on [100,149]) is pruned
-        assert keep == {("a", 0, 0): [0], ("b", 0, 0): [0]}
+        assert keep == {("a", 0, 0, 0): [0], ("b", 0, 0, 50): [0]}
         assert stats["blocks_kept"] == 2
 
     def test_theta_zero_keeps_all(self):
