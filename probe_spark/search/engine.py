@@ -251,6 +251,10 @@ class SearchEngine:
         self.n_buckets = int(stats["n_buckets"])
         self.docs = spark.read.parquet(f"{index_path}/docs")
         self._df_cache: dict[str, int] = {}
+        # per-term WAND metadata + bootstrap-block memos (query services
+        # repeat terms across queries; each miss costs a ~0.3s collect job)
+        self._meta_cache: dict[str, list] = {}
+        self._boot_cache: dict[tuple, tuple] = {}
         segments = spark.read.parquet(f"{index_path}/postings")
         # kind is a partition directory -> these filters prune at the source
         self.postings = segments.filter(F.col("kind") == "tok")
@@ -262,6 +266,8 @@ class SearchEngine:
         after a refresh; queries between refreshes see a consistent older
         snapshot)."""
         self._df_cache.clear()
+        self._meta_cache.clear()
+        self._boot_cache.clear()
         self.__init__(self.spark, self.index_path)
 
     # -- postings access ------------------------------------------------------
@@ -379,27 +385,43 @@ class SearchEngine:
         seg_filter = F.col("bucket").isin(buckets) & F.col("term").isin(
             token_terms
         )
-        # 1. metadata collect: no binary columns -> pruned parquet scan
-        meta_rows = (
-            self.postings.filter(seg_filter)
-            .select(
-                "term", "salt", "seg_seq", "df_seg", "min_doc", "max_doc",
-                "block_last_doc", "block_min_dl",
+        # 1. metadata collect: no binary columns -> pruned parquet scan;
+        #    memoized per term (repeat terms across a query service's
+        #    queries skip the job entirely)
+        miss = [t for t in token_terms if t not in self._meta_cache]
+        if miss:
+            miss_buckets = sorted(
+                {spark_bucket(t, self.n_buckets) for t in miss}
             )
-            .collect()
-        )
-        metas = [
-            wand.SegmentMeta(
-                r["term"], int(r["salt"]), int(r["seg_seq"]),
-                int(r["min_doc"]), int(r["max_doc"]),
-                np.asarray(r["block_last_doc"], dtype=np.int64),
-                np.asarray(r["block_min_dl"], dtype=np.int32),
+            meta_rows = (
+                self.postings.filter(
+                    F.col("bucket").isin(miss_buckets)
+                    & F.col("term").isin(miss)
+                )
+                .select(
+                    "term", "salt", "seg_seq", "df_seg", "min_doc",
+                    "max_doc", "block_last_doc", "block_min_dl",
+                )
+                .collect()
             )
-            for r in meta_rows
-        ]
+            if len(self._meta_cache) >= 2048:
+                self._meta_cache.clear()  # block arrays are ~KB-20KB/term
+            for t in miss:
+                self._meta_cache[t] = []
+            for r in meta_rows:
+                self._meta_cache[r["term"]].append(
+                    wand.SegmentMeta(
+                        r["term"], int(r["salt"]), int(r["seg_seq"]),
+                        int(r["min_doc"]), int(r["max_doc"]),
+                        np.asarray(r["block_last_doc"], dtype=np.int64),
+                        np.asarray(r["block_min_dl"], dtype=np.int32),
+                        int(r["df_seg"]),
+                    )
+                )
+        metas = [m for t in token_terms for m in self._meta_cache[t]]
         df_by_term: dict[str, int] = {}
-        for r in meta_rows:
-            df_by_term[r["term"]] = df_by_term.get(r["term"], 0) + int(r["df_seg"])
+        for m in metas:
+            df_by_term[m.term] = df_by_term.get(m.term, 0) + m.df_seg
         for t in token_terms:
             self._df_cache.setdefault(t, df_by_term.get(t, 0))
         idfs = {
@@ -420,8 +442,13 @@ class SearchEngine:
         if best:
             from probe_spark.index.codec import decode_blocks
 
+            # bootstrap blocks are per-(segment, block) constants — memoize
+            # so repeat terms skip this collect too
             pairs = [
-                (b.term, b.salt, b.seg_seq, b.min_doc) for b in best.values()
+                (b.term, b.salt, b.seg_seq, b.min_doc)
+                for b in best.values()
+                if (b.term, b.salt, b.seg_seq, b.min_doc, b.block)
+                not in self._boot_cache
             ]
             pair_col = F.struct(
                 F.col("term"), F.col("salt"), F.col("seg_seq"),
@@ -434,31 +461,41 @@ class SearchEngine:
                 for t, s, q, m in pairs
             ]
             boot_rows = (
-                self.postings.filter(seg_filter)
-                .filter(pair_col.isin(*want) if want else F.lit(False))
-                .select(
-                    "term", "salt", "seg_seq", "min_doc", "docs_bin",
-                    "dl_bin", "block_last_doc", "block_doc_off",
-                    "block_dl_off",
+                (
+                    self.postings.filter(seg_filter)
+                    .filter(pair_col.isin(*want))
+                    .select(
+                        "term", "salt", "seg_seq", "min_doc", "docs_bin",
+                        "dl_bin", "block_last_doc", "block_doc_off",
+                        "block_dl_off",
+                    )
+                    .collect()
                 )
-                .collect()
+                if want
+                else []
             )
-            decoded = []
             by_pair = {
                 (r["term"], int(r["salt"]), int(r["seg_seq"]),
                  int(r["min_doc"])): r
                 for r in boot_rows
             }
+            decoded = []
             for b in best.values():
-                r = by_pair.get((b.term, b.salt, b.seg_seq, b.min_doc))
-                if r is None:
-                    continue
-                ids, dls = decode_blocks(
-                    bytes(r["docs_bin"]), bytes(r["dl_bin"]),
-                    r["block_last_doc"], r["block_doc_off"],
-                    r["block_dl_off"], [b.block],
-                )
-                decoded.append((b.term, ids, dls))
+                ck = (b.term, b.salt, b.seg_seq, b.min_doc, b.block)
+                hit = self._boot_cache.get(ck)
+                if hit is None:
+                    r = by_pair.get((b.term, b.salt, b.seg_seq, b.min_doc))
+                    if r is None:
+                        continue
+                    hit = decode_blocks(
+                        bytes(r["docs_bin"]), bytes(r["dl_bin"]),
+                        r["block_last_doc"], r["block_doc_off"],
+                        r["block_dl_off"], [b.block],
+                    )
+                    if len(self._boot_cache) >= 4096:
+                        self._boot_cache.clear()
+                    self._boot_cache[ck] = hit
+                decoded.append((b.term, hit[0], hit[1]))
             theta = wand.partial_theta(decoded, idfs, self.avgdl, k)
 
         # 3. sweep + selection

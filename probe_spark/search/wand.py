@@ -66,6 +66,7 @@ class SegmentMeta:
     max_doc: int
     block_last: np.ndarray  # int64 per block
     block_min_dl: np.ndarray  # int32 per block
+    df_seg: int = 0  # postings count in this segment (df contribution)
 
 
 @dataclass
