@@ -104,10 +104,12 @@ def cmd_search(args) -> int:
 
         rows = LocalSearcher(args.index).search(
             args.query, k=args.max_results, exact=args.exact,
-            with_metadata=not args.ids_only,
+            with_metadata=not args.ids_only or args.dry_run,
         )
         for d in rows:
-            if args.format == "json":
+            if args.dry_run:
+                print(f"{d.get('conv_id')}:{d.get('turn_idx')}")
+            elif args.format == "json":
                 print(json.dumps({k: _jsonable(v) for k, v in d.items()}))
             else:
                 text = (d.get("text") or "").replace("\n", " ")[:80]
@@ -122,7 +124,7 @@ def cmd_search(args) -> int:
         args.query,
         k=args.max_results,
         exact=args.exact,
-        with_metadata=not args.ids_only,
+        with_metadata=not args.ids_only or args.dry_run,
         prune=not args.no_prune,
     )
     if (args.max_bytes or args.max_tokens) and not args.ids_only:
@@ -143,7 +145,11 @@ def cmd_search(args) -> int:
 
         res = merge_adjacent_turns(res, threshold=args.merge_turns)
     rows = res.collect()
-    if args.format == "json":
+    if args.dry_run:
+        for r in rows:
+            d = r.asDict()
+            print(f"{d.get('conv_id')}:{d.get('turn_idx')}")
+    elif args.format == "json":
         for r in rows:
             print(json.dumps({k: _jsonable(v) for k, v in r.asDict().items()}))
     else:
@@ -228,6 +234,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--timeout", type=int, default=None, metavar="SECS",
                    help="hard kill-switch: exit(1) the whole process if the "
                         "search exceeds SECS (reference timeout.rs:8-43)")
+    s.add_argument("--dry-run", action="store_true",
+                   help="print result locators (conv_id:turn_idx) only, no "
+                        "content — the reference's 'file names and lines "
+                        "only' mode (search_output.rs:53)")
     s.add_argument("--merge-turns", type=int, default=None, metavar="N",
                    help="merge result turns of one conversation within N "
                         "of each other into spans (block-merging analog)")

@@ -102,6 +102,19 @@ class TestCli:
             capsys.readouterr().out.strip().splitlines()[-1])["n_docs"]
         assert 0 < n_f < n_all
 
+    def test_dry_run_prints_locators_only(self, built_index, capsys):
+        # reference --dry-run = "file names and lines only"
+        # (search_output.rs:53); ours prints conv_id:turn_idx per result
+        from probe_spark import cli
+
+        cli.main(["search", "error", "--index", built_index, "-k", "4",
+                  "--dry-run"])
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert 0 < len(lines) <= 4
+        for ln in lines:
+            conv, turn = ln.rsplit(":", 1)
+            assert conv.startswith("conv") and turn.isdigit()
+
     def test_search_session_dedup(self, built_index, capsys):
         from probe_spark import cli
 
