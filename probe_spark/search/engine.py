@@ -255,6 +255,11 @@ class SearchEngine:
         # repeat terms across queries; each miss costs a ~0.3s collect job)
         self._meta_cache: dict[str, list] = {}
         self._boot_cache: dict[tuple, tuple] = {}
+        # special-term repair bundles keyed by (special set, lookup tuple):
+        # (persisted retok DataFrame, stats rows, broadcast anti-id frame).
+        # Query services repeat excluded/exact-term queries; a hit skips the
+        # affected-doc retokenization AND the stats job entirely.
+        self._repair_cache: dict[tuple, tuple] = {}
         segments = spark.read.parquet(f"{index_path}/postings")
         # kind is a partition directory -> these filters prune at the source
         self.postings = segments.filter(F.col("kind") == "tok")
@@ -268,6 +273,9 @@ class SearchEngine:
         self._df_cache.clear()
         self._meta_cache.clear()
         self._boot_cache.clear()
+        for retok, _s, _a in self._repair_cache.values():
+            retok.unpersist(blocking=False)
+        self._repair_cache.clear()
         self.__init__(self.spark, self.index_path)
 
     # -- postings access ------------------------------------------------------
@@ -682,7 +690,13 @@ class SearchEngine:
                 # special terms changes no doc's tokenization — skip the
                 # repair machinery entirely
                 affecting = []
-        if affecting:
+        repair_key = (g_set, tuple(all_lookups)) if affecting else None
+        repair_hit = (
+            self._repair_cache.get(repair_key) if repair_key else None
+        )
+        if affecting and repair_hit is not None:
+            retok, stats_rows, anti_ids = repair_hit
+        elif affecting:
             if ids is not None:
                 import pandas as pd  # noqa: PLC0415
 
@@ -747,13 +761,6 @@ class SearchEngine:
                     )
 
             retok = affected.mapInPandas(retokenize, retok_schema).persist()
-            # long-lived query services: drop the previous query's repair
-            # cache blocks (the returned DataFrame of THIS query still
-            # references retok, so eviction is deferred one query)
-            prev = getattr(self, "_prev_retok", None)
-            if prev is not None:
-                prev.unpersist(blocking=False)
-            self._prev_retok = retok
 
             # ONE stats job over the (small) affected set: dl-delta sum plus
             # per-lookup df adjustments (old token-index hits out, repaired
@@ -793,6 +800,13 @@ class SearchEngine:
                 )
                 .collect()
             )
+            if len(self._repair_cache) >= 4:
+                # retok DataFrames pin executor memory — keep few
+                _, (old_retok, _s, _a) = self._repair_cache.popitem()
+                old_retok.unpersist(blocking=False)
+            self._repair_cache[repair_key] = (retok, stats_rows, anti_ids)
+        if affecting:
+            _DL = "\x00dl"
             df_adj = {
                 r["term"]: int(r["df_adj"])
                 for r in stats_rows
