@@ -335,6 +335,28 @@ def _word_candidates(token: str):
     return tuple(out)
 
 
+@lru_cache(maxsize=1 << 16)
+def _word_candidates_special(token: str, special_terms: frozenset[str]):
+    """_word_candidates for a non-empty special-term set.
+
+    Same Zipf argument: the repair join retokenizes every affected doc with
+    the SAME per-query special set, so (word, set) keys repeat massively.
+    Kept separate from _word_candidates so the hot build path's cache never
+    churns on query-scoped sets."""
+    out = []
+    for part in split_camel_case(token, special_terms):
+        lower = part.lower()
+        if is_stop_word(lower):
+            continue
+        comps = []
+        for comp in split_compound_word(lower, special_terms):
+            if is_stop_word(comp):
+                continue
+            comps.append((comp, stem(comp), is_exception_term(comp)))
+        out.append((lower, tuple(comps)))
+    return tuple(out)
+
+
 def tokenize(text: str, special_terms: frozenset[str] = frozenset()) -> list[str]:
     """Order-preserving, deduplicated probe-compatible tokens for ``text``.
 
@@ -367,21 +389,15 @@ def tokenize(text: str, special_terms: frozenset[str] = frozenset()) -> list[str
         return result
 
     for token in raw_tokens:
-        for part in split_camel_case(token, special_terms):
-            lower = part.lower()
-            if is_stop_word(lower):
-                continue
+        for lower, comps in _word_candidates_special(token, special_terms):
             if lower in negated:
                 continue
-            for comp in split_compound_word(lower, special_terms):
-                if is_stop_word(comp):
-                    continue
+            for comp, stemmed, is_exc in comps:
                 if comp in negated:
                     continue
-                if is_exception_term(comp) and comp not in seen:
+                if is_exc and comp not in seen:
                     seen.add(comp)
                     result.append(comp)
-                stemmed = stem(comp)
                 if stemmed in negated:
                     continue
                 if stemmed not in seen:
