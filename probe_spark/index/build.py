@@ -1457,6 +1457,8 @@ class IndexBuilder:
     def _write_stats_frame(self, pdf: "pd.DataFrame", index_path: str) -> None:
         """Overwrite stats/ with a single-row frame (driver-side for local
         paths — a Spark job for one row costs ~2s of scheduling)."""
+        if "format_version" not in pdf.columns:
+            pdf = pdf.assign(format_version=FORMAT_VERSION)
         path = f"{index_path}/stats"
         if "://" in index_path and not index_path.startswith("file://"):
             # remote FS: Spark write (its committer creates _SUCCESS).

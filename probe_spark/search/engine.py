@@ -183,6 +183,22 @@ def _decode_blocks_arrow(
         )
 
 
+def _check_format_version(stats_row, index_path: str) -> None:
+    """Refuse to query an index written by an incompatible layout version —
+    varint/segment layout changes would otherwise mis-decode silently."""
+    from probe_spark.index.build import FORMAT_VERSION
+
+    try:
+        v = stats_row["format_version"]
+    except (KeyError, ValueError):
+        v = None
+    if v is not None and int(v) != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_path} has format_version {v}, this engine "
+            f"reads {FORMAT_VERSION}: rebuild the index"
+        )
+
+
 def _wand_eligible(expr: ast.Expr) -> bool:
     """True iff the query is a pure disjunction of single-keyword optional
     terms — the classic (block-max) WAND setting.  Multi-keyword terms have
@@ -246,6 +262,7 @@ class SearchEngine:
         ensure_package_on_executors(spark)
         warm_python_workers(spark)
         stats = spark.read.parquet(f"{index_path}/stats").collect()[0]
+        _check_format_version(stats, index_path)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
         self.n_buckets = int(stats["n_buckets"])

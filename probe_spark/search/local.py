@@ -63,6 +63,9 @@ class LocalSearcher:
 
         self.index_path = index_path.removeprefix("file://")
         stats = pq.read_table(os.path.join(self.index_path, "stats")).to_pylist()[0]
+        from probe_spark.search.engine import _check_format_version
+
+        _check_format_version(stats, self.index_path)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
         self.n_buckets = int(stats["n_buckets"])

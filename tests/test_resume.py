@@ -31,6 +31,32 @@ def _segments(spark, idx):
     }
 
 
+class TestFormatVersion:
+    def test_version_mismatch_refused(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from probe_spark.search.engine import SearchEngine
+        from probe_spark.search.local import LocalSearcher
+
+        idx = str(tmp_path / "vidx")
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(
+            transcripts_df(spark, 10, seed=3), idx
+        )
+        SearchEngine(spark, idx)  # current version opens fine
+        f = glob.glob(f"{idx}/stats/*.parquet")[0]
+        t = pq.read_table(f).to_pandas()
+        t["format_version"] = 1
+        pq.write_table(
+            __import__("pyarrow").Table.from_pandas(t, preserve_index=False), f
+        )
+        with pytest.raises(ValueError, match="format_version"):
+            SearchEngine(spark, idx)
+        with pytest.raises(ValueError, match="format_version"):
+            LocalSearcher(idx)
+
+
 class TestKillResume:
     def test_kill_after_docs_then_resume_identical(
         self, spark, tmp_path, monkeypatch
