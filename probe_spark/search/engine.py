@@ -818,8 +818,9 @@ class SearchEngine:
                 .collect()
             )
             if len(self._repair_cache) >= 4:
-                # retok DataFrames pin executor memory — keep few
-                _, (old_retok, _s, _a) = self._repair_cache.popitem()
+                # retok DataFrames pin executor memory — keep few (FIFO)
+                oldest = next(iter(self._repair_cache))
+                old_retok, _s, _a = self._repair_cache.pop(oldest)
                 old_retok.unpersist(blocking=False)
             self._repair_cache[repair_key] = (retok, stats_rows, anti_ids)
         if affecting:
