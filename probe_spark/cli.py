@@ -96,6 +96,9 @@ def cmd_search(args) -> int:
         timer = threading.Timer(args.timeout, _expire)
         timer.daemon = True
         timer.start()
+        args._timer = timer  # cancelled in main()'s finally — also on
+        # exception paths, so an embedding process never gets os._exit(1)
+        # from a search that already failed
 
     if args.local:
         # driver-local low-latency path (no Spark session; posix index
@@ -148,7 +151,11 @@ def cmd_search(args) -> int:
     if args.dry_run:
         for r in rows:
             d = r.asDict()
-            print(f"{d.get('conv_id')}:{d.get('turn_idx')}")
+            if "turn_lo" in d:  # merged spans carry a turn range
+                loc = f"{d['turn_lo']}-{d['turn_hi']}"
+            else:
+                loc = d.get("turn_idx")
+            print(f"{d.get('conv_id')}:{loc}")
     elif args.format == "json":
         for r in rows:
             print(json.dumps({k: _jsonable(v) for k, v in r.asDict().items()}))
@@ -251,7 +258,12 @@ def main(argv: list[str] | None = None) -> int:
     st.set_defaults(fn=cmd_stats)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    finally:
+        t = getattr(args, "_timer", None)
+        if t is not None:
+            t.cancel()
 
 
 if __name__ == "__main__":

@@ -209,6 +209,18 @@ def _left_fold_dot(a: np.ndarray, b: np.ndarray) -> float:
     return acc
 
 
+def _ivf_probes(
+    query_vec: list[float], n_cells: int, n_probe: int, seed: int
+) -> list[int]:
+    """Driver-side probe cells: the n_probe highest query-centroid dots
+    (ties -> lowest cell index), same fold order as the plan/oracle."""
+    cents = _seeded_centroids(len(query_vec), n_cells, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qdots = [_left_fold_dot(cents[c], qv) for c in range(n_cells)]
+    order = sorted(range(n_cells), key=lambda c: (-qdots[c], c))
+    return sorted(order[:n_probe])
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -221,13 +233,8 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: scan only the n_probe cells whose centroid dot
     with the query is highest (ties -> lowest cell index)."""
-    dim = len(query_vec)
-    cents = _seeded_centroids(dim, n_cells, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qdots = [_left_fold_dot(cents[c], qv) for c in range(n_cells)]
-    order = sorted(range(n_cells), key=lambda c: (-qdots[c], c))
-    probes = sorted(order[:n_probe])
-    cand = with_ivf_cell(df, dim, n_cells, vec_col, seed).filter(
+    probes = _ivf_probes(query_vec, n_cells, n_probe, seed)
+    cand = with_ivf_cell(df, len(query_vec), n_cells, vec_col, seed).filter(
         F.col("cell").isin(probes)
     )
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
@@ -305,12 +312,7 @@ def ivf_topk_indexed(
     partition filter — the scan lists only those directories
     (PartitionFilters in .explain), so per-query IO is n_probe/n_cells of
     the corpus.  Rank-identical to ivf_topk() on the same parameters."""
-    dim = len(query_vec)
-    cents = _seeded_centroids(dim, n_cells, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qdots = [_left_fold_dot(cents[c], qv) for c in range(n_cells)]
-    order = sorted(range(n_cells), key=lambda c: (-qdots[c], c))
-    probes = sorted(order[:n_probe])
+    probes = _ivf_probes(query_vec, n_cells, n_probe, seed)
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 

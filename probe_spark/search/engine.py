@@ -75,6 +75,9 @@ MAX_QUERY_TERMS = 256
 # broadcast-join full scan is the lesser evil (a 100k-literal In bloats
 # planning more than the scan saves)
 ISIN_PUSHDOWN_CAP = 10_000
+# distinguishes "repair bundle not cached" from the cached "special terms
+# affect no doc" outcome (stored as None)
+_REPAIR_MISS = object()
 
 _DECODED_SCHEMA = StructType(
     [
@@ -290,8 +293,9 @@ class SearchEngine:
         self._df_cache.clear()
         self._meta_cache.clear()
         self._boot_cache.clear()
-        for retok, _s, _a in self._repair_cache.values():
-            retok.unpersist(blocking=False)
+        for bundle in self._repair_cache.values():
+            if bundle is not None:
+                bundle[0].unpersist(blocking=False)
         self._repair_cache.clear()
         self.__init__(self.spark, self.index_path)
 
@@ -429,8 +433,17 @@ class SearchEngine:
                 )
                 .collect()
             )
-            if len(self._meta_cache) >= 2048:
-                self._meta_cache.clear()  # block arrays are ~KB-20KB/term
+            # FIFO-evict down to the cap, never touching terms this query
+            # needs (a clear-all here would drop the cache-HIT terms and
+            # KeyError below); block arrays are ~KB-20KB/term
+            needed = set(token_terms)
+            while len(self._meta_cache) >= 2048:
+                victim = next(
+                    (t for t in self._meta_cache if t not in needed), None
+                )
+                if victim is None:
+                    break
+                del self._meta_cache[victim]
             for t in miss:
                 self._meta_cache[t] = []
             for r in meta_rows:
@@ -517,8 +530,8 @@ class SearchEngine:
                         r["block_last_doc"], r["block_doc_off"],
                         r["block_dl_off"], [b.block],
                     )
-                    if len(self._boot_cache) >= 4096:
-                        self._boot_cache.clear()
+                    while len(self._boot_cache) >= 4096:
+                        del self._boot_cache[next(iter(self._boot_cache))]
                     self._boot_cache[ck] = hit
                 decoded.append((b.term, hit[0], hit[1]))
             theta = wand.partial_theta(decoded, idfs, self.avgdl, k)
@@ -695,7 +708,17 @@ class SearchEngine:
         avgdl = self.avgdl
         df_adj: dict[str, int] = {}
         ids = None
-        if affecting:
+        # cache lookup FIRST: a hit (including the "nothing affected"
+        # sentinel None) skips the driver-side raw-postings decode too
+        repair_key = (g_set, tuple(all_lookups)) if affecting else None
+        repair_hit = (
+            self._repair_cache.get(repair_key, _REPAIR_MISS)
+            if repair_key
+            else _REPAIR_MISS
+        )
+        if affecting and repair_hit is None:
+            affecting = []  # cached: special terms affect no doc
+        if affecting and repair_hit is _REPAIR_MISS:
             # Affected-id set: for a POSIX-visible index with raw df under
             # the driver cap, a pyarrow read + varint decode on the driver
             # (ms) beats the equivalent two-task Spark job (~1.5s of
@@ -705,13 +728,10 @@ class SearchEngine:
             if ids is not None and ids.size == 0:
                 # no whole-raw-word occurrence anywhere: registering the
                 # special terms changes no doc's tokenization — skip the
-                # repair machinery entirely
+                # repair machinery entirely (and remember that)
+                self._repair_cache[repair_key] = None
                 affecting = []
-        repair_key = (g_set, tuple(all_lookups)) if affecting else None
-        repair_hit = (
-            self._repair_cache.get(repair_key) if repair_key else None
-        )
-        if affecting and repair_hit is not None:
+        if affecting and repair_hit is not _REPAIR_MISS:
             retok, stats_rows, anti_ids = repair_hit
         elif affecting:
             if ids is not None:
@@ -820,8 +840,9 @@ class SearchEngine:
             if len(self._repair_cache) >= 4:
                 # retok DataFrames pin executor memory — keep few (FIFO)
                 oldest = next(iter(self._repair_cache))
-                old_retok, _s, _a = self._repair_cache.pop(oldest)
-                old_retok.unpersist(blocking=False)
+                bundle = self._repair_cache.pop(oldest)
+                if bundle is not None:
+                    bundle[0].unpersist(blocking=False)
             self._repair_cache[repair_key] = (retok, stats_rows, anti_ids)
         if affecting:
             _DL = "\x00dl"
