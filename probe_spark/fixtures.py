@@ -257,4 +257,10 @@ REFERENCE_QUERIES: list[tuple[int, str, int]] = [
     (18, '"whitelist"', 10),
     (19, "cache OR queue OR worker", 15),
     (20, "authentication AND (token OR login)", 10),
+    # 21/22: stem-unstable compound special term ('hashtable' base-splits
+    # to hash+tabl, stays whole when registered) — pins the raw-index
+    # repair-sourcing clause (tokenizer.is_raw_indexable) and the
+    # affected-doc retokenization path
+    (21, "table -hashtable", 10),
+    (22, "hash -hashtable", 10),
 ]

@@ -467,10 +467,32 @@ def is_potential_special(w: str) -> bool:
 
 
 @lru_cache(maxsize=1 << 18)
+def is_raw_indexable(w: str) -> bool:
+    """True iff ``w`` must be stored in the raw-word index.
+
+    Two reasons a query needs the raw postings of ``w``:
+      * exact/excluded MATCHING: ``w`` is a matchable special lookup
+        (is_potential_special); or
+      * REPAIR sourcing: registering ``w`` as a special term changes its
+        own tokenization (tokenize(w, {w}) != tokenize(w)) — e.g. a
+        compound like 'hashtable' that base-splits to hash+tabl but stays
+        whole when special.  The engine finds repair-affected docs through
+        the raw index; without this clause those docs are silently never
+        retokenized and keep stale tokens/dl.
+    """
+    if not w or not all(c.isalnum() for c in w):
+        return False
+    if is_stop_word(w):
+        return False
+    if stem(w) == w or is_exception_term(w):
+        return True
+    return tokenize(w, frozenset((w,))) != tokenize(w)
+
+
+@lru_cache(maxsize=1 << 18)
 def _word_special_runs(word: str) -> tuple[str, ...]:
-    """Lowercase alnum runs of one whitespace word, filtered to potential
-    special-term lookups — memoized (same Zipf argument as
-    _word_candidates)."""
+    """Lowercase alnum runs of one whitespace word, filtered to raw-index-
+    worthy words — memoized (same Zipf argument as _word_candidates)."""
     out: list[str] = []
     current: list[str] = []
     for c in word:
@@ -478,12 +500,12 @@ def _word_special_runs(word: str) -> tuple[str, ...]:
             current.append(c)
         elif current:
             w = "".join(current).lower()
-            if is_potential_special(w):
+            if is_raw_indexable(w):
                 out.append(w)
             current = []
     if current:
         w = "".join(current).lower()
-        if is_potential_special(w):
+        if is_raw_indexable(w):
             out.append(w)
     return tuple(out)
 

@@ -88,8 +88,10 @@ from pyspark.sql.types import (
 from probe_spark.runtime import ensure_package_on_executors, warm_python_workers
 
 # bump when the on-disk layout changes incompatibly (resume across versions
-# must start a fresh directory)
-FORMAT_VERSION = 5
+# must start a fresh directory).  v6: raw index additionally stores
+# repair-affecting words (tokenize(w,{w}) != tokenize(w)) — v5 indexes
+# silently skip special-term repair for those words.
+FORMAT_VERSION = 6
 
 POSTINGS_SCHEMA = StructType(
     [
@@ -1221,6 +1223,22 @@ class IndexBuilder:
     def build(
         self, transcripts: DataFrame, index_path: str, build_id: str = "build0"
     ) -> dict:
+        # AQE off for the build: skew is handled explicitly (doc-range
+        # salting) and partition counts are sized by config, so AQE's only
+        # effect here is an extra job-boundary materialization per shuffle
+        # (measured ~2x fixed cost on small inputs).  Restored in finally —
+        # a failed build must not leak AQE=off into a long-lived session.
+        spark = self.spark
+        aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return self._build_inner(transcripts, index_path, build_id)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+    def _build_inner(
+        self, transcripts: DataFrame, index_path: str, build_id: str
+    ) -> dict:
         cfg = self.cfg
         spark = self.spark
         n_parts = cfg.doc_partitions or int(
@@ -1228,13 +1246,6 @@ class IndexBuilder:
         )
         t0 = time.time()
         phases_run = []
-
-        # AQE off for the build: skew is handled explicitly (doc-range
-        # salting) and partition counts are sized by config, so AQE's only
-        # effect here is an extra job-boundary materialization per shuffle
-        # (measured ~2x fixed cost on small inputs).  Restored after.
-        aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
         docs_path = f"{index_path}/docs"
         partials_path = f"{index_path}/partials"
@@ -1385,7 +1396,6 @@ class IndexBuilder:
                 )
             phases_run.append("stats")
 
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         elapsed = time.time() - t0
         if n_docs_known is not None:
             n_docs = int(n_docs_known)

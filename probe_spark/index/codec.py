@@ -186,6 +186,7 @@ def raw_doc_ids(
     """
     import os
 
+    index_path = index_path.removeprefix("file://")
     base = os.path.join(index_path, "postings", "kind=raw")
     if not os.path.isdir(base):
         return None

@@ -52,6 +52,7 @@ import pyarrow as pa
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -129,14 +130,8 @@ def _decode_map_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
         )
 
 
-_DECODE_KEEP_SCHEMA = StructType(
-    [
-        StructField("term", StringType(), False),
-        StructField("src", StringType(), False),
-        StructField("doc_id", LongType(), False),
-        StructField("dl", IntegerType(), False),
-    ]
-)
+# block decode emits the same exploded shape as the full-segment decode
+_DECODE_KEEP_SCHEMA = _DECODED_SCHEMA
 
 
 def _decode_blocks_arrow(
@@ -186,6 +181,16 @@ def _decode_blocks_arrow(
         )
 
 
+def _tf_norm_col(avgdl: float) -> Column:
+    """BM25 tf-normalization with tf==1 over the per-doc dl column:
+    (k1+1)/(1 + k1*(1 - b + b*dl/avgdl)) — ranking.rs:186-208."""
+    return F.lit(K1 + 1.0) / (
+        F.lit(1.0)
+        + F.lit(K1)
+        * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl").cast("double") / F.lit(avgdl)))
+    )
+
+
 def _check_format_version(stats_row, index_path: str) -> None:
     """Refuse to query an index written by an incompatible layout version —
     varint/segment layout changes would otherwise mis-decode silently."""
@@ -228,7 +233,6 @@ def _wand_eligible(expr: ast.Expr) -> bool:
 class SpecialPlan:
     keyword: str  # the query-map lookup key (original case)
     matchable: bool  # False => present nowhere
-    need_raw: bool  # base tokenization would split it => also consult raw index
     lookup: str  # term string to fetch
 
 
@@ -246,16 +250,13 @@ def special_plan(keyword: str) -> SpecialPlan:
     """
     w = keyword.lower()
     if keyword != w or not w or not all(c.isalnum() for c in w):
-        return SpecialPlan(keyword, False, False, w)
+        return SpecialPlan(keyword, False, w)
     if tok.is_stop_word(w):
-        return SpecialPlan(keyword, False, False, w)
+        return SpecialPlan(keyword, False, w)
     emitted = {stem(w)} | ({w} if tok.is_exception_term(w) else set())
     if w not in emitted:
-        return SpecialPlan(keyword, False, False, w)
-    kept_whole = (
-        tok.split_camel_case(w) == [w] and tok.split_compound_word(w) == [w]
-    )
-    return SpecialPlan(keyword, True, not kept_whole, w)
+        return SpecialPlan(keyword, False, w)
+    return SpecialPlan(keyword, True, w)
 
 
 class SearchEngine:
@@ -467,7 +468,7 @@ class SearchEngine:
             for t, df in df_by_term.items()
             if df > 0
         }
-        empty = spark.createDataFrame([], "doc_id long, score double")
+        empty = self._empty(with_metadata)
         if not idfs:
             return empty
 
@@ -559,14 +560,7 @@ class SearchEngine:
             .mapInArrow(_decode_blocks_arrow, _DECODE_KEEP_SCHEMA)
         )
 
-        tf_norm = F.lit(K1 + 1.0) / (
-            F.lit(1.0)
-            + F.lit(K1)
-            * (
-                F.lit(1.0 - B)
-                + F.lit(B) * (F.col("dl").cast("double") / F.lit(self.avgdl))
-            )
-        )
+        tf_norm = _tf_norm_col(self.avgdl)
         if isinstance(expr, ast.Term):
             # single optional term: each doc appears once in decoded
             # (segments hold disjoint doc ranges per term), the boolean
@@ -604,6 +598,24 @@ class SearchEngine:
             result = self._with_meta(result)
         return result
 
+    def _empty(self, with_metadata: bool) -> DataFrame:
+        """0-row result with the SAME schema a non-empty result would have,
+        so downstream consumers (limiter's octet_length(text), merging's
+        conv_id/turn_idx) see the columns they reference instead of
+        crashing on a no-hit query."""
+        base = [
+            StructField("doc_id", LongType(), False),
+            StructField("score", DoubleType(), False),
+        ]
+        if with_metadata:
+            meta = self.docs.select(
+                "conv_id", "turn_idx", "role", "tool", "ts", "text"
+            ).schema.fields  # ts type follows the corpus (ntz or not)
+            return self.spark.createDataFrame(
+                [], StructType(base + list(meta))
+            )
+        return self.spark.createDataFrame([], StructType(base))
+
     def _with_meta(self, result: DataFrame) -> DataFrame:
         """k winners are tiny -> broadcast them against docs metadata."""
         return (
@@ -634,9 +646,7 @@ class SearchEngine:
         for eligible (pure disjunctive) top-k queries — identical results,
         fewer decoded postings; ``prune=False`` forces the full path."""
         spark = self.spark
-        empty = spark.createDataFrame(
-            [], "doc_id long, score double"
-        )
+        empty = self._empty(with_metadata)
         try:
             expr, _special = parse_query(query, exact=exact)
         except ParseError:
@@ -903,14 +913,22 @@ class SearchEngine:
             ast.score(expr, lambda kw: 0.0) is not None
         )
         if zero_included:
+            # hits carries the REPAIRED dl for retokenized docs — prefer it
+            # over the stale docs/ dl (scores would otherwise diverge from
+            # the oracle for affected docs in only-excluded-style queries)
             cands = (
-                self.docs.select("doc_id", "dl")
-                .join(hits.select("doc_id", "hits"), "doc_id", "left")
-                .withColumn(
-                    "hits",
+                self.docs.select("doc_id", F.col("dl").alias("_dl0"))
+                .join(
+                    hits.select("doc_id", "hits", F.col("dl").alias("_rdl")),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("_rdl"), F.col("_dl0")).alias("dl"),
                     F.coalesce(
                         F.col("hits"), F.array().cast(ArrayType(StringType()))
-                    ),
+                    ).alias("hits"),
                 )
             )
         else:
@@ -924,14 +942,7 @@ class SearchEngine:
             else:
                 present[kw] = F.array_contains(F.col("hits"), match)
 
-        tf_norm = F.lit(K1 + 1.0) / (
-            F.lit(1.0)
-            + F.lit(K1)
-            * (
-                F.lit(1.0 - B)
-                + F.lit(B) * (F.col("dl").cast("double") / F.lit(avgdl))
-            )
-        )
+        tf_norm = _tf_norm_col(avgdl)
         scored = cands.withColumn("_tf_norm", tf_norm)
         eval_col = self._compile_eval(expr, present)
         score_col = self._compile_score(expr, idfs, present)
@@ -942,20 +953,15 @@ class SearchEngine:
             result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
         if with_metadata:
-            joined = result.join(
-                self.docs.select(
-                    "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text"
-                ),
-                "doc_id",
-            )
             if k is not None:
                 # k winners are tiny -> broadcast them against docs
-                joined = F.broadcast(result).join(
+                result = self._with_meta(result)
+            else:
+                result = result.join(
                     self.docs.select(
-                        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                        "text",
+                        "doc_id", "conv_id", "turn_idx", "role", "tool",
+                        "ts", "text",
                     ),
                     "doc_id",
-                ).orderBy(F.desc("score"), F.asc("doc_id"))
-            result = joined
+                )
         return result
