@@ -263,4 +263,8 @@ REFERENCE_QUERIES: list[tuple[int, str, int]] = [
     # affected-doc retokenization path
     (21, "table -hashtable", 10),
     (22, "hash -hashtable", 10),
+    # 23: optional OR excluded — pins the empty-matched-terms early
+    # termination (elastic_query.rs:372-374): docs matching NO query
+    # keyword must NOT qualify at score 0
+    (23, "handler OR -blackmail", 10),
 ]

@@ -39,13 +39,15 @@ SIMD_THRESHOLD = 8  # simd_tokenization.rs:57
 
 
 def is_english_stop_word(word: str) -> bool:
-    """tokenization.rs:2007-2016 — English stop words plus integers 0..10."""
-    if word.isdigit():
-        try:
-            if int(word) <= 10:
-                return True
-        except ValueError:
-            pass
+    """tokenization.rs:2007-2016 — English stop words plus integers 0..10.
+
+    ASCII digits only: the reference's ``parse::<u32>()`` rejects Unicode
+    digits (fullwidth '３', Arabic-Indic '٣'), while Python's int() accepts
+    them — without the isascii() gate those tokens would be silently
+    dropped from the index."""
+    if word.isdigit() and word.isascii():
+        if int(word) <= 10:
+            return True
     return word in T.ENGLISH_STOP_WORDS
 
 

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+_LAST_SH: "DataFrame | None" = None  # previous call's persisted shingles
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -68,10 +70,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    candidate = pairs sharing >= 1 non-hot shingle; exact |A∩B| from the
-    candidate join, |A∪B| = dl_a + dl_b - |A∩B| over *all* shingles.
+    candidate = pairs sharing >= 1 non-hot shingle; exact |A∩B| = non-hot
+    overlap (from the candidate join) + hot overlap (recounted per
+    candidate pair — a pair-list-bounded join, so hot shingles still can't
+    explode candidate generation); |A∪B| = n_a + n_b - |A∩B| over *all*
+    shingles.  Jaccard is therefore exact for every emitted pair.
     """
+    global _LAST_SH
     sh = word_shingles(df, text_col, id_col, k).persist()
+    if _LAST_SH is not None:
+        # bound the cache leak: the function returns a lazy plan, so the
+        # previous call's shingles can only be dropped on the next call
+        _LAST_SH.unpersist(blocking=False)
+    _LAST_SH = sh
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     hot = (
         sh.groupBy("shingle")
@@ -80,12 +91,34 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     cand_sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    inter = (
+    inter_nonhot = (
         cand_sh.alias("a")
         .join(cand_sh.alias("b"), "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+        .agg(F.count("*").alias("n_common_nonhot"))
+    )
+    # hot-shingle overlap per CANDIDATE pair: joins are bounded by
+    # |candidates| x (hot shingles per doc), never df(hot)^2
+    hot_sh = sh.join(F.broadcast(hot), "shingle")
+    hot_common = (
+        inter_nonhot.select("id_a", "id_b")
+        .join(hot_sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            hot_sh.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common_hot"))
+    )
+    inter = (
+        inter_nonhot.join(hot_common, ["id_a", "id_b"], "left")
+        .withColumn(
+            "n_common",
+            F.col("n_common_nonhot")
+            + F.coalesce(F.col("n_common_hot"), F.lit(0)),
+        )
+        .drop("n_common_nonhot", "n_common_hot")
     )
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")

@@ -47,6 +47,10 @@ def sessionize(
     gap = ts_us - F.lag(ts_us).over(w)
     flagged = df.withColumn(
         "_new_session",
+        # > (boundary merges): an event exactly gap_minutes after the
+        # previous one extends the session — verified to match Structured
+        # Streaming's session_window on boundary-aligned timestamps
+        # (tests/test_ops.py::test_sessionize_boundary_matches_session_window)
         F.when(gap.isNull() | (gap > gap_minutes * 60_000_000), 1).otherwise(0),
     )
     with_sid = flagged.withColumn(

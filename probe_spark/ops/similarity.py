@@ -117,26 +117,43 @@ def _lsh_probes(
     query_vec: list[float], n_planes: int, seed: int, multiprobe: int
 ) -> list[int]:
     """Driver-side probe bucket set: the query's own sign-bit code, plus
-    (for multiprobe > 0) codes reached by flipping the lowest-margin planes
-    first, capped at 1 + n_planes * multiprobe buckets."""
+    (for multiprobe > 0) flipped codes — smallest flip sets first, within a
+    size ordered by total flipped margin (likeliest buckets first) — capped
+    at exactly 1 + n_planes * multiprobe buckets.
+
+    Projections use the same left-fold accumulation as the executor-side
+    F.aggregate so the driver's own-bucket code can't diverge by a
+    reassociation ulp (see _left_fold_dot)."""
+    import itertools
+
     planes = _seeded_planes(len(query_vec), n_planes, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
     qcode = 0
     margins = []
     for p in range(n_planes):
-        proj = float(planes[p] @ qv)
+        proj = _left_fold_dot(planes[p], qv)
         if proj >= 0:
             qcode |= 1 << p
         margins.append((abs(proj), p))
-    probes = {qcode}
+    probes = [qcode]
+    budget = 1 + n_planes * multiprobe
     if multiprobe > 0:
         margins.sort()
-        for _, p in margins:  # flip the lowest-margin planes first
-            for base in list(probes):
-                probes.add(base ^ (1 << p))
-            if len(probes) >= 1 + n_planes * multiprobe:
+        for size in range(1, n_planes + 1):
+            if len(probes) >= budget:
                 break
-    return sorted(probes)
+            combos = sorted(
+                itertools.combinations(margins, size),
+                key=lambda c: sum(m for m, _ in c),
+            )
+            for combo in combos:
+                if len(probes) >= budget:
+                    break
+                mask = 0
+                for _, p in combo:
+                    mask |= 1 << p
+                probes.append(qcode ^ mask)
+    return sorted(set(probes))
 
 
 def lsh_topk(
@@ -338,7 +355,13 @@ def embedding_dup_pairs(
         _norm(F.col(vec_col)).alias("n"),
     )
     if n_planes > 0:
-        dim = len(df.select(vec_col).first()[0])
+        head = df.select(vec_col).first()
+        if head is None or head[0] is None:
+            # empty/degenerate input: the exact path below handles it
+            # lazily (a self-join over zero rows), no dim needed
+            n_planes = 0
+    if n_planes > 0:
+        dim = len(head[0])
         bucketed = with_lsh_bucket(df, dim, n_planes, vec_col, seed).select(
             F.col(id_col).alias("id"), "bucket"
         )

@@ -95,6 +95,13 @@ def evaluate(expr: Expr, present, ignore_negatives: bool = False) -> bool:
     A doc is a candidate iff evaluate(...) is True (block-level filter
     semantics, negations enforced).
     """
+    # early termination (elastic_query.rs:372-374): a doc matching NO query
+    # keyword at all qualifies only when the query is only-excluded terms —
+    # otherwise 'foo OR -bar' would accept every unrelated doc at score 0
+    if not is_only_excluded_terms(expr) and not any(
+        present(kw) for kw in extract_query_terms(expr)
+    ):
+        return False
     has_req = has_required_term(expr)
     if has_req and not ignore_negatives:
         if not _check_all_required_present(expr, present):

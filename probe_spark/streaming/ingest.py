@@ -65,10 +65,18 @@ class StreamingIndexer:
 
     # -- bookkeeping ---------------------------------------------------------
     def _stats(self):
+        """None ONLY when stats/ does not exist yet (fresh index).  Any
+        other read failure re-raises: silently treating a transient error
+        as 'fresh' would restart doc_ids at 0 and permanently corrupt the
+        index with colliding ids."""
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(f"{self.index_path}/stats").collect()[0]
-        except Exception:
-            return None
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
 
     def _batch_seen(self, batch_id: int) -> bool:
         try:
@@ -101,13 +109,68 @@ class StreamingIndexer:
         )
 
     # -- the sink ------------------------------------------------------------
+    def _publish_dir(self, src: str, dst: str, prefix: str) -> None:
+        """Copy every parquet file under ``src`` (preserving relative
+        subdirs) into ``dst`` under DETERMINISTIC names
+        ``{prefix}-{i:05d}.parquet`` (sorted relative order).  Re-running
+        after a mid-publish crash overwrites the same names with identical
+        content — the publish is idempotent, never duplicating."""
+        fs, src_p, Path = self.builder._fs(src)
+        it = fs.listFiles(src_p, True)  # recursive
+        files = []
+        # listFiles returns fully-qualified URIs (file:/...); qualify the
+        # source the same way so the relative-path strip lines up
+        src_str = fs.makeQualified(src_p).toString()
+        while it.hasNext():
+            f = it.next().getPath().toString()
+            if f.endswith(".parquet"):
+                files.append(f)
+        files.sort()
+        for i, f in enumerate(sorted(files)):
+            rel = f[len(src_str):].lstrip("/")
+            subdir = "/".join(rel.split("/")[:-1])
+            out_dir = f"{dst}/{subdir}" if subdir else dst
+            fs.mkdirs(Path(out_dir))
+            dest = Path(f"{out_dir}/{prefix}-{i:05d}.parquet")
+            if fs.exists(dest):
+                fs.delete(dest, False)
+            # FileUtil.copy keeps src intact (staging cleaned separately)
+            self.spark.sparkContext._jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, Path(f), fs, dest, False, fs.getConf()
+            )
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch body: delta-build this micro-batch into the index."""
+        """foreachBatch body: delta-build this micro-batch into the index.
+
+        Two-phase commit so an at-least-once replay after ANY mid-batch
+        crash is harmless:
+          stage   — docs delta, partials, postings delta all (over)written
+                    to batch-suffixed staging dirs; inputs and doc_ids are
+                    deterministic given (stats.n_docs, batch rows), so a
+                    replay regenerates byte-equivalent content;
+          publish — staged files copied into docs/ and postings/ under
+                    deterministic b{batch_id}-NNNNN names (overwrite, never
+                    append) -> re-publishing cannot duplicate; then stats
+                    (stamped with this batch's build_id) and finally the
+                    manifest commit row.
+        A replay that finds stats already stamped skips straight to the
+        manifest row (crash landed between stats and manifest)."""
         if self._batch_seen(batch_id):
             return  # replayed after checkpoint recovery — already committed
         spark = self.spark
         cfg = self.cfg
+        stamp = f"stream_b{batch_id}"
         stats = self._stats()
+        docs_stage = f"{self.index_path}/docs_stage_b{batch_id}"
+        post_stage = f"{self.index_path}/postings_stage_b{batch_id}"
+        partials_path = f"{self.index_path}/partials_b{batch_id}"
+        if stats is not None and stats["build_id"] == stamp:
+            # crash landed after the stats rewrite but before the manifest
+            # row: everything is published — just commit and clean up
+            self._write_commit_row(batch_id)
+            for d in (docs_stage, post_stage, partials_path):
+                self.builder._delete_dir(d)
+            return
         base_id = int(stats["n_docs"]) if stats else 0
         total_dl = int(stats["total_dl"]) if stats else 0
 
@@ -123,17 +186,12 @@ class StreamingIndexer:
         docs = docs.withColumn(
             "doc_id", (F.col("doc_id") + F.lit(base_id)).cast("long")
         )
-        docs.write.mode("append").parquet(f"{self.index_path}/docs")
+        # ---- stage ----------------------------------------------------
+        docs.write.mode("overwrite").parquet(docs_stage)
         parted.unpersist()
-
-        # delta postings: partial-pack ONLY this batch's docs, merge into
-        # fresh segments appended under the same bucket layout
-        batch_docs = (
-            spark.read.parquet(f"{self.index_path}/docs")
-            .filter(F.col("doc_id") >= base_id)
-            .select("doc_id", "dl", "tokens", "raws")
+        batch_docs = spark.read.parquet(docs_stage).select(
+            "doc_id", "dl", "tokens", "raws"
         )
-        partials_path = f"{self.index_path}/partials_b{batch_id}"
         (
             batch_docs.mapInArrow(
                 _make_partial_builder(cfg.partial_flush_postings),
@@ -151,17 +209,28 @@ class StreamingIndexer:
             .collect()[0]
         )
         batch_dl = int(stats_row["dl"] or 0)
+        self.builder._delete_dir(post_stage)
         _merge_partials(
             spark,
             partials_path,
             base_id + n_new,
             cfg,
-            f"{self.index_path}/postings",
-            append=True,
+            post_stage,
         )
-        self.builder._delete_dir(partials_path)
+        # ---- publish (idempotent deterministic overwrites) -------------
+        self._publish_dir(docs_stage, f"{self.index_path}/docs", f"b{batch_id}")
+        self._publish_dir(
+            post_stage, f"{self.index_path}/postings", f"b{batch_id}"
+        )
+        # phase markers (resume/compact read these; file copies above
+        # don't create them the way append-mode Spark writes did)
+        for final in (f"{self.index_path}/docs", f"{self.index_path}/postings"):
+            fs, _p, Path = self.builder._fs(final)
+            fs.create(Path(f"{final}/_SUCCESS"), True).close()
+        for d in (docs_stage, post_stage, partials_path):
+            self.builder._delete_dir(d)
 
-        # stats rewrite + lineage row (the commit record for idempotency)
+        # stats rewrite (stamped with this batch) then the commit row
         n_docs = base_id + n_new
         new_total = total_dl + batch_dl
         import pandas as pd
@@ -174,11 +243,14 @@ class StreamingIndexer:
                     "avgdl": [new_total / n_docs if n_docs else 0.0],
                     "n_buckets": [cfg.n_buckets],
                     "block_size": [cfg.block_size],
-                    "build_id": [f"stream_b{batch_id}"],
+                    "build_id": [stamp],
                 }
             ),
             self.index_path,
         )
+        self._write_commit_row(batch_id)
+
+    def _write_commit_row(self, batch_id: int) -> None:
         self.builder._write_manifest(
             self.index_path,
             [

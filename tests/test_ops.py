@@ -59,6 +59,29 @@ class TestDedup:
         assert got[(0, 1)] == pytest.approx(expected)
         assert (0, 3) not in got
 
+    def test_ngram_jaccard_counts_hot_shingles_in_intersection(self, spark):
+        # hot shingles are excluded from CANDIDATE generation only; the
+        # emitted Jaccard must still count them in |A∩B| (exact verify)
+        boiler = "alpha beta gamma"  # shared by every doc -> hot at df>2
+        rows = [
+            (0, f"{boiler} one two three four"),
+            (1, f"{boiler} one two three five"),
+            (2, f"{boiler} zz yy xx ww"),
+            (3, f"{boiler} qq rr ss tt"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.3, max_shingle_df=2
+            ).collect()
+        }
+        s0, s1 = _shingles(rows[0][1]), _shingles(rows[1][1])
+        exact = round(len(s0 & s1) / len(s0 | s1), 6)
+        assert got[(0, 1)] == pytest.approx(exact)
+        # docs sharing ONLY hot shingles generate no candidate pair
+        assert (2, 3) not in got
+
     def test_minhash_lsh_pairs(self, docs_df):
         pairs = {
             (r["id_a"], r["id_b"])
@@ -273,6 +296,32 @@ class TestEvents:
         assert out[(100, 1)]["sum_value"] == 3.0
         assert out[(100, 2)]["n_events"] == 1
         assert out[(200, 1)]["n_events"] == 1
+
+    def test_sessionize_boundary_matches_session_window(self, spark):
+        # an event EXACTLY gap_minutes after the previous one MERGES into
+        # the session in Spark's session_window (boundary inclusive,
+        # verified empirically); the batch sessionize must agree
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, 100, "2024-01-01 12:00:00", 1.0),
+            (2, 100, "2024-01-01 12:30:00", 2.0),  # exactly 30 min later
+            (3, 100, "2024-01-01 13:00:01", 3.0),  # 1s past the gap: new
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        batch = events.sessionize(df, gap_minutes=30).collect()
+        native = (
+            df.groupBy(
+                "user_id", F.session_window(F.col("ts"), "30 minutes")
+            )
+            .agg(F.count("*").alias("n_events"))
+            .collect()
+        )
+        assert sorted(r["n_events"] for r in native) == sorted(
+            r["n_events"] for r in batch
+        ) == [1, 2]
 
     def test_windowed_counts(self, spark):
         rows = [
