@@ -26,6 +26,7 @@ reference, whose ``tokenize`` dedups via a HashSet (tokenization.rs:2703-2760).
 
 from __future__ import annotations
 
+import re as _re
 from functools import lru_cache
 
 from probe_spark.functions import _tables as T
@@ -283,29 +284,52 @@ def split_compound_word(
 # ---------------------------------------------------------------------------
 
 
+_ASCII_ALNUM_RUN = _re.compile(r"[0-9A-Za-z]+")
+
+
+def _alnum_runs(body: str) -> list[str]:
+    """Per-char alnum-run split — the non-ASCII fallback (Python's
+    ``str.isalnum`` is Unicode-aware; the regex fast path is ASCII-only)."""
+    out: list[str] = []
+    current: list[str] = []
+    for c in body:
+        if c.isalnum():
+            current.append(c)
+        elif current:
+            out.append("".join(current))
+            current = []
+    if current:
+        out.append("".join(current))
+    return out
+
+
 def _split_raw_tokens(text: str) -> tuple[list[str], set[str]]:
     """Whitespace + non-alnum split with leading-``-`` negation
-    (tokenization.rs:2665-2701).  Returns (raw_tokens, negated_lowercase)."""
+    (tokenization.rs:2665-2701).  Returns (raw_tokens, negated_lowercase).
+
+    Hot path of the index build: a fully-alphanumeric word (the common
+    case) skips splitting entirely, an ASCII word with punctuation goes
+    through one regex findall, and only non-ASCII words walk the
+    char-by-char loop — behavior identical in all three (for ASCII,
+    ``isalnum`` is exactly [0-9A-Za-z])."""
     negated: set[str] = set()
     raw_tokens: list[str] = []
+    append = raw_tokens.append
+    extend = raw_tokens.extend
     for word in text.split():
+        if word.isalnum():
+            append(word)
+            continue
         is_negated = word.startswith("-")
         body = word[1:] if is_negated else word
-        current: list[str] = []
-        for c in body:
-            if c.isalnum():
-                current.append(c)
-            elif current:
-                tok = "".join(current)
-                if is_negated:
-                    negated.add(tok.lower())
-                raw_tokens.append(tok)
-                current = []
-        if current:
-            tok = "".join(current)
-            if is_negated:
+        if body.isascii():
+            toks = _ASCII_ALNUM_RUN.findall(body)
+        else:
+            toks = _alnum_runs(body)
+        if is_negated:
+            for tok in toks:
                 negated.add(tok.lower())
-            raw_tokens.append(tok)
+        extend(toks)
     return raw_tokens, negated
 
 
@@ -373,6 +397,21 @@ def tokenize(text: str, special_terms: frozenset[str] = frozenset()) -> list[str
     seen: set[str] = set()
     result: list[str] = []
     if not special_terms:
+        if not negated:
+            # build hot path: no negated words -> drop the three
+            # membership checks per candidate
+            add = seen.add
+            append = result.append
+            for token in raw_tokens:
+                for _lower, comps in _word_candidates(token):
+                    for comp, stemmed, is_exc in comps:
+                        if is_exc and comp not in seen:
+                            add(comp)
+                            append(comp)
+                        if stemmed not in seen:
+                            add(stemmed)
+                            append(stemmed)
+            return result
         for token in raw_tokens:
             for lower, comps in _word_candidates(token):
                 if lower in negated:
