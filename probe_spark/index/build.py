@@ -7,11 +7,15 @@ the two-pass layout):
 FUSED SINGLE-PASS PIPELINE (the scale path)
 
   1. deterministic dense docID assignment over stable (conv_id, turn_idx)
-     ordering — two-phase (range-repartition -> per-partition counts ->
-     offset broadcast -> partition-local row numbers), never a
-     single-partition window and never monotonically_increasing_id
-     (SURVEY.md §4 item 7).  The range-partitioned corpus is persisted so
-     the count pass and the build pass share one shuffle.
+     ordering — never a single-partition window and never
+     monotonically_increasing_id (SURVEY.md §4 item 7).  Range boundaries
+     come from a deterministic hash sample over a pruned (conv_id,
+     turn_idx) scan, exact per-bucket counts from a second pruned scan, and
+     rows route to partition == bucket via precomputed murmur3
+     representatives — so partition offsets are known BEFORE the build
+     pass, the full-row corpus is shuffled exactly once, and nothing is
+     persisted (the old repartitionByRange + persist + count design burned
+     ~100 GC-core-seconds caching the corpus at 32 cores).
   2. THE pass (one mapInArrow over the range partitioning):
        * tokenize each turn (probe-parity tokenizer, §2.3) — the ONE
          tokenizer pass ever;
@@ -185,7 +189,7 @@ class BuildConfig:
     n_buckets: int = 32  # parquet partition dirs for term-hash pruning
     max_postings_per_segment: int = 1 << 17  # hard cap per final segment
     block_size: int = 128  # block-max granularity
-    doc_partitions: int | None = None  # defaults to shuffle partitions
+    doc_partitions: int | None = None  # defaults to defaultParallelism
     # level-0 flush threshold: bounds the partial builder's in-memory
     # accumulator (postings held per task before a flush)
     partial_flush_postings: int = 1 << 22
@@ -256,35 +260,142 @@ def _make_docs_builder(offsets: dict[int, int]):
     return gen
 
 
-def _range_offsets(
-    df: DataFrame, n_parts: int
-) -> tuple[DataFrame, dict[int, int], int]:
-    """Two-phase docID (SURVEY.md §4 item 7): range-repartition -> cheap
-    per-partition counts -> partition offsets for dense global ids.  Never a
-    single-partition window, never monotonically_increasing_id.  The handle
-    is persisted so the count pass and the tokenize pass share one shuffle
-    (at cluster scale: StorageLevel MEMORY_AND_DISK — the alternative,
-    re-running the range exchange, re-samples boundaries non-
-    deterministically)."""
-    parted = (
-        df.repartitionByRange(n_parts, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .persist()
-    )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in (
-            parted.groupBy(F.spark_partition_id().alias("_pid"))
-            .agg(F.count("*").alias("cnt"))
-            .collect()
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3Hash of one IntegerType column (Murmur3 x86_32
+    hashInt, public algorithm) — used to precompute routing representatives
+    driver-side so ``repartition(n, col)`` places bucket b in partition b
+    exactly (plain hash routing of ~n distinct values into n partitions
+    collides badly: measured a third of partitions empty)."""
+    M = 0xFFFFFFFF
+    k1 = (x * 0xCC9E2D51) & M
+    k1 = ((k1 << 15) | (k1 >> 17)) & M
+    k1 = (k1 * 0x1B873593) & M
+    h1 = seed ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & M
+    h1 = (h1 * 5 + 0xE6546B64) & M
+    h1 ^= 4  # length in bytes
+    h1 = (h1 ^ (h1 >> 16)) * 0x85EBCA6B & M
+    h1 = (h1 ^ (h1 >> 13)) * 0xC2B2AE35 & M
+    h1 ^= h1 >> 16
+    # Spark interprets the result as a signed int32 and routes via
+    # pmod(hash, n)
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _routing_reps(n_parts: int) -> list[int]:
+    """reps[b] = smallest non-negative int32 x with pmod(murmur3(x), n) == b:
+    remapping bucket b -> reps[b] makes hash repartitioning an exact
+    identity routing (partition index == bucket index)."""
+    reps: list[int | None] = [None] * n_parts
+    found = 0
+    x = 0
+    while found < n_parts:
+        b = _murmur3_int(x) % n_parts
+        if reps[b] is None:
+            reps[b] = x
+            found += 1
+        x += 1
+    return reps  # type: ignore[return-value]
+
+
+def _bucket_expr(boundaries: list[tuple[str, int]]):
+    """Balanced binary-search ``when`` tree assigning each row its range
+    bucket = #boundaries <= (conv_id, turn_idx) under lexicographic order.
+    Pure Column expressions (whole-stage codegen; no Python in the
+    full-corpus path).  NULL keys compare null -> otherwise-branch ->
+    bucket 0, matching range partitioning's nulls-first placement.
+
+    Expression size is O(len(boundaries)): fine for the few thousand
+    partitions local mode uses.  A 10^12-turn cluster build (10^5+
+    partitions) swaps this for a vectorized np.searchsorted pandas UDF over
+    the same boundaries — semantics identical, documented scale path."""
+
+    def tree(lo: int, hi: int):
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        c, t = boundaries[mid]
+        ge = (F.col("conv_id") > F.lit(c)) | (
+            (F.col("conv_id") == F.lit(c)) & (F.col("turn_idx") >= F.lit(t))
         )
+        return F.when(ge, tree(mid + 1, hi)).otherwise(tree(lo, mid))
+
+    return tree(0, len(boundaries))
+
+
+def _plan_range_layout(
+    df: DataFrame, n_parts: int, sample_per_part: int = 120
+) -> tuple[DataFrame, dict[int, int], int]:
+    """Deterministic dense-docID layout (SURVEY.md §4 item 7) with the
+    full-row corpus touched EXACTLY ONCE:
+
+      1. pruned count of (conv_id, turn_idx) (parquet: metadata-only);
+      2. deterministic hash sample (pmod(xxhash64(key), K) == 0 — depends
+         only on the data, never on partitioning or RNG) -> driver sorts
+         the sample and picks n_parts-1 quantile boundaries;
+      3. pruned exact per-bucket counts (2-column scan + map-side combined
+         groupBy) -> partition offsets known BEFORE the build pass;
+      4. route rows to partition == bucket via precomputed murmur3
+         representatives + sortWithinPartitions(conv_id, turn_idx).
+
+    Replaces repartitionByRange + persist + count-over-the-cache: no cache
+    build (the old 48g-heap GC storm at high core counts), no second
+    full-row materialization, and docIDs are deterministic for a given
+    corpus regardless of input partitioning (hash sampling), which the
+    sampled range exchange could not guarantee.  Returns
+    (routed_df, offsets, n_rows)."""
+    keys = df.select("conv_id", "turn_idx")
+    n_rows = keys.count()
+    if n_rows == 0 or n_parts <= 1:
+        return (
+            df.repartition(1).sortWithinPartitions("conv_id", "turn_idx"),
+            {0: 0},
+            n_rows,
+        )
+    target = sample_per_part * n_parts
+    k = max(1, n_rows // target)
+    sample = [
+        (r["conv_id"], r["turn_idx"])
+        for r in keys.filter(
+            F.pmod(F.abs(F.xxhash64("conv_id", "turn_idx")), F.lit(k)) == 0
+        ).collect()
+        if r["conv_id"] is not None and r["turn_idx"] is not None
+    ]
+    sample.sort()
+    if not sample:
+        return (
+            df.repartition(1).sortWithinPartitions("conv_id", "turn_idx"),
+            {0: 0},
+            n_rows,
+        )
+    boundaries: list[tuple[str, int]] = []
+    for i in range(1, n_parts):
+        b = sample[min(len(sample) - 1, i * len(sample) // n_parts)]
+        if not boundaries or b > boundaries[-1]:
+            boundaries.append(b)
+    bucket = _bucket_expr(boundaries)
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in keys.groupBy(bucket.alias("_b"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
     }
     offsets: dict[int, int] = {}
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    return parted, offsets, acc
+    for b in range(len(boundaries) + 1):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    reps = _routing_reps(len(boundaries) + 1)
+    routed = (
+        df.repartition(
+            len(boundaries) + 1,
+            F.element_at(
+                F.array(*[F.lit(r) for r in reps]), bucket + F.lit(1)
+            ),
+        )
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+    return routed, offsets, acc
 
 
 def _docs_schema(ts_type, store_tokens: bool) -> StructType:
@@ -320,23 +431,17 @@ def _canonical_input(parted: DataFrame) -> DataFrame:
     )
 
 
-def _assign_and_tokenize(
-    df: DataFrame, n_parts: int
-) -> tuple[DataFrame, DataFrame, int]:
+def _assign_and_tokenize(df: DataFrame, n_parts: int) -> tuple[DataFrame, int]:
     """Dense docID over stable (conv_id, turn_idx) ordering + the single
-    tokenizer pass, as one range shuffle and one mapInArrow (two-pass
+    tokenizer pass, as one routed shuffle and one mapInArrow (two-pass
     layout: tokens/raws ride the docs parquet for the separate partials
-    pass — the streaming delta path).
-
-    Returns (docs_df, parted_handle, n_docs); caller unpersists the handle
-    after the docs write (one-phase lifetime; no lasting memory pressure).
-    """
-    parted, offsets, acc = _range_offsets(df, n_parts)
+    pass — the streaming delta path).  Returns (docs_df, n_docs)."""
+    routed, offsets, acc = _plan_range_layout(df, n_parts)
     ts_type = dict(zip(df.schema.names, df.schema.fields))["ts"].dataType
-    docs = _canonical_input(parted).mapInArrow(
+    docs = _canonical_input(routed).mapInArrow(
         _make_docs_builder(offsets), _docs_schema(ts_type, store_tokens=True)
     )
-    return docs, parted, acc
+    return docs, acc
 
 
 # ---------------------------------------------------------------------------
@@ -346,22 +451,36 @@ def _assign_and_tokenize(
 
 class _PartialAcc:
     """Map-side-combine core shared by the two-pass partials builder and the
-    fused single-pass builder: accumulates (kind, term) -> docID/dl chunks
-    and flushes delta+varint-packed PARTIALS_SCHEMA batches to ``sink``.
-    Vectorized: Arrow list flatten + dictionary_encode give (term-code,
-    doc, dl) triples with no per-token Python; the only Python loop is per
-    DISTINCT term per batch."""
+    fused single-pass builder: accumulates (term-code, doc, dl) triples and
+    flushes delta+varint-packed PARTIALS_SCHEMA batches to ``sink``.
+
+    Allocation-light by design: per batch it appends THREE large contiguous
+    numpy arrays (global term codes via an interning dict over the batch's
+    DISTINCT terms only, repeated doc ids, repeated dls) — no per-term
+    slicing, no dict-of-small-arrays.  All grouping work happens once per
+    FLUSH: one stable argsort by code, one vectorized varint encode of the
+    whole flush with per-value byte offsets, then per-term byte slicing.
+    The original per-batch dict-of-slices design thrashed caches badly
+    under 32-way worker concurrency (measured 44x per-task inflation at 32
+    concurrent workers vs 8 on the same input; this layout removes ~100x
+    of the small-object allocations)."""
 
     def __init__(self, flush_postings: int, sink):
         self.flush_postings = flush_postings
         self.sink = sink  # callable(pa.RecordBatch)
-        self.acc: dict[tuple[str, str], tuple[list, list]] = {}
+        self.term_ids: dict[tuple[str, str], int] = {}
+        self.terms: list[tuple[str, str]] = []
+        self.code_chunks: list = []
+        self.id_chunks: list = []
+        self.dl_chunks: list = []
         self.pending = 0
         self.n_docs = 0
         self.total_dl = 0
 
     def add(self, ids, dls, kind_cols) -> None:
-        """ids/dls: numpy arrays; kind_cols: [(kind, arrow list<string>)]."""
+        """ids/dls: numpy arrays (ids ascending — batches stream in docID
+        order within a task, which _flush relies on for per-term
+        sortedness); kind_cols: [(kind, arrow list<string>)]."""
         import numpy as np
         import pyarrow.compute as pc
 
@@ -378,47 +497,84 @@ class _PartialAcc:
             de = arr.flatten().dictionary_encode()
             codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             vocab = de.dictionary.to_pylist()
-            rep_ids = np.repeat(ids, lens)
-            rep_dls = np.repeat(dls, lens)
-            order = np.argsort(codes, kind="stable")
-            sc = codes[order]
-            bounds = np.flatnonzero(np.diff(sc)) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [len(sc)]))
-            for s, e in zip(starts, ends):
-                ent = self.acc.setdefault((kind, vocab[sc[s]]), ([], []))
-                ent[0].append(rep_ids[order[s:e]])
-                ent[1].append(rep_dls[order[s:e]])
-            self.pending += int(len(sc))
+            term_ids = self.term_ids
+            terms = self.terms
+            gmap = np.empty(len(vocab), dtype=np.int64)
+            for i, t in enumerate(vocab):
+                key = (kind, t)
+                gid = term_ids.get(key)
+                if gid is None:
+                    gid = len(terms)
+                    term_ids[key] = gid
+                    terms.append(key)
+                gmap[i] = gid
+            self.code_chunks.append(gmap[codes])
+            self.id_chunks.append(np.repeat(ids, lens))
+            self.dl_chunks.append(np.repeat(dls, lens))
+            self.pending += int(len(codes))
         if self.pending >= self.flush_postings:
             self.sink(self._flush())
 
     def _flush(self) -> pa.RecordBatch:
         import numpy as np
 
-        from probe_spark.index.codec import varint_encode
+        from probe_spark.index.codec import _varint_encode_offsets
 
-        cols: dict[str, list] = {f.name: [] for f in _PARTIALS_ARROW_SCHEMA}
-        for (kind, term), (idc, dlc) in self.acc.items():
-            ids = np.concatenate(idc)
-            dls = np.concatenate(dlc)
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            dls = dls[order]
-            gaps = np.empty(len(ids), dtype=np.uint64)
-            gaps[0] = ids[0]
-            np.subtract(ids[1:], ids[:-1], out=gaps[1:], casting="unsafe")
-            cols["kind"].append(kind)
-            cols["term"].append(term)
-            cols["df_part"].append(len(ids))
-            cols["min_doc"].append(int(ids[0]))
-            cols["max_doc"].append(int(ids[-1]))
-            cols["docs_bin"].append(varint_encode(gaps))
-            cols["dl_bin"].append(varint_encode(dls.astype(np.uint64)))
-        self.acc = {}
+        codes = np.concatenate(self.code_chunks)
+        ids = np.concatenate(self.id_chunks)
+        dls = np.concatenate(self.dl_chunks)
+        self.code_chunks, self.id_chunks, self.dl_chunks = [], [], []
         self.pending = 0
+        # stable sort by term code: within a term, arrival order is
+        # normally ascending doc order (see add), so runs come out sorted.
+        # Guard: a parquet read split can concatenate files out of doc
+        # order (two-pass layout) — detect and fall back to a full lexsort.
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        si = ids[order]
+        run_break = np.empty(len(sc), dtype=bool)
+        run_break[0] = True
+        np.not_equal(sc[1:], sc[:-1], out=run_break[1:])
+        if len(si) > 1 and bool(
+            np.any((np.diff(si) <= 0) & ~run_break[1:])
+        ):
+            order = np.lexsort((ids, codes))
+            sc = codes[order]
+            si = ids[order]
+        codes = sc
+        ids = si
+        dls = dls[order]
+        bounds = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(codes)]))
+        # delta within each term run; the run's first gap = absolute id
+        gaps = np.empty(len(ids), dtype=np.uint64)
+        if len(ids) > 1:
+            np.subtract(ids[1:], ids[:-1], out=gaps[1:], casting="unsafe")
+        gaps[starts] = ids[starts]
+        docs_bin, doc_offs = _varint_encode_offsets(gaps)
+        dl_bin, dl_offs = _varint_encode_offsets(dls.astype(np.uint64))
+        terms = self.terms
+        kind_col: list[str] = []
+        term_col: list[str] = []
+        docs_col: list[bytes] = []
+        dl_col: list[bytes] = []
+        for s, e in zip(starts, ends):
+            kind, term = terms[codes[s]]
+            kind_col.append(kind)
+            term_col.append(term)
+            docs_col.append(docs_bin[doc_offs[s] : doc_offs[e]])
+            dl_col.append(dl_bin[dl_offs[s] : dl_offs[e]])
         return pa.RecordBatch.from_arrays(
-            [pa.array(cols[f.name], f.type) for f in _PARTIALS_ARROW_SCHEMA],
+            [
+                pa.array(kind_col, pa.string()),
+                pa.array(term_col, pa.string()),
+                pa.array(ends - starts, pa.int64()),
+                pa.array(ids[starts], pa.int64()),
+                pa.array(ids[ends - 1], pa.int64()),
+                pa.array(docs_col, pa.binary()),
+                pa.array(dl_col, pa.binary()),
+            ],
             schema=_PARTIALS_ARROW_SCHEMA,
         )
 
@@ -426,7 +582,7 @@ class _PartialAcc:
         """Flush the tail, then emit the per-partition corpus stats row
         (kind=@stats, df_part=n_docs, min_doc=total_dl): the stats phase
         aggregates partials METADATA instead of re-scanning docs dl."""
-        if self.acc:
+        if self.code_chunks:
             self.sink(self._flush())
         self.sink(
             pa.RecordBatch.from_arrays(
@@ -503,7 +659,7 @@ class _BucketShardSink:
     """Routes PARTIALS batches into per-bucket shard files
     (partials/bg=N/part-{pid}.parquet): the merge then reads each bucket's
     files directly — no shuffle ever touches the packed postings.  @stats
-    rows land under bg=-1.  Rows are written sorted by (kind, term) within
+    rows land under bg=-1.  Rows are grouped by bucket within
     each flush."""
 
     def __init__(self, base_dir: str, pid: int, n_buckets: int):
@@ -542,7 +698,7 @@ class _BucketShardSink:
                 b = spark_bucket(term, self.n_buckets)
                 cache[term] = b
             buckets[i] = b
-        order = np.lexsort((terms, kinds, buckets))
+        order = np.argsort(buckets, kind="stable")
         sorted_batch = batch.take(pa.array(order))
         sb = buckets[order]
         bounds = np.flatnonzero(np.diff(sb)) + 1
@@ -580,6 +736,10 @@ def _make_fused_builder(
 
         from probe_spark.functions.tokenizer import raw_special_words, tokenize
 
+        trace = os.environ.get("PROBE_SPARK_TASK_TRACE")
+        tt = {"feed": 0.0, "tok": 0.0, "acc": 0.0, "docs": 0.0, "rows": 0}
+        t_start = time.time()
+
         pid = TaskContext.get().partitionId()
         next_id = offsets.get(pid, 0)
         sink = _BucketShardSink(partials_dir, pid, n_buckets)
@@ -595,10 +755,18 @@ def _make_fused_builder(
                 docs_buf = []
                 docs_buf_rows = 0
 
-        for batch in batches:
+        it = iter(batches)
+        while True:
+            t0 = time.time()
+            batch = next(it, None)
+            tt["feed"] += time.time() - t0
+            if batch is None:
+                break
             n = batch.num_rows
             if n == 0:
                 continue
+            tt["rows"] += n
+            t0 = time.time()
             texts = batch.column("text").to_pylist()
             tokens = [tokenize(t) if t else [] for t in texts]
             raws = [raw_special_words(t) if t else [] for t in texts]
@@ -606,7 +774,11 @@ def _make_fused_builder(
             dls = np.array([len(ts) for ts in tokens], dtype=np.int64)
             tok_arr = pa.array(tokens, pa.list_(pa.string()))
             raw_arr = pa.array(raws, pa.list_(pa.string()))
+            tt["tok"] += time.time() - t0
+            t0 = time.time()
             acc.add(ids, dls, [("tok", tok_arr), ("raw", raw_arr)])
+            tt["acc"] += time.time() - t0
+            t0 = time.time()
             arrays = [
                 pa.array(ids),
                 batch.column("conv_id"),
@@ -636,11 +808,24 @@ def _make_fused_builder(
             docs_buf_rows += n
             if docs_buf_rows >= 1 << 17:  # ~128k rows per row group
                 flush_docs()
+            tt["docs"] += time.time() - t0
+        t0 = time.time()
         acc.finish()
         sink.close()
         if docs_shard is not None:
             flush_docs()
             docs_shard.close()
+        tt["docs"] += time.time() - t0
+        if trace:
+            with open(trace, "a") as f:
+                f.write(
+                    f"pid={pid} wall={time.time() - t_start:.2f} "
+                    + " ".join(
+                        f"{k}={v:.2f}" if k != "rows" else f"rows={v}"
+                        for k, v in tt.items()
+                    )
+                    + "\n"
+                )
         # the Spark output: this partition's stats row (pid rides max_doc)
         yield pa.RecordBatch.from_arrays(
             [
@@ -1241,9 +1426,13 @@ class IndexBuilder:
     ) -> dict:
         cfg = self.cfg
         spark = self.spark
-        n_parts = cfg.doc_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        # one doc partition per core, NOT per shuffle partition: each build
+        # task carries fixed overhead (32 open bucket-shard writers, flush
+        # tails, per-chunk merge rows), and 4x-cpus task counts measured
+        # 2-3x slower end-to-end at local[32] than exactly-cpus.  On a real
+        # cluster size this by data instead (~256MB of input per task) via
+        # cfg.doc_partitions.
+        n_parts = cfg.doc_partitions or spark.sparkContext.defaultParallelism
         t0 = time.time()
         phases_run = []
 
@@ -1271,7 +1460,7 @@ class IndexBuilder:
                 with _timed("docs+partials"):
                     self._delete_dir(partials_path)
                     self._delete_dir(docs_path)
-                    parted, offsets, n_docs_known = _range_offsets(
+                    routed, offsets, n_docs_known = _plan_range_layout(
                         transcripts, n_parts
                     )
                     # the action: collect one @stats row per partition —
@@ -1280,7 +1469,7 @@ class IndexBuilder:
                     # bulk rows), and stats fold out of the collected rows,
                     # so the stats job disappears too
                     stat_rows = (
-                        _canonical_input(parted)
+                        _canonical_input(routed)
                         .mapInArrow(
                             _make_fused_builder(
                                 offsets,
@@ -1294,7 +1483,6 @@ class IndexBuilder:
                         )
                         .collect()
                     )
-                    parted.unpersist()
                     self._finalize_side_dir(partials_path)
                     self._ensure_docs_nonempty(docs_path, transcripts)
                     self._finalize_side_dir(docs_path)
@@ -1311,11 +1499,10 @@ class IndexBuilder:
                 phases_run.append("docs")
         elif not docs_done:
             with _timed("docs"):
-                base, parted, n_docs_known = _assign_and_tokenize(
+                base, n_docs_known = _assign_and_tokenize(
                     transcripts, n_parts
                 )
                 base.write.mode("overwrite").parquet(docs_path)
-                parted.unpersist()
             self._simple_manifest(index_path, build_id, "docs")
             phases_run.append("docs")
 

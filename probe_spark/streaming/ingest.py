@@ -179,16 +179,14 @@ class StreamingIndexer:
         n_parts = cfg.doc_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        docs, parted, n_new = _assign_and_tokenize(batch_df, n_parts)
+        docs, n_new = _assign_and_tokenize(batch_df, n_parts)
         if n_new == 0:
-            parted.unpersist()
             return
         docs = docs.withColumn(
             "doc_id", (F.col("doc_id") + F.lit(base_id)).cast("long")
         )
         # ---- stage ----------------------------------------------------
         docs.write.mode("overwrite").parquet(docs_stage)
-        parted.unpersist()
         batch_docs = spark.read.parquet(docs_stage).select(
             "doc_id", "dl", "tokens", "raws"
         )
