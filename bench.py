@@ -164,14 +164,19 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
     # -- phase 1: synthetic-transcript index build (the headline build) ----
     n_convs = synth_corpus_size(sf)
     corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR")
-    if corpus_dir:
-        # pre-generated corpus (scripts/scaling_bench.py writes it once at
-        # full parallelism): low-parallelism rounds then measure the BUILD,
-        # not 600+ core-seconds of corpus generation per round
-        corpus = spark.read.parquet(corpus_dir).persist()
-    else:
-        corpus = transcripts_df_dist(spark, n_convs=n_convs, seed=42).persist()
-    n_turns = corpus.count()  # materialize before the clock starts
+    if not corpus_dir:
+        # generate once to parquet, then hand the builder the PATH — the
+        # builder's direct pass-A reader (pyarrow row groups in the
+        # workers) then keeps the JVM out of the corpus entirely
+        corpus_dir = os.path.join(
+            scratch_dir(), f"bench_corpus_{n_convs}"
+        )
+        if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+            transcripts_df_dist(spark, n_convs=n_convs, seed=42).write.mode(
+                "overwrite"
+            ).parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+    n_turns = corpus.count()  # metadata-only; before the clock starts
     build_dir = tempfile.mkdtemp(prefix="bench_idx_", dir=scratch_dir())
     shutil.rmtree(build_dir, ignore_errors=True)
     builder = IndexBuilder(spark, BuildConfig())  # ctor warms the worker pool
@@ -183,9 +188,8 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
     # one tiny shuffle) stays; it does not trigger the effect.
     with HostSampler() as sampler:
         t0 = time.time()
-        builder.build(corpus, build_dir)
+        builder.build(corpus_dir, build_dir)
         build_sec = time.time() - t0
-    corpus.unpersist()
 
     result: dict = {
         "sf": sf,

@@ -10,30 +10,32 @@ FUSED SINGLE-PASS PIPELINE (the scale path)
      ordering — never a single-partition window and never
      monotonically_increasing_id (SURVEY.md §4 item 7).  Range boundaries
      come from a deterministic hash sample over a pruned (conv_id,
-     turn_idx) scan, exact per-bucket counts from a second pruned scan, and
-     rows route to partition == bucket via precomputed murmur3
-     representatives — so partition offsets are known BEFORE the build
-     pass, the full-row corpus is shuffled exactly once, and nothing is
-     persisted (the old repartitionByRange + persist + count design burned
-     ~100 GC-core-seconds caching the corpus at 32 cores).
-  2. THE pass (one mapInArrow over the range partitioning):
-       * tokenize each turn (probe-parity tokenizer, §2.3) — the ONE
-         tokenizer pass ever;
-       * side-write this partition's docs/ shard with pyarrow's
-         vectorized parquet writer (doc_id, conv_id, turn_idx, role,
-         tool, ts, text, dl — token arrays excluded unless store_tokens:
-         they never touch parquet).  Spark's row-based parquet writer was
-         measured at ~40 JVM core-seconds per million turns at 32
-         threads; the arrow writer removes that entirely;
-       * map-side combine postings into level-0 partials — (kind, term)
-         -> delta+varint-packed docID/dl arrays, fully vectorized (Arrow
-         list flatten + dictionary_encode + np.repeat/argsort, no
-         per-token Python), flushed at partial_flush_postings — and
-         side-write them BUCKET-PARTITIONED (partials/bg=N/part-P.parquet,
-         bucket = pmod(xxhash64(term), n_buckets));
-       * the Spark output is ONE @stats metadata row per partition; the
-         driver folds n_docs/total_dl/avgdl out of the collected rows, so
-         there is no stats job.
+     turn_idx) scan; docIDs are deterministic for a given corpus
+     regardless of input partitioning.
+  2. FILE-BASED DOC EXCHANGE (two task waves, no JVM shuffle):
+       * pass A routes each row to its range bucket (vectorized
+         fixed-width-key searchsorted) and side-writes per-bucket lz4
+         Arrow IPC shards (exchange/b=N/part-P.arrow); its Spark output
+         is the exact per-bucket counts, which IS the docID offsets job.
+         The JVM row-shuffle this replaces (repartitionByRange + persist
+         + sortWithinPartitions) measured 3x slower end-to-end at 32
+         cores: shuffle write/read/sort of full rows plus cache GC
+         competed with the Python tokenizer workers for every core;
+       * pass B (one driver-planned task per bucket, like the merge)
+         reads its bucket's IPC shards directly with pyarrow, sorts by
+         (conv_id, turn_idx) nulls-first in C++, then:
+         - tokenizes each turn (probe-parity tokenizer, §2.3) — the ONE
+           tokenizer pass ever;
+         - side-writes the bucket's docs/ shard with pyarrow's vectorized
+           parquet writer (token arrays never touch parquet unless
+           store_tokens);
+         - map-side combines postings into level-0 partials
+           (allocation-light accumulator; delta+varint-packed), side-
+           written BUCKET-PARTITIONED (partials/bg=N/part-P.parquet,
+           bucket = pmod(xxhash64(term), n_buckets));
+         - emits ONE @stats metadata row; the driver folds
+           n_docs/total_dl/avgdl out of the collected rows, so there is
+           no stats job.
      All side writes are atomic (dot-tmp + rename; retries overwrite).
   3. SHUFFLE-FREE merge: the driver plans one task per (bucket,
      doc-range group) from partial-shard file sizes — greedy grouping
@@ -173,6 +175,22 @@ _PARTIALS_ARROW_SCHEMA = pa.schema(
 )
 
 
+def _single_threaded_arrow() -> None:
+    """Cap this worker's Arrow-internal thread pools at 1.  Every executor
+    slot already runs one Python worker per core; Arrow's default pool
+    (os.cpu_count() threads) on top of that meant 32 workers x 32 arrow
+    threads during pass B — measured as pa.Table.sort_by slowing ~25x under
+    full task concurrency.  A real cluster would set this via
+    executor-cores-aware worker env; here it is per-task idempotent."""
+    try:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+        if pa.io_thread_count() != 1:
+            pa.set_io_thread_count(1)
+    except Exception:
+        pass
+
+
 @contextlib.contextmanager
 def _timed(label: str):
     """Per-phase wall timing to stderr when PROBE_SPARK_TIMING=1."""
@@ -190,9 +208,16 @@ class BuildConfig:
     max_postings_per_segment: int = 1 << 17  # hard cap per final segment
     block_size: int = 128  # block-max granularity
     doc_partitions: int | None = None  # defaults to defaultParallelism
+    # fused exchange: target rows per range bucket (pass-B task working
+    # set).  Small buckets keep full-width worker concurrency cache-
+    # resident; ~16k turns ≈ 15MB of text per task
+    exchange_bucket_rows: int = 16384
     # level-0 flush threshold: bounds the partial builder's in-memory
-    # accumulator (postings held per task before a flush)
-    partial_flush_postings: int = 1 << 22
+    # accumulator (postings held per task before a flush).  Kept small so
+    # flushes interleave with tokenization instead of bursting at task end
+    # (64 tasks all flushing 4M-posting accumulators simultaneously
+    # measured as an allocation storm at 32-way concurrency)
+    partial_flush_postings: int = 1 << 20
     # fused=True (default): single-pass build — the tokenize pass side-writes
     # the level-0 partials per task (posix-visible index paths only; remote
     # object stores fall back to the two-pass path), and the merge side-
@@ -223,6 +248,7 @@ def _make_docs_builder(offsets: dict[int, int]):
     """
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _single_threaded_arrow()
         from pyspark import TaskContext
 
         from probe_spark.functions.tokenizer import raw_special_words, tokenize
@@ -296,6 +322,26 @@ def _routing_reps(n_parts: int) -> list[int]:
             found += 1
         x += 1
     return reps  # type: ignore[return-value]
+
+
+def _one_row_per_partition(
+    spark: SparkSession, rows: list, schema: str, n_tasks: int | None = None
+):
+    """Spread driver-planned task rows round-robin over exactly
+    ``n_tasks`` partitions (default: one row per partition).
+    ``repartition(len(rows))`` hash-routes and collides (balls-in-bins:
+    with 32 rows into 32 partitions the fullest task gets ~3 rows while
+    others idle — measured as the merge/build stage taking ~3x one task's
+    time at full concurrency).  Routing row i via the murmur3
+    representative of (i % n_tasks) makes the assignment exact, and keeps
+    each partition's rows in ascending plan order."""
+    n_tasks = min(len(rows), n_tasks or len(rows))
+    reps = _routing_reps(n_tasks)
+    df = spark.createDataFrame(
+        [(reps[i % n_tasks], *r) for i, r in enumerate(rows)],
+        "_route int, " + schema,
+    )
+    return df.repartition(n_tasks, F.col("_route")).drop("_route")
 
 
 def _bucket_expr(boundaries: list[tuple[str, int]]):
@@ -605,6 +651,7 @@ def _make_partial_builder(flush_postings: int):
     PARTIALS_SCHEMA rows (two-pass layout; the streaming delta path)."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _single_threaded_arrow()
         out: list[pa.RecordBatch] = []
         acc = _PartialAcc(flush_postings, out.append)
         for batch in batches:
@@ -667,7 +714,6 @@ class _BucketShardSink:
         self.pid = pid
         self.n_buckets = n_buckets
         self.writers: dict[int, _ShardWriter] = {}
-        self._bucket_cache: dict[str, int] = {}
 
     def _writer(self, bg: int) -> _ShardWriter:
         w = self.writers.get(bg)
@@ -683,21 +729,16 @@ class _BucketShardSink:
     def write(self, batch: pa.RecordBatch) -> None:
         import numpy as np
 
-        from probe_spark.index.xxhash import spark_bucket
+        from probe_spark.index.xxhash import spark_buckets_vec
 
-        kinds = batch.column("kind").to_pylist()
         terms = batch.column("term").to_pylist()
-        cache = self._bucket_cache
-        buckets = np.empty(len(terms), dtype=np.int64)
-        for i, (kind, term) in enumerate(zip(kinds, terms)):
+        buckets = np.asarray(
+            spark_buckets_vec(terms, self.n_buckets), dtype=np.int64
+        )
+        kinds = batch.column("kind").to_pylist()
+        for i, kind in enumerate(kinds):
             if kind == "@stats":
                 buckets[i] = -1
-                continue
-            b = cache.get(term)
-            if b is None:
-                b = spark_bucket(term, self.n_buckets)
-                cache[term] = b
-            buckets[i] = b
         order = np.argsort(buckets, kind="stable")
         sorted_batch = batch.take(pa.array(order))
         sb = buckets[order]
@@ -712,7 +753,431 @@ class _BucketShardSink:
             w.close()
 
 
-def _make_fused_builder(
+class _FusedCore:
+    """Per-task fused build core: assigns dense docIDs, tokenizes, feeds
+    the map-side combiner, and side-writes docs parquet shards (one per
+    range bucket) plus ONE level-0 partials shard per task with pyarrow's
+    vectorized writers.  The JVM never row-converts or parquet-writes the
+    bulk data (measured: Spark's row-based ParquetWriteSupport burned ~40
+    JVM core-seconds per million turns); the Spark output is one @stats
+    metadata row per task, so the stats job disappears too (the driver
+    folds the collected rows).
+
+    A task processes its range buckets in ASCENDING bucket order — doc ids
+    then ascend across the whole task, which _PartialAcc._flush relies on
+    (sharing one accumulator across a task's buckets is what keeps the
+    partial shard count at n_tasks x n_buckets instead of
+    n_range_buckets x n_buckets)."""
+
+    def __init__(
+        self,
+        task_id: int,
+        docs_dir: str,
+        partials_dir: str,
+        flush_postings: int,
+        store_tokens: bool,
+        n_buckets: int,
+    ):
+        self.docs_dir = docs_dir
+        self.store_tokens = store_tokens
+        self.sink = _BucketShardSink(partials_dir, task_id, n_buckets)
+        self.acc = _PartialAcc(flush_postings, self.sink.write)
+        self.next_id = 0
+        self.bucket: int | None = None
+        self.docs_shard: _ShardWriter | None = None  # schema from 1st batch
+        self.docs_buf: list[pa.RecordBatch] = []
+        self.docs_buf_rows = 0
+
+    def _flush_docs(self) -> None:
+        if self.docs_buf:
+            self.docs_shard.write_table(pa.Table.from_batches(self.docs_buf))
+            self.docs_buf = []
+            self.docs_buf_rows = 0
+
+    def start_bucket(self, bucket: int, next_id: int) -> None:
+        """Switch to the next range bucket (ascending): close the previous
+        bucket's docs shard, set its docID offset."""
+        if self.docs_shard is not None:
+            self._flush_docs()
+            self.docs_shard.close()
+            self.docs_shard = None
+        self.bucket = bucket
+        self.next_id = next_id
+
+    def process(self, batch: pa.RecordBatch) -> None:
+        import numpy as np
+
+        from probe_spark.functions.tokenizer import raw_special_words, tokenize
+
+        n = batch.num_rows
+        if n == 0:
+            return
+        texts = batch.column("text").to_pylist()
+        tokens = [tokenize(t) if t else [] for t in texts]
+        raws = [raw_special_words(t) if t else [] for t in texts]
+        ids = np.arange(self.next_id, self.next_id + n, dtype=np.int64)
+        dls = np.array([len(ts) for ts in tokens], dtype=np.int64)
+        tok_arr = pa.array(tokens, pa.list_(pa.string()))
+        raw_arr = pa.array(raws, pa.list_(pa.string()))
+        self.acc.add(ids, dls, [("tok", tok_arr), ("raw", raw_arr)])
+        arrays = [
+            pa.array(ids),
+            batch.column("conv_id"),
+            batch.column("turn_idx"),
+            batch.column("role"),
+            batch.column("tool"),
+            batch.column("ts"),
+            batch.column("text"),
+            pa.array(dls.astype(np.int32)),
+        ]
+        names = [
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+            "text", "dl",
+        ]
+        if self.store_tokens:
+            arrays += [tok_arr, raw_arr]
+            names += ["tokens", "raws"]
+        self.next_id += n
+        docs_batch = pa.RecordBatch.from_arrays(arrays, names=names)
+        if self.docs_shard is None:
+            self.docs_shard = _ShardWriter(
+                _strip_scheme(self.docs_dir),
+                f"part-{self.bucket:05d}.parquet",
+                docs_batch.schema,
+            )
+        self.docs_buf.append(docs_batch)
+        self.docs_buf_rows += n
+        if self.docs_buf_rows >= 1 << 17:  # ~128k rows per row group
+            self._flush_docs()
+
+    def finish(self) -> tuple[int, int]:
+        """Close writers; returns (n_docs, total_dl) for the @stats row."""
+        self.acc.finish()
+        self.sink.close()
+        if self.docs_shard is not None:
+            self._flush_docs()
+            self.docs_shard.close()
+        return self.acc.n_docs, self.acc.total_dl
+
+
+def _stats_batch(n_docs: int, total_dl: int, shard: int) -> pa.RecordBatch:
+    """One @stats metadata row (df_part=n_docs, min_doc=total_dl,
+    max_doc=shard) in PARTIALS_SCHEMA shape."""
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(["@stats"], pa.string()),
+            pa.array([""], pa.string()),
+            pa.array([n_docs], pa.int64()),
+            pa.array([total_dl], pa.int64()),
+            pa.array([shard], pa.int64()),
+            pa.array([b""], pa.binary()),
+            pa.array([b""], pa.binary()),
+        ],
+        schema=_PARTIALS_ARROW_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc exchange: file-based range shuffle (pass A route/write, pass B build)
+# ---------------------------------------------------------------------------
+
+_EXCHANGE_COUNTS_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType(), False),
+        StructField("cnt", LongType(), False),
+    ]
+)
+
+
+def _encode_keys(conv_ids: list, turn_idxs, width: int):
+    """Fixed-width byte encoding of (conv_id, turn_idx) whose memcmp order
+    equals the lexicographic (conv_id, turn_idx) order: conv_id NUL-padded
+    to ``width`` (NUL sorts before every real byte, preserving prefix
+    order) + big-endian uint32 of turn_idx biased by 2^31 (sign-safe).
+    NULLs encode as the minimal key (nulls-first, matching range
+    partitioning).  Returns a numpy 'S' array ready for np.searchsorted."""
+    import numpy as np
+
+    n = len(conv_ids)
+    conv = np.array(
+        [c.encode("utf-8", "surrogatepass") if c is not None else b"" for c in conv_ids],
+        dtype=f"S{width}",
+    )
+    t = np.asarray(
+        [0 if x is None else int(x) for x in turn_idxs], dtype=np.int64
+    )
+    tb = ((t + (1 << 31)).astype(">u4")).tobytes()
+    turn = np.frombuffer(tb, dtype="S4")
+    out = np.char.add(conv, turn)
+    assert len(out) == n
+    return out
+
+
+def _exact_boundaries_local(
+    src_path: str, n_parts: int | None, bucket_rows: int, min_parts: int
+) -> "tuple[list[tuple[str, int]], int] | None":
+    """EXACT range boundaries via a driver-side pyarrow key scan — for
+    posix parquet sources up to ~20M rows this replaces two Spark jobs
+    (count + sample collect, ~2s of fixed per-build latency) with a sub-
+    second pruned column read.  Returns None past the cap (the Spark
+    sampling path handles it)."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    local = _strip_scheme(src_path)
+    dataset = ds.dataset(local, format="parquet")
+    n_rows = dataset.count_rows()
+    if n_rows > 20_000_000:
+        return None
+    if n_parts is None:
+        n_parts = max(min_parts, (n_rows + bucket_rows - 1) // bucket_rows)
+    if n_rows == 0 or n_parts <= 1:
+        return [], n_rows
+    t = dataset.to_table(columns=["conv_id", "turn_idx"])
+    conv = t.column("conv_id").to_pylist()
+    turn = t.column("turn_idx").to_pylist()
+    width = max(
+        (len(c.encode("utf-8", "surrogatepass")) for c in conv if c is not None),
+        default=1,
+    )
+    keys = _encode_keys(conv, turn, width)
+    order = np.argsort(keys, kind="stable")
+    boundaries: list[tuple[str, int]] = []
+    for i in range(1, n_parts):
+        j = int(order[min(n_rows - 1, i * n_rows // n_parts)])
+        b = (conv[j], turn[j])
+        if b[0] is None or b[1] is None:
+            continue
+        if not boundaries or b > boundaries[-1]:
+            boundaries.append(b)
+    return boundaries, n_rows
+
+
+def _range_boundaries(
+    df: DataFrame,
+    n_parts: int | None,
+    sample_per_part: int = 120,
+    bucket_rows: int = 16384,
+    min_parts: int = 1,
+) -> tuple[list[tuple[str, int]], int]:
+    """Deterministic range boundaries for the doc exchange: pruned count +
+    hash sample (pmod(xxhash64(key), K) == 0 — depends only on the data,
+    never on partitioning or RNG), driver-sorted quantiles.  When
+    ``n_parts`` is None it is sized by DATA, not cores: ~bucket_rows rows
+    per bucket keeps each pass-B task's working set (bucket table + sorted
+    copy + token lists) small enough that full-width worker concurrency
+    stays cache-resident — measured 2.5x faster at 32 workers than
+    one-bucket-per-core (694 -> 197 core-s on 3.3M turns).  Returns
+    (boundaries, n_rows)."""
+    keys = df.select("conv_id", "turn_idx")
+    n_rows = keys.count()
+    if n_parts is None:
+        n_parts = max(min_parts, (n_rows + bucket_rows - 1) // bucket_rows)
+    if n_rows == 0 or n_parts <= 1:
+        return [], n_rows
+    k = max(1, n_rows // (sample_per_part * n_parts))
+    sample = [
+        (r["conv_id"], r["turn_idx"])
+        for r in keys.filter(
+            F.pmod(F.abs(F.xxhash64("conv_id", "turn_idx")), F.lit(k)) == 0
+        ).collect()
+        if r["conv_id"] is not None and r["turn_idx"] is not None
+    ]
+    sample.sort()
+    if not sample:
+        return [], n_rows
+    boundaries: list[tuple[str, int]] = []
+    for i in range(1, n_parts):
+        b = sample[min(len(sample) - 1, i * len(sample) // n_parts)]
+        if not boundaries or b > boundaries[-1]:
+            boundaries.append(b)
+    return boundaries, n_rows
+
+
+class _IpcShardWriter:
+    """Atomic per-bucket Arrow IPC stream writer (dot-tmp + rename on
+    close; lz4-framed batches)."""
+
+    def __init__(self, dir_path: str, name: str, schema: pa.Schema):
+        import pyarrow.ipc as ipc
+
+        os.makedirs(dir_path, exist_ok=True)
+        self.final = os.path.join(dir_path, name)
+        self.tmp = os.path.join(dir_path, f".{name}.tmp{os.getpid()}")
+        self.writer = ipc.new_file(
+            self.tmp, schema,
+            options=ipc.IpcWriteOptions(compression="lz4"),
+        )
+
+    def write_table(self, table: pa.Table) -> None:
+        self.writer.write_table(table)
+
+    def close(self) -> None:
+        self.writer.close()
+        os.replace(self.tmp, self.final)
+
+
+class _ExchangeRouter:
+    """Shared pass-A core: route batches to range buckets (vectorized
+    fixed-width-key searchsorted — no Python per row) and side-write
+    per-bucket Arrow IPC shards (exchange/b=N/part-{pid}.arrow)."""
+
+    def __init__(
+        self, boundaries: list[tuple[str, int]], exchange_dir: str, pid: int
+    ):
+        self.boundaries = boundaries
+        self.bw = max(
+            (len(c.encode("utf-8", "surrogatepass")) for c, _ in boundaries),
+            default=1,
+        )
+        self.exchange_dir = exchange_dir
+        self.pid = pid
+        self.writers: dict[int, _IpcShardWriter] = {}
+        self.bufs: dict[int, list] = {}
+        self.buf_rows: dict[int, int] = {}
+        self.counts: dict[int, int] = {}
+        self.schema: pa.Schema | None = None
+
+    def _flush(self, b: int) -> None:
+        if self.bufs.get(b):
+            w = self.writers.get(b)
+            if w is None:
+                w = _IpcShardWriter(
+                    os.path.join(_strip_scheme(self.exchange_dir), f"b={b}"),
+                    f"part-{self.pid:05d}.arrow",
+                    self.schema,
+                )
+                self.writers[b] = w
+            w.write_table(pa.Table.from_batches(self.bufs[b]))
+            self.bufs[b] = []
+            self.buf_rows[b] = 0
+
+    def route(self, batch: pa.RecordBatch) -> None:
+        import numpy as np
+
+        n = batch.num_rows
+        if n == 0:
+            return
+        if self.schema is None:
+            self.schema = batch.schema
+        if self.boundaries:
+            conv = batch.column("conv_id").to_pylist()
+            turn = batch.column("turn_idx").to_pylist()
+            width = max(
+                self.bw,
+                max(
+                    (
+                        len(c.encode("utf-8", "surrogatepass"))
+                        for c in conv
+                        if c is not None
+                    ),
+                    default=1,
+                ),
+            )
+            keys = _encode_keys(conv, turn, width)
+            bnd = _encode_keys(
+                [c for c, _ in self.boundaries],
+                [t for _, t in self.boundaries],
+                width,
+            )
+            buckets = np.searchsorted(bnd, keys, side="right")
+        else:
+            buckets = np.zeros(n, dtype=np.int64)
+        order = np.argsort(buckets, kind="stable")
+        sb = buckets[order]
+        taken = batch.take(pa.array(order))
+        bounds = np.flatnonzero(np.diff(sb)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sb)]))
+        for s, e in zip(starts, ends):
+            b = int(sb[s])
+            self.counts[b] = self.counts.get(b, 0) + int(e - s)
+            self.bufs.setdefault(b, []).append(taken.slice(s, e - s))
+            self.buf_rows[b] = self.buf_rows.get(b, 0) + int(e - s)
+            if self.buf_rows[b] >= 1 << 15:
+                self._flush(b)
+
+    def finish(self) -> pa.RecordBatch:
+        for b in list(self.bufs):
+            self._flush(b)
+        for w in self.writers.values():
+            w.close()
+        counts = self.counts
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(sorted(counts), pa.int32()),
+                pa.array([counts[b] for b in sorted(counts)], pa.int64()),
+            ],
+            names=["bucket", "cnt"],
+        )
+
+
+def _make_exchange_writer(boundaries: list[tuple[str, int]], exchange_dir: str):
+    """Pass A of the file-based doc exchange over a DataFrame input: the
+    Spark output is exact per-bucket counts, which is ALSO the offsets job
+    — so the JVM never shuffles, sorts, or row-converts the corpus; its
+    only bulk work is the source scan feeding this pass.  (The JVM
+    row-shuffle this replaces measured 3x slower end-to-end at 32 cores:
+    shuffle write+read+sort of full rows competed with the Python
+    tokenizer workers for every core.)"""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _single_threaded_arrow()
+        from pyspark import TaskContext
+
+        router = _ExchangeRouter(
+            boundaries, exchange_dir, TaskContext.get().partitionId()
+        )
+        for batch in batches:
+            router.route(batch)
+        yield router.finish()
+
+    return gen
+
+
+_CANONICAL_COLS = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+
+
+def _make_exchange_reader(
+    boundaries: list[tuple[str, int]], exchange_dir: str
+):
+    """Pass A over a DIRECT parquet source: plan rows (file, row_groups)
+    are read with pyarrow inside the Python worker — the JVM never touches
+    the corpus at all (no scan, no arrow re-serialization; measured ~2.5s
+    of flat per-level cost on a 3.3M-turn corpus).  Used when the build is
+    handed a posix-visible parquet path; arbitrary DataFrames take
+    _make_exchange_writer."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _single_threaded_arrow()
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        router = _ExchangeRouter(
+            boundaries, exchange_dir, TaskContext.get().partitionId()
+        )
+        for batch in batches:
+            for row in batch.to_pylist():
+                pf = pq.ParquetFile(row["file"])
+                for g in row["row_groups"]:
+                    t = pf.read_row_group(int(g), columns=_CANONICAL_COLS)
+                    # canonical types (input_hint): turn_idx int32
+                    if t.schema.field("turn_idx").type != pa.int32():
+                        idx = t.schema.get_field_index("turn_idx")
+                        t = t.set_column(
+                            idx,
+                            "turn_idx",
+                            t.column("turn_idx").cast(pa.int32()),
+                        )
+                    for rb in t.to_batches(max_chunksize=1 << 16):
+                        router.route(rb)
+                pf.close()
+        yield router.finish()
+
+    return gen
+
+
+def _make_bucket_builder(
     offsets: dict[int, int],
     docs_dir: str,
     partials_dir: str,
@@ -720,125 +1185,67 @@ def _make_fused_builder(
     store_tokens: bool,
     n_buckets: int,
 ):
-    """The single-pass builder: assigns dense docIDs, tokenizes, feeds the
-    map-side combiner, and side-writes BOTH this task's docs shard and its
-    level-0 partials shard with pyarrow's vectorized parquet writer.  The
-    Spark output is a single @stats metadata row per partition — the JVM
-    never row-converts or parquet-writes the bulk data (measured: Spark's
-    row-based ParquetWriteSupport on the docs write burned ~40 JVM
-    core-seconds per million turns and was the 32-core bottleneck), and the
-    stats job disappears (the driver folds the collected @stats rows).
-    One pass over the corpus; the token arrays never touch parquet."""
+    """Pass B of the file-based doc exchange: plan rows (bucket, files),
+    several buckets per task.  Each bucket's IPC shards are read directly
+    with pyarrow, sorted by (conv_id, turn_idx) nulls-first (C++ sort — the
+    JVM UnsafeExternalSorter this replaces competed with the tokenizer for
+    cores), then run through the shared per-task fused core (tokenize ->
+    per-bucket docs shard + per-task level-0 partials).  Buckets are
+    deliberately SMALL (BuildConfig.exchange_bucket_rows): one bucket's
+    table + sorted copy + token lists is each task's whole working set,
+    which keeps full-width worker concurrency cache-resident (measured
+    3.5x faster at 32 workers than core-count-sized buckets).  Emits one
+    @stats row per task."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import numpy as np
+        _single_threaded_arrow()
+        import pyarrow.ipc as ipc
         from pyspark import TaskContext
 
-        from probe_spark.functions.tokenizer import raw_special_words, tokenize
-
         trace = os.environ.get("PROBE_SPARK_TASK_TRACE")
-        tt = {"feed": 0.0, "tok": 0.0, "acc": 0.0, "docs": 0.0, "rows": 0}
-        t_start = time.time()
-
-        pid = TaskContext.get().partitionId()
-        next_id = offsets.get(pid, 0)
-        sink = _BucketShardSink(partials_dir, pid, n_buckets)
-        acc = _PartialAcc(flush_postings, sink.write)
-        docs_shard: _ShardWriter | None = None  # schema from first batch
-        docs_buf: list[pa.RecordBatch] = []
-        docs_buf_rows = 0
-
-        def flush_docs() -> None:
-            nonlocal docs_buf, docs_buf_rows
-            if docs_buf:
-                docs_shard.write_table(pa.Table.from_batches(docs_buf))
-                docs_buf = []
-                docs_buf_rows = 0
-
-        it = iter(batches)
-        while True:
+        task_id = TaskContext.get().partitionId()
+        rows = [row for batch in batches for row in batch.to_pylist()]
+        if not rows:
+            return
+        rows.sort(key=lambda r: int(r["bucket"]))  # ascending docID order
+        core = _FusedCore(
+            task_id, docs_dir, partials_dir, flush_postings, store_tokens,
+            n_buckets,
+        )
+        tt = {"read": 0.0, "sort": 0.0, "core": 0.0}
+        for row in rows:
             t0 = time.time()
-            batch = next(it, None)
-            tt["feed"] += time.time() - t0
-            if batch is None:
-                break
-            n = batch.num_rows
-            if n == 0:
-                continue
-            tt["rows"] += n
+            bucket = int(row["bucket"])
+            tables = []
+            for fn in row["files"]:
+                with ipc.open_file(fn) as rd:
+                    tables.append(rd.read_all())
+            t = pa.concat_tables(tables)
+            del tables
+            tt["read"] += time.time() - t0
             t0 = time.time()
-            texts = batch.column("text").to_pylist()
-            tokens = [tokenize(t) if t else [] for t in texts]
-            raws = [raw_special_words(t) if t else [] for t in texts]
-            ids = np.arange(next_id, next_id + n, dtype=np.int64)
-            dls = np.array([len(ts) for ts in tokens], dtype=np.int64)
-            tok_arr = pa.array(tokens, pa.list_(pa.string()))
-            raw_arr = pa.array(raws, pa.list_(pa.string()))
-            tt["tok"] += time.time() - t0
+            t = t.sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")],
+                null_placement="at_start",
+            )
+            tt["sort"] += time.time() - t0
             t0 = time.time()
-            acc.add(ids, dls, [("tok", tok_arr), ("raw", raw_arr)])
-            tt["acc"] += time.time() - t0
-            t0 = time.time()
-            arrays = [
-                pa.array(ids),
-                batch.column("conv_id"),
-                batch.column("turn_idx"),
-                batch.column("role"),
-                batch.column("tool"),
-                batch.column("ts"),
-                batch.column("text"),
-                pa.array(dls.astype(np.int32)),
-            ]
-            names = [
-                "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                "text", "dl",
-            ]
-            if store_tokens:
-                arrays += [tok_arr, raw_arr]
-                names += ["tokens", "raws"]
-            next_id += n
-            docs_batch = pa.RecordBatch.from_arrays(arrays, names=names)
-            if docs_shard is None:
-                docs_shard = _ShardWriter(
-                    _strip_scheme(docs_dir),
-                    f"part-{pid:05d}.parquet",
-                    docs_batch.schema,
-                )
-            docs_buf.append(docs_batch)
-            docs_buf_rows += n
-            if docs_buf_rows >= 1 << 17:  # ~128k rows per row group
-                flush_docs()
-            tt["docs"] += time.time() - t0
+            core.start_bucket(bucket, offsets.get(bucket, 0))
+            for rb in t.to_batches(max_chunksize=1 << 16):
+                core.process(rb)
+            del t
+            tt["core"] += time.time() - t0
         t0 = time.time()
-        acc.finish()
-        sink.close()
-        if docs_shard is not None:
-            flush_docs()
-            docs_shard.close()
-        tt["docs"] += time.time() - t0
+        n_docs, total_dl = core.finish()
+        tt["finish"] = time.time() - t0
         if trace:
             with open(trace, "a") as f:
                 f.write(
-                    f"pid={pid} wall={time.time() - t_start:.2f} "
-                    + " ".join(
-                        f"{k}={v:.2f}" if k != "rows" else f"rows={v}"
-                        for k, v in tt.items()
-                    )
+                    f"task={task_id} rows={n_docs} "
+                    + " ".join(f"{k}={v:.2f}" for k, v in tt.items())
                     + "\n"
                 )
-        # the Spark output: this partition's stats row (pid rides max_doc)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(["@stats"], pa.string()),
-                pa.array([""], pa.string()),
-                pa.array([acc.n_docs], pa.int64()),
-                pa.array([acc.total_dl], pa.int64()),
-                pa.array([pid], pa.int64()),
-                pa.array([b""], pa.binary()),
-                pa.array([b""], pa.binary()),
-            ],
-            schema=_PARTIALS_ARROW_SCHEMA,
-        )
+        yield _stats_batch(n_docs, total_dl, task_id)
 
     return gen
 
@@ -856,6 +1263,7 @@ def _make_partial_merger(block_size: int, max_seg: int, n_buckets: int):
     memory is bounded by one salt group, never an aggregation buffer."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _single_threaded_arrow()
         import zlib
 
         import numpy as np
@@ -1019,6 +1427,7 @@ def _make_file_merger(block_size: int, max_seg: int, out_dir: str):
     across groups by construction)."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _single_threaded_arrow()
         import zlib
 
         import numpy as np
@@ -1248,9 +1657,9 @@ def _merge_partials_fused(
     os.makedirs(_strip_scheme(out_path), exist_ok=True)
     if not plan:
         return []
-    plan_df = spark.createDataFrame(
-        plan, "bucket int, salt int, n_salts int, files array<string>"
-    ).repartition(len(plan))
+    plan_df = _one_row_per_partition(
+        spark, plan, "bucket int, salt int, n_salts int, files array<string>"
+    )
     meta = plan_df.mapInArrow(
         _make_file_merger(
             cfg.block_size, cfg.max_postings_per_segment, out_path
@@ -1404,34 +1813,67 @@ class IndexBuilder:
             ],
         )
 
+    @staticmethod
+    def _source_units(src_path: str) -> "list[tuple[str, list[int]]]":
+        """(file, [row_group]) read units of a parquet directory — the
+        driver-planned input for the direct pass-A reader."""
+        import pyarrow.parquet as pq
+
+        local = _strip_scheme(src_path)
+        units: list[tuple[str, list[int]]] = []
+        for root, _dirs, files in os.walk(local):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet") or fn.startswith("."):
+                    continue
+                full = os.path.join(root, fn)
+                n = pq.ParquetFile(full).metadata.num_row_groups
+                units.extend((full, [g]) for g in range(n))
+        return units
+
     # -- build ---------------------------------------------------------------
     def build(
-        self, transcripts: DataFrame, index_path: str, build_id: str = "build0"
+        self,
+        transcripts: "DataFrame | str",
+        index_path: str,
+        build_id: str = "build0",
     ) -> dict:
-        # AQE off for the build: skew is handled explicitly (doc-range
-        # salting) and partition counts are sized by config, so AQE's only
-        # effect here is an extra job-boundary materialization per shuffle
-        # (measured ~2x fixed cost on small inputs).  Restored in finally —
-        # a failed build must not leak AQE=off into a long-lived session.
+        """Build (or resume) the index.  ``transcripts`` is either a
+        DataFrame or a parquet directory path; a posix-visible PATH lets
+        pass A read row groups directly with pyarrow inside the workers —
+        the JVM then never touches the corpus at all (no scan, no arrow
+        re-serialization).
+
+        AQE is off for the build: skew is handled explicitly (doc-range
+        salting) and partition counts are sized by config, so AQE's only
+        effect here is an extra job-boundary materialization per shuffle
+        (measured ~2x fixed cost on small inputs).  Restored in finally —
+        a failed build must not leak AQE=off into a long-lived session."""
         spark = self.spark
         aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            return self._build_inner(transcripts, index_path, build_id)
+            src_path: str | None = None
+            if isinstance(transcripts, str):
+                src_path = transcripts
+                transcripts = spark.read.parquet(src_path)
+            return self._build_inner(
+                transcripts, index_path, build_id, src_path
+            )
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
     def _build_inner(
-        self, transcripts: DataFrame, index_path: str, build_id: str
+        self,
+        transcripts: DataFrame,
+        index_path: str,
+        build_id: str,
+        src_path: str | None = None,
     ) -> dict:
         cfg = self.cfg
         spark = self.spark
-        # one doc partition per core, NOT per shuffle partition: each build
-        # task carries fixed overhead (32 open bucket-shard writers, flush
-        # tails, per-chunk merge rows), and 4x-cpus task counts measured
-        # 2-3x slower end-to-end at local[32] than exactly-cpus.  On a real
-        # cluster size this by data instead (~256MB of input per task) via
-        # cfg.doc_partitions.
+        # two-pass layout: one doc partition per core (task overhead per
+        # partition).  The fused exchange sizes buckets by DATA instead —
+        # see _range_boundaries.
         n_parts = cfg.doc_partitions or spark.sparkContext.defaultParallelism
         t0 = time.time()
         phases_run = []
@@ -1460,18 +1902,104 @@ class IndexBuilder:
                 with _timed("docs+partials"):
                     self._delete_dir(partials_path)
                     self._delete_dir(docs_path)
-                    routed, offsets, n_docs_known = _plan_range_layout(
-                        transcripts, n_parts
-                    )
-                    # the action: collect one @stats row per partition —
-                    # docs/ and partials/ are side-written by the tasks
-                    # (pyarrow vectorized writer; the JVM never touches the
-                    # bulk rows), and stats fold out of the collected rows,
-                    # so the stats job disappears too
-                    stat_rows = (
-                        _canonical_input(routed)
-                        .mapInArrow(
-                            _make_fused_builder(
+                    exchange_path = f"{index_path}/exchange"
+                    self._delete_dir(exchange_path)
+                    # pass A: route rows to range buckets, side-write
+                    # per-bucket IPC shards; the collected output IS the
+                    # exact per-bucket counts, so docID offsets are known
+                    # with no extra job and the JVM never shuffles rows
+                    with _timed("exchange"):
+                        bnd = None
+                        if src_path and _is_posix_path(src_path):
+                            bnd = _exact_boundaries_local(
+                                src_path,
+                                cfg.doc_partitions,
+                                cfg.exchange_bucket_rows,
+                                spark.sparkContext.defaultParallelism,
+                            )
+                        if bnd is None:
+                            bnd = _range_boundaries(
+                                transcripts,
+                                cfg.doc_partitions,
+                                bucket_rows=cfg.exchange_bucket_rows,
+                                min_parts=(
+                                    spark.sparkContext.defaultParallelism
+                                ),
+                            )
+                        boundaries, _ = bnd
+                        units = (
+                            self._source_units(src_path)
+                            if src_path and _is_posix_path(src_path)
+                            else None
+                        )
+                        if units is not None:
+                            par = spark.sparkContext.defaultParallelism
+                            counts_rows = (
+                                _one_row_per_partition(
+                                    spark,
+                                    units,
+                                    "file string, row_groups array<int>",
+                                    n_tasks=min(len(units), 2 * par),
+                                ).mapInArrow(
+                                    _make_exchange_reader(
+                                        boundaries, exchange_path
+                                    ),
+                                    _EXCHANGE_COUNTS_SCHEMA,
+                                )
+                                .collect()
+                                if units
+                                else []
+                            )
+                        else:
+                            counts_rows = (
+                                _canonical_input(transcripts)
+                                .mapInArrow(
+                                    _make_exchange_writer(
+                                        boundaries, exchange_path
+                                    ),
+                                    _EXCHANGE_COUNTS_SCHEMA,
+                                )
+                                .collect()
+                            )
+                    counts: dict[int, int] = {}
+                    for r in counts_rows:
+                        counts[int(r["bucket"])] = counts.get(
+                            int(r["bucket"]), 0
+                        ) + int(r["cnt"])
+                    offsets = {}
+                    acc_rows = 0
+                    for b in range(len(boundaries) + 1):
+                        offsets[b] = acc_rows
+                        acc_rows += counts.get(b, 0)
+                    # pass B: one task per bucket reads its shards directly
+                    # (driver-planned, like the merge), sorts, and runs the
+                    # fused core — docs/ and partials/ are side-written by
+                    # the tasks; stats fold out of the collected rows
+                    local_ex = _strip_scheme(exchange_path)
+                    plan: list[tuple[int, list[str]]] = []
+                    if os.path.isdir(local_ex):
+                        for entry in sorted(os.listdir(local_ex)):
+                            if not entry.startswith("b="):
+                                continue
+                            b = int(entry.split("=", 1)[1])
+                            d = os.path.join(local_ex, entry)
+                            files = sorted(
+                                os.path.join(d, fn)
+                                for fn in os.listdir(d)
+                                if fn.endswith(".arrow")
+                                and not fn.startswith(".")
+                            )
+                            if files:
+                                plan.append((b, files))
+                    if plan:
+                        plan_df = _one_row_per_partition(
+                            spark,
+                            plan,
+                            "bucket int, files array<string>",
+                            n_tasks=2 * spark.sparkContext.defaultParallelism,
+                        )
+                        stat_rows = plan_df.mapInArrow(
+                            _make_bucket_builder(
                                 offsets,
                                 docs_path,
                                 partials_path,
@@ -1480,9 +2008,10 @@ class IndexBuilder:
                                 cfg.n_buckets,
                             ),
                             PARTIALS_SCHEMA,
-                        )
-                        .collect()
-                    )
+                        ).collect()
+                    else:
+                        stat_rows = []
+                    self._delete_dir(exchange_path)
                     self._finalize_side_dir(partials_path)
                     self._ensure_docs_nonempty(docs_path, transcripts)
                     self._finalize_side_dir(docs_path)

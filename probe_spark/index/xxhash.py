@@ -82,3 +82,73 @@ def xxh64_signed(data: bytes, seed: int = 42) -> int:
 def spark_bucket(term: str, n_buckets: int) -> int:
     """pmod(xxhash64(term), n_buckets), matching the index build."""
     return xxh64_signed(term.encode("utf-8")) % n_buckets
+
+
+def xxh64_vec(values: "list[bytes]", seed: int = 42):
+    """Vectorized XXH64 over many short byte strings: numpy uint64 lanes,
+    one pass per distinct length (terms are short, so ~a few dozen static
+    chunk layouts cover everything).  Inputs of 32+ bytes take the scalar
+    path (the striped state machine isn't worth vectorizing for the tail
+    of long terms).  Returns signed int64 ndarray, bit-identical to
+    ``xxh64_signed`` (pinned by tests).  Exists because per-term scalar
+    hashing dominated the build's partial-shard bucketing (~10us x 300k
+    distinct terms per task)."""
+    import numpy as np
+
+    n = len(values)
+    out = np.empty(n, dtype=np.uint64)
+    lens = np.fromiter((len(v) for v in values), dtype=np.int64, count=n)
+    seed_u = np.uint64(seed)
+    p1, p2, p3, p5 = (
+        np.uint64(_P1), np.uint64(_P2), np.uint64(_P3), np.uint64(_P5),
+    )
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    long_idx = np.flatnonzero(lens >= 32)
+    for i in long_idx:
+        out[i] = xxh64(values[i], seed)
+    for ln in np.unique(lens[lens < 32]):
+        L = int(ln)
+        idx = np.flatnonzero(lens == ln)
+        if L == 0:
+            out[idx] = np.uint64(xxh64(b"", seed))
+            continue
+        mat = np.frombuffer(
+            b"".join(values[i] for i in idx), dtype=np.uint8
+        ).reshape(len(idx), L)
+        h = np.full(len(idx), seed_u + p5 + np.uint64(L), dtype=np.uint64)
+        i = 0
+        while i + 8 <= L:
+            k = np.ascontiguousarray(mat[:, i : i + 8]).view(np.uint64)[:, 0]
+            acc = rotl(k * p2, 31) * p1  # _round(0, k)
+            h ^= acc
+            h = rotl(h, 27) * p1 + np.uint64(_P4)
+            i += 8
+        if i + 4 <= L:
+            k4 = (
+                np.ascontiguousarray(mat[:, i : i + 4])
+                .view(np.uint32)[:, 0]
+                .astype(np.uint64)
+            )
+            h ^= k4 * p1
+            h = rotl(h, 23) * p2 + p3
+            i += 4
+        while i < L:
+            h ^= mat[:, i].astype(np.uint64) * p5
+            h = rotl(h, 11) * p1
+            i += 1
+        h ^= h >> np.uint64(33)
+        h *= p2
+        h ^= h >> np.uint64(29)
+        h *= p3
+        h ^= h >> np.uint64(32)
+        out[idx] = h
+    return out.view(np.int64)
+
+
+def spark_buckets_vec(terms: "list[str]", n_buckets: int):
+    """Vectorized pmod(xxhash64(term), n_buckets) for many terms."""
+    h = xxh64_vec([t.encode("utf-8") for t in terms])
+    return h % n_buckets  # numpy int64 % positive -> python-style pmod

@@ -74,6 +74,33 @@ def special_terms(expr: Expr) -> frozenset[str]:
     return frozenset(out)
 
 
+def mandatory_keywords(expr: Expr) -> set[str]:
+    """Keywords that MUST be present in every doc that satisfies the query
+    (negations on) — the candidate-driving set for conjunctive pruning.
+
+    With a required (+) term anywhere, the required-anywhere rule
+    (elastic_query.rs:107-144) makes exactly the required terms' keywords
+    mandatory (optional terms auto-pass evaluation in that case).  Without
+    one, a non-excluded Term needs ALL its keywords (all-of semantics,
+    _eval above), And needs both sides, Or needs the intersection, and an
+    excluded Term imposes no presence requirement."""
+    if has_required_term(expr):
+        out: set[str] = set()
+        for t in walk_terms(expr):
+            if t.required and not t.excluded:
+                out.update(t.keywords)
+        return out
+
+    def rec(e: Expr) -> set[str]:
+        if isinstance(e, Term):
+            return set() if e.excluded else set(e.keywords)
+        if isinstance(e, And):
+            return rec(e.left) | rec(e.right)
+        return rec(e.left) & rec(e.right)
+
+    return rec(expr)
+
+
 # ---------------------------------------------------------------------------
 # boolean evaluation over a presence predicate
 # ---------------------------------------------------------------------------

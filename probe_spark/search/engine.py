@@ -79,6 +79,11 @@ ISIN_PUSHDOWN_CAP = 10_000
 # distinguishes "repair bundle not cached" from the cached "special terms
 # affect no doc" outcome (stored as None)
 _REPAIR_MISS = object()
+# conjunctive pruning drives candidates from the smallest-df mandatory
+# keyword; above this df the candidate set is too big to broadcast (longs,
+# so ~16MB at the cap) and the full groupBy path is used instead.  At
+# 10^12-doc scale this would instead switch to a shuffle-join ladder.
+BROADCAST_DF_CAP = 2_000_000
 
 _DECODED_SCHEMA = StructType(
     [
@@ -310,6 +315,52 @@ class SearchEngine:
         return source.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         ).select("term", F.lit(src_label).alias("src"), "docs_bin", "dl_bin")
+
+    def _decode_terms(self, terms: list[str]) -> DataFrame:
+        """Pruned fetch + varint decode of the token postings for ``terms``
+        (its own parquet scan — decoding one term never pays for another's
+        segments; mapInArrow is a pushdown barrier, so filtering a shared
+        decode by term would decode everything)."""
+        f = self._fetch(self.postings, terms, "tok")
+        return f.mapInArrow(_decode_map_arrow, _DECODED_SCHEMA)
+
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """df per term from segment metadata (sum of df_seg — a pruned
+        parquet column scan, no posting decode), memoized per engine."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            buckets = sorted(
+                {spark_bucket(t, self.n_buckets) for t in missing}
+            )
+            rows = (
+                self.postings.filter(
+                    F.col("bucket").isin(buckets)
+                    & F.col("term").isin(missing)
+                )
+                .groupBy("term")
+                .agg(F.sum("df_seg").alias("df"))
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
+    def _ladder_candidates(self, lookups: list[str], dfs: dict[str, int]):
+        """Conjunctive candidate set: docs containing ALL of ``lookups``,
+        built as a broadcast semi-join ladder ascending by df — the
+        smallest posting list drives, each further list is filtered
+        map-side against the broadcast of the shrinking candidate set, so
+        a hot term's postings are never shuffled (SURVEY §7: intersect
+        first).  Returns a (doc_id, dl) DataFrame (dl from the LAST rung,
+        identical across rungs — dl is a doc property)."""
+        order = sorted(lookups, key=lambda t: (dfs.get(t, 0), t))
+        cur = self._decode_terms([order[0]]).select("doc_id", "dl")
+        for t in order[1:]:
+            cur = self._decode_terms([t]).select("doc_id", "dl").join(
+                F.broadcast(cur.select("doc_id")), "doc_id", "semi"
+            )
+        return cur
 
     # -- query compilation ----------------------------------------------------
     def _compile_score(
@@ -676,6 +727,45 @@ class SearchEngine:
         ):
             return self._search_pruned(expr, token_terms, k, with_metadata)
 
+        # single-Term conjunctive fast path: a non-exact, non-excluded Term
+        # (so no special keywords exist anywhere) matches a doc iff ALL its
+        # tokenized keywords are present (all-of semantics), so the result
+        # is exactly the semi-join ladder — scan -> decode -> broadcast-semi
+        # chain -> TakeOrderedAndProject, no groupBy shuffle at all.  This
+        # is the multi-keyword class (camel/stem expansion, e.g.
+        # "enableFirewallWhitelist") whose full-path groupBy was sized by
+        # the hottest stem's df.
+        if (
+            prune
+            and k is not None
+            and not special_kws
+            and isinstance(expr, ast.Term)
+            and token_terms
+        ):
+            dfs = self._term_dfs(token_terms)
+            if any(dfs[t] == 0 for t in token_terms):
+                return empty  # all-of semantics: one absent keyword kills it
+            if min(dfs.values()) <= BROADCAST_DF_CAP:
+                idfs0 = {
+                    t: math.log(
+                        1.0 + (self.n_docs - df + 0.5) / (df + 0.5)
+                    )
+                    for t, df in dfs.items()
+                }
+                cand = self._ladder_candidates(token_terms, dfs)
+                tf_norm = _tf_norm_col(self.avgdl)
+                # same expression shape (and float association order) as
+                # _compile_score so scores are bit-identical to the full path
+                score_col = F.lit(0.0)
+                for kw in expr.keywords:
+                    score_col = score_col + F.lit(idfs0[kw]) * tf_norm
+                result = (
+                    cand.select("doc_id", score_col.alias("score"))
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k)
+                )
+                return self._with_meta(result) if with_metadata else result
+
         # Special terms whose registration changes doc tokenization
         # (tokenize(w) != tokenize(w, G)): docs containing such a word as a
         # whole raw word must be re-tokenized with the per-query special set
@@ -710,8 +800,31 @@ class SearchEngine:
                 kw_to_match[kw] = p.lookup
         all_lookups = sorted(set(kw_to_match.values()))
 
+        # conjunctive anchor (SURVEY §7 "intersect first"): every doc
+        # satisfying the query must contain all mandatory keywords, so the
+        # groupBy(doc_id) shuffle is pre-filtered by a broadcast semi-join
+        # against their posting-list intersection — the shuffle is then
+        # sized by the RAREST mandatory keyword's df, not the hottest
+        # keyword's.  Docs whose tokenization the special-term repair
+        # changes re-enter via the retok union below, so repair-added
+        # matches of a special lookup are not lost to the anchor.
+        anchored = decoded
+        mandatory = ast.mandatory_keywords(expr)
+        if k is not None and mandatory and len(all_lookups) >= 2:
+            if any(kw not in kw_to_match for kw in mandatory):
+                # a mandatory keyword that can never match any doc token
+                # (unmatchable special) makes the query unsatisfiable
+                return empty
+            mand_lookups = sorted({kw_to_match[kw] for kw in mandatory})
+            mand_dfs = self._term_dfs(mand_lookups)
+            if min(mand_dfs.values()) <= BROADCAST_DF_CAP:
+                cand = self._ladder_candidates(mand_lookups, mand_dfs)
+                anchored = decoded.join(
+                    F.broadcast(cand.select("doc_id")), "doc_id", "semi"
+                )
+
         # per-doc hit arrays from the token index
-        hits = decoded.groupBy("doc_id").agg(
+        hits = anchored.groupBy("doc_id").agg(
             F.collect_set("term").alias("hits"), F.first("dl").alias("dl")
         )
 
@@ -878,26 +991,11 @@ class SearchEngine:
                     "left_anti",
                 ).unionByName(retok.select("doc_id", "hits", "dl"))
 
-        # df per lookup term: sum of df_seg straight from segment metadata —
-        # a parquet column scan, no posting decode; memoized per engine —
-        # plus the affected-doc adjustments (retokenization changes df).
-        missing = [t for t in all_lookups if t not in self._df_cache]
-        if missing:
-            buckets = sorted({spark_bucket(t, self.n_buckets) for t in missing})
-            rows = (
-                self.postings.filter(
-                    F.col("bucket").isin(buckets)
-                    & F.col("term").isin(missing)
-                )
-                .groupBy("term")
-                .agg(F.sum("df_seg").alias("df"))
-                .collect()
-            )
-            found = {r["term"]: int(r["df"]) for r in rows}
-            for t in missing:
-                self._df_cache[t] = found.get(t, 0)
+        # df per lookup term (segment metadata, memoized) plus the
+        # affected-doc adjustments (retokenization changes df)
+        raw_dfs = self._term_dfs(all_lookups)
         df_by_term = {
-            t: self._df_cache[t] + df_adj.get(t, 0) for t in all_lookups
+            t: raw_dfs[t] + df_adj.get(t, 0) for t in all_lookups
         }
         idfs: dict[str, float] = {}
         for kw in query_terms:

@@ -42,13 +42,13 @@ def main():
 
     from probe_spark.index.build import BuildConfig, IndexBuilder
 
-    corpus = spark.read.parquet(corpus_dir).persist()
+    corpus = spark.read.parquet(corpus_dir)
     n_turns = corpus.count()
     build_dir = tempfile.mkdtemp(prefix="prof_idx_", dir=bench.scratch_dir())
     shutil.rmtree(build_dir, ignore_errors=True)
     builder = IndexBuilder(spark, BuildConfig())
     t0 = time.time()
-    builder.build(corpus, build_dir)
+    builder.build(corpus_dir, build_dir)
     wall = time.time() - t0
     print(f"\nBUILD local[{cpus}] {n_turns} turns in {wall:.1f}s = "
           f"{n_turns/wall:.0f} turns/s\n")
