@@ -123,12 +123,22 @@ def cmd_search(args) -> int:
 
     spark = _build_session("probe-spark-search")
     eng = SearchEngine(spark, args.index)
+    seen = None
+    if args.session:
+        # early session filtering (cache.rs:392-541): the seen set is
+        # dropped BEFORE ranking/limits, so a repeated --session query
+        # returns the NEXT k results instead of a shortened page
+        from probe_spark.search.session_cache import seen_doc_ids
+
+        seen = seen_doc_ids(spark, args.index, args.session)
     res = eng.search(
         args.query,
         k=args.max_results,
         exact=args.exact,
         with_metadata=not args.ids_only or args.dry_run,
         prune=not args.no_prune,
+        exclude=seen,
+        match_metadata=args.match_metadata,
     )
     if (args.max_bytes or args.max_tokens) and not args.ids_only:
         from probe_spark.search.limiter import apply_limits
@@ -137,9 +147,10 @@ def cmd_search(args) -> int:
             res, max_bytes=args.max_bytes, max_tokens=args.max_tokens
         )
     if args.session:
-        from probe_spark.search.session_cache import filter_seen
+        from probe_spark.search.session_cache import record_results
 
-        res = filter_seen(spark, args.index, args.session, args.query, res)
+        returned = [r["doc_id"] for r in res.select("doc_id").collect()]
+        record_results(spark, args.index, args.session, args.query, returned)
     if args.merge_turns is not None and not args.ids_only:
         # block_merging.rs analog: adjacent turns of one conversation merge
         # into a span (opt-in: turns are atomic units, unlike the
@@ -224,6 +235,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--exact", action="store_true",
                    help="whole query as one unsplit exact term")
     s.add_argument("--ids-only", action="store_true")
+    s.add_argument("--match-metadata", action="store_true",
+                   help="also credit keywords to turns whose tokenized "
+                        "tool metadata shares a token (the reference's "
+                        "filename matching; its --exclude-filenames "
+                        "corresponds to omitting this flag)")
     s.add_argument("--no-prune", action="store_true",
                    help="disable block-max WAND pruning")
     s.add_argument("--session", default=None,

@@ -366,8 +366,88 @@ def _q_lang_id(spark, sf_dir):
 
 
 def _q_embedding_dup(spark, sf_dir):
+    """Bucketed near-dup path (the 100 TB shape): candidates restricted to
+    equal LSH sign-bit buckets before the pair join — no cartesian
+    anywhere; the oracle mirrors the bucketing with the same seeded
+    hyperplanes.  (The exact all-pairs parameterization stays the pytest
+    verifier.)"""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.embedding_dup_pairs(emb, threshold=0.25)
+    return similarity.embedding_dup_pairs(emb, threshold=0.25, n_planes=4)
+
+
+def _q_session_page2(spark, sf_dir):
+    """Early session-cache filtering (cache.rs:392-541): the first page's
+    doc ids are excluded BEFORE top-k, so the second query returns exactly
+    the NEXT k results — the oracle is the same ranking at OFFSET k."""
+    eng = get_engine(spark, sf_dir)
+    first = eng.search("hash OR join", k=25, with_metadata=False)
+    second = eng.search(
+        "hash OR join",
+        k=25,
+        with_metadata=False,
+        exclude=first.select("doc_id"),
+    )
+    return second.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_merged_turns(spark, sf_dir):
+    """Adjacent-turn merging (block_merging.rs analog): documents mapped
+    onto synthetic conversations (8 turns per conv), a sparse 'result set'
+    merged into spans with gap threshold 2."""
+    from probe_spark.search.merging import merge_adjacent_turns
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        (F.col("doc_id") % 97).cast("double").alias("score"),
+        F.floor(F.col("doc_id") / 8).cast("long").alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        "text",
+    )
+    merged = merge_adjacent_turns(res, threshold=2)
+    return merged.select(
+        "conv_id",
+        "turn_lo",
+        "turn_hi",
+        "n_turns",
+        F.round("score", 6).alias("score"),
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+def _q_lang_scan(spark, sf_dir):
+    """Language/metadata-filtered scan (file_list_cache.rs:462-540 analog):
+    predicates pushed to the parquet scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.filter(
+        (F.col("lang") == "en") & (F.col("source") == "src7")
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def _q_metadata_match(spark, sf_dir):
+    """Filename-match analog (file_list_cache.rs:357-457): 'src15' expands
+    to keywords (src, 15); every doc's tool matches 'src' and the src15
+    docs also match '15', so the src15 term credits exactly source='src15'
+    docs; 'hash' ranks normally from the text index."""
+    eng = get_engine(spark, sf_dir)
+    res = eng.search(
+        "src15 OR hash", k=None, with_metadata=False, match_metadata=True
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_bm25_matched_terms(spark, sf_dir):
+    """matched_terms in the result schema (file_processing.rs:1447-1488):
+    sorted-deduped matched query keywords per doc, canonicalized to a
+    comma-joined string for the comparator."""
+    eng = get_engine(spark, sf_dir)
+    res = eng.search("hash join", k=None, with_metadata=True)
+    return res.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.concat_ws(",", "matched_terms").alias("matched"),
+    )
 
 
 def _q_image_meta(spark, sf_dir):
@@ -387,26 +467,40 @@ def _q_image_meta(spark, sf_dir):
 
 def _q_image_resize(spark, sf_dir):
     """Multimodal resize path (mean-pool fold to a fixed 8x8 grayscale
-    array; rows-only check — pixel folding is not SQL-expressible)."""
+    array).  The contract emits one (sample_id, px_idx, px) row per pixel —
+    posexplode canonicalizes the array for the driver's comparator while
+    the library API keeps returning the array column; the DuckDB oracle
+    recomputes the fold from the payload bytes via hex-pair extraction."""
     from probe_spark.ops import multimodal
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").alias("sample_id"),
         F.encode(F.col("text"), "UTF-8").alias("image"),
     )
-    return multimodal.image_resize(docs, out_w=8, out_h=8)
+    out = multimodal.image_resize(docs, out_w=8, out_h=8)
+    return out.select(
+        "sample_id", F.posexplode("pixels").alias("px_idx", "_px")
+    ).select("sample_id", "px_idx", F.round("_px", 6).alias("px"))
 
 
 def _q_audio_meta(spark, sf_dir):
     """Multimodal audio path (int16-PCM fake decode -> duration/RMS/zero
-    crossings; rows-only check — PCM math is not SQL-expressible)."""
+    crossings); the DuckDB oracle recomputes the PCM math from the payload
+    bytes via hex-pair extraction + list comprehensions."""
     from probe_spark.ops import multimodal
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").alias("sample_id"),
         F.encode(F.col("text"), "UTF-8").alias("audio"),
     )
-    return multimodal.audio_features(docs)
+    return multimodal.audio_features(docs).select(
+        "sample_id",
+        "n_bytes",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+        "status",
+    )
 
 
 QUERIES = {
@@ -440,6 +534,11 @@ QUERIES = {
     "image_meta": _q_image_meta,
     "image_resize": _q_image_resize,
     "audio_meta": _q_audio_meta,
+    "session_page2": _q_session_page2,
+    "merged_turns": _q_merged_turns,
+    "lang_scan": _q_lang_scan,
+    "metadata_match": _q_metadata_match,
+    "bm25_matched_terms": _q_bm25_matched_terms,
 }
 
 
@@ -679,23 +778,201 @@ LIMIT 25
 """
 
 
-_EMBEDDING_DUP_ORACLE = """
-WITH n AS (
-  SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(embedding,
+def _embedding_dup_oracle(
+    dim: int = 64, n_planes: int = 4, seed: int = 7
+) -> str:
+    """SQL mirror of the BUCKETED embedding_dup_pairs (n_planes>0): the
+    same seeded hyperplanes as the engine, pairs restricted to equal
+    sign-bit buckets — no all-pairs join on either side."""
+    planes = similarity._seeded_planes(dim, n_planes, seed)
+    rows = ",\n      ".join(
+        "({p}, [{xs}]::DOUBLE[])".format(
+            p=p, xs=", ".join(repr(float(x)) for x in planes[p])
+        )
+        for p in range(n_planes)
+    )
+    return f"""
+WITH proj AS (
+  SELECT e.vec_id, pl.p,
+         list_sum(list_transform(list_zip(e.embedding, pl.vec),
+                                 s -> s[1]::DOUBLE * s[2]::DOUBLE)) AS pr
+  FROM embeddings e
+  CROSS JOIN (VALUES
+      {rows}) pl(p, vec)
+),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+n AS (
+  SELECT e.vec_id, e.embedding, c.bucket,
+         sqrt(list_sum(list_transform(e.embedding,
                                       x -> x::DOUBLE * x::DOUBLE))) AS nn
-  FROM embeddings
+  FROM embeddings e JOIN codes c ON c.vec_id = e.vec_id
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
                                  s -> s[1]::DOUBLE * s[2]::DOUBLE))
          / (a.nn * b.nn), 6) AS cos_sim
-FROM n a JOIN n b ON a.vec_id < b.vec_id
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND(
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
                                  s -> s[1]::DOUBLE * s[2]::DOUBLE))
          / (a.nn * b.nn), 6) >= 0.25
+"""
+
+
+_SESSION_PAGE2_ORACLE = f"""{_BM25_PRELUDE}
+, pres AS (
+  SELECT dls.doc_id, dls.dl,
+         MAX(CASE WHEN tok.t = 'hash' THEN 1 ELSE 0 END) AS p_hash,
+         MAX(CASE WHEN tok.t = 'join' THEN 1 ELSE 0 END) AS p_join
+  FROM dls LEFT JOIN tok ON dls.doc_id = tok.doc_id
+  GROUP BY dls.doc_id, dls.dl
+), dfs AS (
+  SELECT SUM(p_hash) AS df_hash, SUM(p_join) AS df_join FROM pres
+), scored AS (
+  SELECT p.doc_id, {{c_hash}} + {{c_join}} AS score
+  FROM pres p, stats s, dfs d
+  WHERE p.p_hash = 1 OR p.p_join = 1
+  ORDER BY score DESC, p.doc_id ASC
+  LIMIT 25 OFFSET 25
+)
+SELECT doc_id, ROUND(score, 6) AS score FROM scored
+"""
+
+_MERGED_TURNS_ORACLE = """
+WITH res AS (
+  SELECT doc_id, CAST(doc_id % 97 AS DOUBLE) AS score,
+         doc_id // 8 AS conv_id, CAST(doc_id % 8 AS INT) AS turn_idx, text
+  FROM documents WHERE doc_id % 3 = 0
+), g AS (
+  SELECT *, CASE WHEN lag(turn_idx) OVER w IS NULL
+                   OR turn_idx - lag(turn_idx) OVER w > 2
+                 THEN 1 ELSE 0 END AS brk
+  FROM res WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), grp AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING) AS gid
+  FROM g
+)
+SELECT conv_id,
+       MIN(turn_idx) AS turn_lo,
+       MAX(turn_idx) AS turn_hi,
+       COUNT(*) AS n_turns,
+       ROUND(MAX(score), 6) AS score,
+       (list(doc_id ORDER BY score DESC, doc_id ASC))[1] AS doc_id,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5
+FROM grp GROUP BY conv_id, gid
+"""
+
+_LANG_SCAN_ORACLE = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE lang = 'en' AND source = 'src7'
+"""
+
+# src15 -> keywords (src, 15): 'src' tool-matches every source value, '15'
+# only src15, so the src15 Term (all-of) credits exactly source='src15'
+# docs; the corpus vocabulary (31 words, pinned by tests) contains neither
+# keyword, so their text df is 0 and they contribute no score
+_METADATA_MATCH_ORACLE = f"""{_BM25_PRELUDE}
+, pres AS (
+  SELECT dls.doc_id, dls.dl,
+         MAX(CASE WHEN tok.t = 'hash' THEN 1 ELSE 0 END) AS p_hash
+  FROM dls LEFT JOIN tok ON dls.doc_id = tok.doc_id
+  GROUP BY dls.doc_id, dls.dl
+), dfs AS (
+  SELECT SUM(p_hash) AS df_hash FROM pres
+)
+SELECT p.doc_id,
+       ROUND({{c_hash}}, 6) AS score
+FROM pres p JOIN documents doc ON doc.doc_id = p.doc_id, stats s, dfs d
+WHERE p.p_hash = 1 OR doc.source = 'src15'
+"""
+
+_BM25_MATCHED_TERMS_ORACLE = f"""{_BM25_PRELUDE}
+, pres AS (
+  SELECT dls.doc_id, dls.dl,
+         MAX(CASE WHEN tok.t = 'hash' THEN 1 ELSE 0 END) AS p_hash,
+         MAX(CASE WHEN tok.t = 'join' THEN 1 ELSE 0 END) AS p_join
+  FROM dls LEFT JOIN tok ON dls.doc_id = tok.doc_id
+  GROUP BY dls.doc_id, dls.dl
+), dfs AS (
+  SELECT SUM(p_hash) AS df_hash, SUM(p_join) AS df_join FROM pres
+)
+SELECT p.doc_id,
+       ROUND({{c_hash}} + {{c_join}}, 6) AS score,
+       CASE WHEN p.p_hash = 1 AND p.p_join = 1 THEN 'hash,join'
+            WHEN p.p_hash = 1 THEN 'hash' ELSE 'join' END AS matched
+FROM pres p, stats s, dfs d
+WHERE p.p_hash = 1 OR p.p_join = 1
+"""
+
+# image_resize: recompute the mean-pool fold from the payload bytes.
+# bytes come from hex pairs of encode(text); the fold pads to a multiple of
+# 64 with zeros and averages column j over ceil(nb/64) rows — all exact
+# f64 (integer sums / small divisor), so ROUND(, 6) matches the engine
+_IMAGE_RESIZE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+), codes AS (
+  SELECT doc_id, nb, CAST(ceil(nb / 64.0) AS INT) AS nrows,
+         [CAST(concat('0x', substring(hx, 2*k-1, 2)) AS INT)
+          for k in range(1, nb + 1)] AS cs
+  FROM b
+), padded AS (
+  SELECT doc_id, nrows,
+         cs || [0 for _x in range(1, nrows*64 - nb + 1)] AS csp
+  FROM codes
+), flat AS (
+  SELECT doc_id, nrows,
+         unnest(csp) AS v,
+         unnest(range(1, len(csp) + 1)) AS k
+  FROM padded
+)
+SELECT doc_id AS sample_id,
+       CAST((k - 1) % 64 AS INT) AS px_idx,
+       ROUND(SUM(v)::DOUBLE / ANY_VALUE(nrows), 6) AS px
+FROM flat
+GROUP BY doc_id, (k - 1) % 64
+"""
+
+# audio_meta: int16 little-endian PCM decode from the payload bytes via
+# hex pairs; v*v sums stay exact in f64 (<= 2^41), so duration/rms match
+# the engine's f64 math bit-for-bit before ROUND(, 6)
+_AUDIO_META_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+), good AS (
+  SELECT doc_id, hx, nb, nb // 2 AS ns FROM b WHERE nb >= 2
+), pcm AS (
+  SELECT doc_id, nb, ns,
+         [CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+          for v in [CAST(concat('0x', substring(hx, 4*s-3, 2)) AS INT)
+                    + 256 * CAST(concat('0x', substring(hx, 4*s-1, 2)) AS INT)
+                    for s in range(1, ns + 1)]] AS vs
+  FROM good
+)
+SELECT doc_id AS sample_id, nb AS n_bytes,
+       ROUND(ns::DOUBLE / 16000 * 1000, 6) AS duration_ms,
+       ROUND(sqrt(list_sum([v::DOUBLE * v::DOUBLE for v in vs]) / ns), 6)
+         AS rms,
+       CAST(coalesce(list_sum(
+         [CASE WHEN (vs[i] < 0) != (vs[i+1] < 0) THEN 1 ELSE 0 END
+          for i in range(1, ns)]), 0) AS INT) AS zero_crossings,
+       'ok' AS status
+FROM pcm
+UNION ALL
+SELECT doc_id AS sample_id, nb AS n_bytes, 0.0 AS duration_ms, 0.0 AS rms,
+       0 AS zero_crossings, 'error' AS status
+FROM b WHERE nb < 2
 """
 
 _IMAGE_META_ORACLE = """
@@ -871,15 +1148,26 @@ FROM events GROUP BY 1, 2
     "lang_id": _lang_id_oracle(),
     "ann_lsh": _ann_lsh_oracle(),
     "ann_ivf": _ann_ivf_oracle(),
-    "embedding_dup": _EMBEDDING_DUP_ORACLE,
+    "embedding_dup": _embedding_dup_oracle(),
     "image_meta": _IMAGE_META_ORACLE,
+    "image_resize": _IMAGE_RESIZE_ORACLE,
+    "audio_meta": _AUDIO_META_ORACLE,
+    "session_page2": _SESSION_PAGE2_ORACLE.format(
+        c_hash=_contrib("hash"), c_join=_contrib("join")
+    ),
+    "merged_turns": _MERGED_TURNS_ORACLE,
+    "lang_scan": _LANG_SCAN_ORACLE,
+    "metadata_match": _METADATA_MATCH_ORACLE.format(c_hash=_contrib("hash")),
+    "bm25_matched_terms": _BM25_MATCHED_TERMS_ORACLE.format(
+        c_hash=_contrib("hash"), c_join=_contrib("join")
+    ),
 }
 
-# queries with no SQL oracle (the driver records a rows-only check):
-# decode-side math (pixel folds, PCM statistics) is not expressible in
-# DuckDB SQL over binary payloads.  Every other query MUST carry an oracle
-# (pinned by tests/test_entry_contract.py).
-ROWS_ONLY = {"image_resize", "audio_meta"}
+# queries with no SQL oracle (the driver records a rows-only check).
+# Every query MUST carry an oracle (pinned by tests/test_entry_contract.py);
+# the former members (image_resize, audio_meta) now recompute their decode
+# math in DuckDB via hex-pair byte extraction + list comprehensions.
+ROWS_ONLY: set[str] = set()
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -936,16 +936,28 @@ def _exact_boundaries_local(
     t = dataset.to_table(columns=["conv_id", "turn_idx"])
     conv = t.column("conv_id").to_pylist()
     turn = t.column("turn_idx").to_pylist()
+    # strided deterministic subsample (boundaries only steer the partition
+    # SPLIT — docIDs are rank-by-key via exact per-bucket counts, so any
+    # boundary set yields identical ids; no need to sort all keys)
+    stride = max(1, n_rows // max(200 * n_parts, 100_000))
+    sub = list(range(0, n_rows, stride))
+    conv_s = [conv[i] for i in sub]
+    turn_s = [turn[i] for i in sub]
     width = max(
-        (len(c.encode("utf-8", "surrogatepass")) for c in conv if c is not None),
+        (
+            len(c.encode("utf-8", "surrogatepass"))
+            for c in conv_s
+            if c is not None
+        ),
         default=1,
     )
-    keys = _encode_keys(conv, turn, width)
+    keys = _encode_keys(conv_s, turn_s, width)
     order = np.argsort(keys, kind="stable")
+    m = len(sub)
     boundaries: list[tuple[str, int]] = []
     for i in range(1, n_parts):
-        j = int(order[min(n_rows - 1, i * n_rows // n_parts)])
-        b = (conv[j], turn[j])
+        j = int(order[min(m - 1, i * m // n_parts)])
+        b = (conv_s[j], turn_s[j])
         if b[0] is None or b[1] is None:
             continue
         if not boundaries or b > boundaries[-1]:

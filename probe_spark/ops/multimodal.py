@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -59,12 +60,15 @@ FRAME_SAMPLE_SCHEMA = StructType(
     ]
 )
 
+# pixels/rms/duration are float64: the feature math runs in f64 and f32
+# storage would truncate below the 6-dp rounding the correctness oracles
+# compare at
 IMAGE_RESIZE_SCHEMA = StructType(
     [
         StructField("sample_id", LongType(), False),
         StructField("out_w", IntegerType(), False),
         StructField("out_h", IntegerType(), False),
-        StructField("pixels", ArrayType(FloatType(), False), False),
+        StructField("pixels", ArrayType(DoubleType(), False), False),
         StructField("status", StringType(), False),
     ]
 )
@@ -73,8 +77,8 @@ AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("sample_id", LongType(), False),
         StructField("n_bytes", LongType(), False),
-        StructField("duration_ms", FloatType(), False),
-        StructField("rms", FloatType(), False),
+        StructField("duration_ms", DoubleType(), False),
+        StructField("rms", DoubleType(), False),
         StructField("zero_crossings", IntegerType(), False),
         StructField("status", StringType(), False),
     ]
@@ -151,7 +155,7 @@ def image_resize(
                 b = bytes(data) if data is not None else b""
                 try:
                     _fake_decode_image(b)  # deployment: PIL.Image.open
-                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.float32)
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
                     pad = (-len(arr)) % n_px  # deployment: img.resize((w, h))
                     px = np.pad(arr, (0, pad)).reshape(-1, n_px).mean(axis=0)
                     rows.append((int(sid), out_w, out_h, px.tolist(), "ok"))

@@ -186,6 +186,15 @@ def _decode_blocks_arrow(
         )
 
 
+def _matched_terms_col(present: dict[str, Column]) -> Column:
+    """Sorted-deduped matched query keywords per doc
+    (file_processing.rs:1447-1488) from the presence predicates."""
+    kws = sorted(present)
+    return F.array_compact(
+        F.array(*[F.when(present[kw], F.lit(kw)) for kw in kws])
+    )
+
+
 def _tf_norm_col(avgdl: float) -> Column:
     """BM25 tf-normalization with tf==1 over the per-doc dl column:
     (k1+1)/(1 + k1*(1 - b + b*dl/avgdl)) — ranking.rs:186-208."""
@@ -345,6 +354,26 @@ class SearchEngine:
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
+
+    def _distinct_tools(self) -> list[str]:
+        """Distinct tool metadata values (cached; the filename-match analog
+        assumes tool is a low-cardinality dimension — a high-cardinality
+        metadata field would get its own postings table instead, the
+        SURVEY §1.3 mapping)."""
+        if not hasattr(self, "_tools"):
+            self._tools = [
+                r["tool"]
+                for r in self.docs.select("tool").distinct().collect()
+                if r["tool"] is not None
+            ]
+        return self._tools
+
+    @staticmethod
+    def _tool_matches(tool: str, kw: str) -> bool:
+        """Reference filename-match rule (file_list_cache.rs:357-457,
+        bidirectional substring at :428) applied to a metadata value's
+        tokens."""
+        return any(kw in t or t in kw for t in tok.tokenize(tool))
 
     def _ladder_candidates(self, lookups: list[str], dfs: dict[str, int]):
         """Conjunctive candidate set: docs containing ALL of ``lookups``,
@@ -620,10 +649,13 @@ class SearchEngine:
             # whole query scan -> decode -> TakeOrderedAndProject, no
             # exchange at all.
             idf = next(iter(idfs.values()))
-            result = (
-                decoded.select(
-                    "doc_id", (F.lit(idf) * tf_norm).alias("score")
+            cols = ["doc_id", (F.lit(idf) * tf_norm).alias("score")]
+            if with_metadata:
+                cols.append(
+                    F.array(F.lit(token_terms[0])).alias("matched_terms")
                 )
+            result = (
+                decoded.select(*cols)
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
             )
@@ -638,10 +670,13 @@ class SearchEngine:
         scored = hits.withColumn("_tf_norm", tf_norm)
         eval_col = self._compile_eval(expr, present)
         score_col = self._compile_score(expr, idfs, present)
+        cols = ["doc_id", "score"]
+        if with_metadata:
+            cols.append(_matched_terms_col(present).alias("matched_terms"))
         result = (
             scored.withColumn("score", score_col)
             .filter(eval_col & F.col("score").isNotNull())
-            .select("doc_id", "score")
+            .select(*cols)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
@@ -663,7 +698,18 @@ class SearchEngine:
                 "conv_id", "turn_idx", "role", "tool", "ts", "text"
             ).schema.fields  # ts type follows the corpus (ntz or not)
             return self.spark.createDataFrame(
-                [], StructType(base + list(meta))
+                [],
+                StructType(
+                    base
+                    + [
+                        StructField(
+                            "matched_terms",
+                            ArrayType(StringType(), True),
+                            False,
+                        )
+                    ]
+                    + list(meta)
+                ),
             )
         return self.spark.createDataFrame([], StructType(base))
 
@@ -689,13 +735,29 @@ class SearchEngine:
         exact: bool = False,
         with_metadata: bool = True,
         prune: bool = True,
+        exclude: DataFrame | None = None,
+        match_metadata: bool = False,
     ) -> DataFrame:
         """Top-k BM25 results: (doc_id, score [, conv_id, turn_idx, role,
         tool, ts, text]), rank-identical to the oracle.  k=None returns the
         full scored result set unsorted (no TakeOrdered barrier) — for bulk
         export / oracle comparison.  ``prune=True`` enables block-max WAND
         for eligible (pure disjunctive) top-k queries — identical results,
-        fewer decoded postings; ``prune=False`` forces the full path."""
+        fewer decoded postings; ``prune=False`` forces the full path.
+
+        ``exclude``: a (doc_id) DataFrame of results to drop BEFORE top-k —
+        the reference's early session-cache filtering (cache.rs:392-541):
+        a repeated --session query returns the NEXT k results, not a
+        shortened page.  Disables WAND pruning (its theta bootstrap
+        lower-bounds the k-th score over ALL qualifying docs; excluded
+        docs could push it above the k-th unseen score and over-prune).
+
+        ``match_metadata``: the filename-match analog (SURVEY §1.3 /
+        file_list_cache.rs:357-457): a keyword is additionally credited to
+        every doc whose tokenized ``tool`` metadata shares a token with it
+        (bidirectional substring).  Presence credit only — idf still comes
+        from the text index, and repair-affected docs keep text-only
+        credit (documented narrowing).  Off by default (rank identity)."""
         spark = self.spark
         empty = self._empty(with_metadata)
         try:
@@ -721,6 +783,8 @@ class SearchEngine:
         if (
             prune
             and k is not None
+            and exclude is None
+            and not match_metadata
             and not special_kws
             and token_terms
             and _wand_eligible(expr)
@@ -738,6 +802,7 @@ class SearchEngine:
         if (
             prune
             and k is not None
+            and not match_metadata
             and not special_kws
             and isinstance(expr, ast.Term)
             and token_terms
@@ -753,14 +818,28 @@ class SearchEngine:
                     for t, df in dfs.items()
                 }
                 cand = self._ladder_candidates(token_terms, dfs)
+                if exclude is not None:
+                    cand = cand.join(
+                        F.broadcast(exclude.select("doc_id")),
+                        "doc_id",
+                        "left_anti",
+                    )
                 tf_norm = _tf_norm_col(self.avgdl)
                 # same expression shape (and float association order) as
                 # _compile_score so scores are bit-identical to the full path
                 score_col = F.lit(0.0)
                 for kw in expr.keywords:
                     score_col = score_col + F.lit(idfs0[kw]) * tf_norm
+                cols = ["doc_id", score_col.alias("score")]
+                if with_metadata:
+                    # all keywords present by construction
+                    cols.append(
+                        F.array(
+                            *[F.lit(t) for t in token_terms]
+                        ).alias("matched_terms")
+                    )
                 result = (
-                    cand.select("doc_id", score_col.alias("score"))
+                    cand.select(*cols)
                     .orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(k)
                 )
@@ -800,6 +879,28 @@ class SearchEngine:
                 kw_to_match[kw] = p.lookup
         all_lookups = sorted(set(kw_to_match.values()))
 
+        # filename-match analog: credit keywords to docs whose tokenized
+        # tool metadata shares a token (see the search docstring) by
+        # unioning synthetic (term, doc_id, dl) rows into the decoded
+        # postings before the per-doc grouping
+        meta_credits: dict[str, list[str]] = {}
+        if match_metadata:
+            tools = self._distinct_tools()
+            for lookup in all_lookups:
+                matched = [t for t in tools if self._tool_matches(t, lookup)]
+                if matched:
+                    meta_credits[lookup] = matched
+            for lookup, matched in meta_credits.items():
+                mrows = self.docs.filter(
+                    F.col("tool").isin(matched)
+                ).select(
+                    F.lit(lookup).alias("term"),
+                    F.lit("meta").alias("src"),
+                    "doc_id",
+                    "dl",
+                )
+                decoded = decoded.unionByName(mrows)
+
         # conjunctive anchor (SURVEY §7 "intersect first"): every doc
         # satisfying the query must contain all mandatory keywords, so the
         # groupBy(doc_id) shuffle is pre-filtered by a broadcast semi-join
@@ -810,7 +911,12 @@ class SearchEngine:
         # matches of a special lookup are not lost to the anchor.
         anchored = decoded
         mandatory = ast.mandatory_keywords(expr)
-        if k is not None and mandatory and len(all_lookups) >= 2:
+        if (
+            k is not None
+            and not meta_credits  # metadata credit bypasses the token index
+            and mandatory
+            and len(all_lookups) >= 2
+        ):
             if any(kw not in kw_to_match for kw in mandatory):
                 # a mandatory keyword that can never match any doc token
                 # (unmatchable special) makes the query unsatisfiable
@@ -935,7 +1041,12 @@ class SearchEngine:
             old_src = anti_ids if anti_ids is not None else retok.select("doc_id")
             old_rows = (
                 decoded.join(old_src, "doc_id", "semi")
-                .filter(F.col("term").isin(list(all_lookups)))
+                # token-index hits only: metadata credits are not
+                # invalidated by retokenization
+                .filter(
+                    (F.col("src") == "tok")
+                    & F.col("term").isin(list(all_lookups))
+                )
                 .select(
                     "term",
                     F.lit(-1).alias("df_adj"),
@@ -1044,9 +1155,20 @@ class SearchEngine:
         scored = cands.withColumn("_tf_norm", tf_norm)
         eval_col = self._compile_eval(expr, present)
         score_col = self._compile_score(expr, idfs, present)
+        out_cols = ["doc_id", "score"]
+        if with_metadata:
+            out_cols.append(
+                _matched_terms_col(present).alias("matched_terms")
+            )
         result = scored.withColumn("score", score_col).filter(
             eval_col & F.col("score").isNotNull()
-        ).select("doc_id", "score")
+        ).select(*out_cols)
+        if exclude is not None:
+            # early session filtering: drop seen docs BEFORE the top-k so
+            # the page fills with the next k unseen results
+            result = result.join(
+                F.broadcast(exclude.select("doc_id")), "doc_id", "left_anti"
+            )
         if k is not None:
             result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
