@@ -60,6 +60,7 @@ def cmd_build(args) -> int:
         max_postings_per_segment=args.max_postings_per_segment,
         block_size=args.block_size,
         doc_partitions=args.doc_partitions,
+        blank_lines_over=args.blank_lines_over or None,
     )
     t0 = time.time()
     result = IndexBuilder(spark, cfg).build(
@@ -109,14 +110,19 @@ def cmd_search(args) -> int:
             args.query, k=args.max_results, exact=args.exact,
             with_metadata=not args.ids_only or args.dry_run,
         )
-        for d in rows:
-            if args.dry_run:
-                print(f"{d.get('conv_id')}:{d.get('turn_idx')}")
-            elif args.format == "json":
-                print(json.dumps({k: _jsonable(v) for k, v in d.items()}))
-            else:
-                text = (d.get("text") or "").replace("\n", " ")[:80]
-                print(f"{d['doc_id']}\t{d['score']:.4f}\t{text}")
+        from probe_spark.search.output import FORMATTERS
+
+        if not args.dry_run and args.format in FORMATTERS:
+            print(FORMATTERS[args.format](rows))
+        else:
+            for d in rows:
+                if args.dry_run:
+                    print(f"{d.get('conv_id')}:{d.get('turn_idx')}")
+                elif args.format == "json":
+                    print(json.dumps({k: _jsonable(v) for k, v in d.items()}))
+                else:
+                    text = (d.get("text") or "").replace("\n", " ")[:80]
+                    print(f"{d['doc_id']}\t{d['score']:.4f}\t{text}")
         if timer:
             timer.cancel()
         return 0
@@ -159,6 +165,8 @@ def cmd_search(args) -> int:
 
         res = merge_adjacent_turns(res, threshold=args.merge_turns)
     rows = res.collect()
+    from probe_spark.search.output import FORMATTERS
+
     if args.dry_run:
         for r in rows:
             d = r.asDict()
@@ -167,6 +175,8 @@ def cmd_search(args) -> int:
             else:
                 loc = d.get("turn_idx")
             print(f"{d.get('conv_id')}:{loc}")
+    elif args.format in FORMATTERS:
+        print(FORMATTERS[args.format]([r.asDict() for r in rows]))
     elif args.format == "json":
         for r in rows:
             print(json.dumps({k: _jsonable(v) for k, v in r.asDict().items()}))
@@ -214,6 +224,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--max-postings-per-segment", type=int, default=1 << 17)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--doc-partitions", type=int, default=None)
+    b.add_argument("--blank-lines-over", type=int, default=500,
+                   metavar="CHARS",
+                   help="blank lines longer than CHARS before tokenization "
+                        "(file_processing.rs:1090-1107; 0 disables; the "
+                        "library default is off)")
     b.add_argument("--filter", default=None, metavar="SQL_PREDICATE",
                    help="restrict the corpus before indexing, e.g. "
                         "\"role = 'assistant'\" — the language-filter "
@@ -245,7 +260,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--session", default=None,
                    help="session id: drop results already returned in this "
                         "session and record the new ones")
-    s.add_argument("--format", choices=["text", "json"], default="text")
+    s.add_argument(
+        "--format",
+        choices=[
+            "text", "json", "plain", "markdown", "xml", "color", "terminal",
+        ],
+        default="text",
+        help="output format (search_output.rs analogs)",
+    )
     s.add_argument("-r", "--reranker", default="bm25",
                    choices=["bm25", "tfidf", "hybrid", "hybrid2",
                             "ms-marco-tinybert", "ms-marco-minilm-l6",

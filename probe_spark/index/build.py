@@ -212,6 +212,12 @@ class BuildConfig:
     # set).  Small buckets keep full-width worker concurrency cache-
     # resident; ~16k turns ≈ 15MB of text per task
     exchange_bucket_rows: int = 16384
+    # degenerate-line filter (file_processing.rs:1090-1107): lines longer
+    # than this are blanked BEFORE tokenization (they never enter postings
+    # or dl; stored text is untouched for display).  None = off — the
+    # default, so the correctness oracles tokenize exactly the stored text;
+    # the reference's default is 500
+    blank_lines_over: int | None = None
     # level-0 flush threshold: bounds the partial builder's in-memory
     # accumulator (postings held per task before a flush).  Kept small so
     # flushes interleave with tokenization instead of bursting at task end
@@ -234,7 +240,20 @@ class BuildConfig:
     merge_group_bytes: int = 48 << 20
 
 
-def _make_docs_builder(offsets: dict[int, int]):
+def _blank_long_lines(text: str, limit: int) -> str:
+    """file_processing.rs:1090-1107: lines over ``limit`` chars blanked
+    before tokenization (minified blobs/base64 walls never pollute the
+    index).  Fast path: a text shorter than the limit cannot contain one."""
+    if len(text) <= limit:
+        return text
+    return "\n".join(
+        l if len(l) <= limit else "" for l in text.split("\n")
+    )
+
+
+def _make_docs_builder(
+    offsets: dict[int, int], blank_lines_over: "int | None" = None
+):
     """mapInArrow generator over range-partitioned, partition-sorted
     transcripts: assigns doc_id = partition_offset + local_row_index (dense,
     globally ordered by (conv_id, turn_idx) because range partition index
@@ -260,8 +279,15 @@ def _make_docs_builder(offsets: dict[int, int]):
             if n == 0:
                 continue
             texts = batch.column("text").to_pylist()
-            tokens = [tokenize(t) if t else [] for t in texts]
-            raws = [raw_special_words(t) if t else [] for t in texts]
+            if blank_lines_over is not None:
+                texts_r = [
+                    _blank_long_lines(t, blank_lines_over) if t else t
+                    for t in texts
+                ]
+            else:
+                texts_r = texts
+            tokens = [tokenize(t) if t else [] for t in texts_r]
+            raws = [raw_special_words(t) if t else [] for t in texts_r]
             arrays = [
                 pa.array(range(next_id, next_id + n), pa.int64()),
                 batch.column("conv_id"),
@@ -477,7 +503,9 @@ def _canonical_input(parted: DataFrame) -> DataFrame:
     )
 
 
-def _assign_and_tokenize(df: DataFrame, n_parts: int) -> tuple[DataFrame, int]:
+def _assign_and_tokenize(
+    df: DataFrame, n_parts: int, blank_lines_over: "int | None" = None
+) -> tuple[DataFrame, int]:
     """Dense docID over stable (conv_id, turn_idx) ordering + the single
     tokenizer pass, as one routed shuffle and one mapInArrow (two-pass
     layout: tokens/raws ride the docs parquet for the separate partials
@@ -485,7 +513,8 @@ def _assign_and_tokenize(df: DataFrame, n_parts: int) -> tuple[DataFrame, int]:
     routed, offsets, acc = _plan_range_layout(df, n_parts)
     ts_type = dict(zip(df.schema.names, df.schema.fields))["ts"].dataType
     docs = _canonical_input(routed).mapInArrow(
-        _make_docs_builder(offsets), _docs_schema(ts_type, store_tokens=True)
+        _make_docs_builder(offsets, blank_lines_over),
+        _docs_schema(ts_type, store_tokens=True),
     )
     return docs, acc
 
@@ -777,9 +806,11 @@ class _FusedCore:
         flush_postings: int,
         store_tokens: bool,
         n_buckets: int,
+        blank_lines_over: "int | None" = None,
     ):
         self.docs_dir = docs_dir
         self.store_tokens = store_tokens
+        self.blank_lines_over = blank_lines_over
         self.sink = _BucketShardSink(partials_dir, task_id, n_buckets)
         self.acc = _PartialAcc(flush_postings, self.sink.write)
         self.next_id = 0
@@ -813,8 +844,13 @@ class _FusedCore:
         if n == 0:
             return
         texts = batch.column("text").to_pylist()
-        tokens = [tokenize(t) if t else [] for t in texts]
-        raws = [raw_special_words(t) if t else [] for t in texts]
+        if self.blank_lines_over is not None:
+            lim = self.blank_lines_over
+            rank_texts = [_blank_long_lines(t, lim) if t else t for t in texts]
+        else:
+            rank_texts = texts
+        tokens = [tokenize(t) if t else [] for t in rank_texts]
+        raws = [raw_special_words(t) if t else [] for t in rank_texts]
         ids = np.arange(self.next_id, self.next_id + n, dtype=np.int64)
         dls = np.array([len(ts) for ts in tokens], dtype=np.int64)
         tok_arr = pa.array(tokens, pa.list_(pa.string()))
@@ -1196,6 +1232,7 @@ def _make_bucket_builder(
     flush_postings: int,
     store_tokens: bool,
     n_buckets: int,
+    blank_lines_over: "int | None" = None,
 ):
     """Pass B of the file-based doc exchange: plan rows (bucket, files),
     several buckets per task.  Each bucket's IPC shards are read directly
@@ -1222,7 +1259,7 @@ def _make_bucket_builder(
         rows.sort(key=lambda r: int(r["bucket"]))  # ascending docID order
         core = _FusedCore(
             task_id, docs_dir, partials_dir, flush_postings, store_tokens,
-            n_buckets,
+            n_buckets, blank_lines_over,
         )
         tt = {"read": 0.0, "sort": 0.0, "core": 0.0}
         for row in rows:
@@ -2018,6 +2055,7 @@ class IndexBuilder:
                                 cfg.partial_flush_postings,
                                 cfg.store_tokens,
                                 cfg.n_buckets,
+                                cfg.blank_lines_over,
                             ),
                             PARTIALS_SCHEMA,
                         ).collect()
@@ -2041,7 +2079,7 @@ class IndexBuilder:
         elif not docs_done:
             with _timed("docs"):
                 base, n_docs_known = _assign_and_tokenize(
-                    transcripts, n_parts
+                    transcripts, n_parts, cfg.blank_lines_over
                 )
                 base.write.mode("overwrite").parquet(docs_path)
             self._simple_manifest(index_path, build_id, "docs")

@@ -20,9 +20,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+try:  # exact reference counter when the public package is present
+    import tiktoken as _tiktoken
+
+    _P50K = _tiktoken.get_encoding("p50k_base")
+except Exception:  # pragma: no cover - tiktoken not in this container
+    _tiktoken = None
+    _P50K = None
+
+
 def token_count_col(col):
-    """Vectorized token count: the same BPE-ish piece count used by the
-    ops layer (probe_spark.ops.text.BPE_REGEX) — the tiktoken stand-in."""
+    """Vectorized token count.  With the public ``tiktoken`` package
+    installed this is the reference's exact p50k_base count
+    (search_tokens.rs:331-366) via an Arrow-batched pandas UDF; otherwise
+    the BPE-ish regex piece count used across the ops layer stands in
+    (documented simplification — identical accept/reject semantics under
+    whichever counter is active)."""
+    if _P50K is not None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _count(s):
+            import pandas as pd
+
+            enc = _P50K
+            return pd.Series(
+                [len(enc.encode(x)) if x else 0 for x in s],
+                dtype="int64",
+            )
+
+        return _count(col)
     from probe_spark.ops.text import BPE_REGEX
 
     return F.regexp_count(col, F.lit(BPE_REGEX))

@@ -100,3 +100,31 @@ def test_decode_blocks_keep_all_equals_decode_postings(p):
     )
     assert got_ids.tolist() == ids.tolist()
     assert got_dls.tolist() == dls.tolist()
+
+
+class TestXXH64Vec:
+    def test_vec_matches_scalar_all_lengths(self):
+        import random
+
+        import numpy as np
+
+        from probe_spark.index.xxhash import xxh64_signed, xxh64_vec
+
+        rng = random.Random(11)
+        vals = [
+            bytes(rng.randrange(256) for _ in range(n))
+            for n in list(range(0, 40)) + [63, 64, 100]
+            for _ in range(5)
+        ]
+        vec = xxh64_vec(vals)
+        assert vec.dtype == np.int64
+        for i, v in enumerate(vals):
+            assert int(vec[i]) == xxh64_signed(v)
+
+    def test_bucket_vec_matches_scalar(self):
+        from probe_spark.index.xxhash import spark_bucket, spark_buckets_vec
+
+        terms = ["error", "handl", "", "ветка", "a" * 40, "hash", "15"]
+        got = spark_buckets_vec(terms, 32)
+        for t, b in zip(terms, got):
+            assert spark_bucket(t, 32) == int(b)

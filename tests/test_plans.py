@@ -86,3 +86,101 @@ class TestCodegenOnly:
         assert "TakeOrderedAndProject" in plan
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan
+
+
+class TestConjunctive:
+    def test_multi_keyword_term_is_broadcast_semi_ladder(self, engine):
+        # camelCase expansion -> multi-keyword Term -> the fast path:
+        # decode -> broadcast-semi chain -> TakeOrdered, no groupBy shuffle
+        res = engine.search("errorHandling", k=5, with_metadata=False)
+        plan = _plan(res)
+        assert "TakeOrderedAndProject" in plan
+        assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_multi_keyword_rank_identity_vs_full_path(self, engine):
+        fast = engine.search("errorHandling", k=10, with_metadata=False)
+        full = engine.search(
+            "errorHandling", k=10, with_metadata=False, prune=False
+        )
+        assert [(r["doc_id"], r["score"]) for r in fast.collect()] == [
+            (r["doc_id"], r["score"]) for r in full.collect()
+        ]
+
+    def test_mandatory_anchor_semi_join_in_full_path(self, engine):
+        # AND query: both sides mandatory -> anchor pre-filters the groupBy
+        res = engine.search("error AND handling", k=5, with_metadata=False)
+        plan = _plan(res)
+        assert "LeftSemi" in plan
+
+    def test_anchored_and_rank_identity(self, engine):
+        anchored = engine.search(
+            "error AND handling", k=10, with_metadata=False
+        )
+        full = engine.search(
+            "error AND handling", k=None, with_metadata=False
+        )
+        top = sorted(
+            [(r["doc_id"], r["score"]) for r in full.collect()],
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        assert [(r["doc_id"], r["score"]) for r in anchored.collect()] == top
+
+
+class TestSessionPaging:
+    def test_exclude_returns_next_page(self, engine, spark):
+        p1 = engine.search("error OR handling", k=7, with_metadata=False)
+        ids1 = [r["doc_id"] for r in p1.collect()]
+        p2 = engine.search(
+            "error OR handling",
+            k=7,
+            with_metadata=False,
+            exclude=spark.createDataFrame(
+                [(i,) for i in ids1], "doc_id long"
+            ),
+        )
+        ids2 = [r["doc_id"] for r in p2.collect()]
+        both = engine.search("error OR handling", k=14, with_metadata=False)
+        assert not set(ids1) & set(ids2)
+        assert ids1 + ids2 == [r["doc_id"] for r in both.collect()]
+
+
+class TestMatchedTerms:
+    def test_matched_terms_sorted_and_accurate(self, engine):
+        rows = engine.search("error OR handling", k=10).collect()
+        assert rows
+        for r in rows:
+            mt = r["matched_terms"]
+            assert mt == sorted(mt)
+            assert set(mt) <= {"error", "handl"}
+            assert mt  # every hit matched at least one keyword
+
+    def test_conjunctive_fast_path_matched_terms(self, engine):
+        rows = engine.search("errorHandling", k=5).collect()
+        for r in rows:
+            assert r["matched_terms"] == ["error", "handl"]
+
+
+class TestMetadataMatch:
+    def test_tool_tokens_credit_keywords(self, engine, spark):
+        # every fixture turn with tool='search' must be credited for
+        # keyword 'search' when metadata matching is on, and absent docs
+        # stay absent when it is off
+        on = engine.search(
+            "search", k=None, with_metadata=True, match_metadata=True
+        )
+        tools = {
+            r["doc_id"]: r["tool"]
+            for r in engine.docs.select("doc_id", "tool").collect()
+        }
+        on_ids = {r["doc_id"] for r in on.collect()}
+        for d, t in tools.items():
+            if t == "search":
+                assert d in on_ids
+        off_ids = {
+            r["doc_id"]
+            for r in engine.search(
+                "search", k=None, with_metadata=False
+            ).collect()
+        }
+        assert off_ids <= on_ids

@@ -125,3 +125,66 @@ class TestKillResume:
             assert [(r["doc_id"], r["score"]) for r in a] == [
                 (r["doc_id"], r["score"]) for r in b
             ], q
+
+
+class TestInputPartitioningInvariance:
+    def test_doc_ids_independent_of_input_layout(self, spark, tmp_path):
+        """docIDs = rank over (conv_id, turn_idx): rebuilding from a
+        differently-partitioned, differently-ordered copy of the same
+        corpus must assign identical ids (the exchange's boundaries come
+        from data-dependent sampling, and offsets from exact counts)."""
+        from probe_spark.fixtures import transcripts_df
+        from probe_spark.index.build import BuildConfig, IndexBuilder
+
+        corpus = transcripts_df(spark, 40, seed=3)
+        a = str(tmp_path / "idx_a")
+        b = str(tmp_path / "idx_b")
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(corpus, a)
+        shuffled = corpus.repartition(7, "text").sortWithinPartitions("role")
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(shuffled, b)
+        da = {
+            (r["conv_id"], r["turn_idx"]): r["doc_id"]
+            for r in spark.read.parquet(f"{a}/docs").collect()
+        }
+        db = {
+            (r["conv_id"], r["turn_idx"]): r["doc_id"]
+            for r in spark.read.parquet(f"{b}/docs").collect()
+        }
+        assert da == db
+
+
+class TestBlankLongLines:
+    def test_long_lines_never_enter_postings(self, spark, tmp_path):
+        """file_processing.rs:1090-1107 analog: with blank_lines_over set,
+        tokens appearing ONLY inside a >limit-char line are not indexed
+        (and dl shrinks), while stored text keeps the original line."""
+        import datetime
+
+        from probe_spark.index.build import BuildConfig, IndexBuilder
+        from probe_spark.search.engine import SearchEngine
+
+        long_line = "zebrafish " * 60  # ~600 chars, unique token inside
+        rows = [
+            ("c0", 0, "user", f"short line\n{long_line}", "t", 
+             datetime.datetime(2026, 1, 1)),
+            ("c1", 0, "user", "another zebrafish mention", "t",
+             datetime.datetime(2026, 1, 1)),
+        ]
+        schema = ("conv_id string, turn_idx int, role string, text string,"
+                  " tool string, ts timestamp")
+        corpus = spark.createDataFrame(rows, schema)
+        on = str(tmp_path / "idx_on")
+        off = str(tmp_path / "idx_off")
+        IndexBuilder(
+            spark, BuildConfig(n_buckets=4, blank_lines_over=500)
+        ).build(corpus, on)
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(corpus, off)
+        eng_on = SearchEngine(spark, on)
+        eng_off = SearchEngine(spark, off)
+        hits_on = {r["conv_id"] for r in eng_on.search("zebrafish", k=5).collect()}
+        hits_off = {r["conv_id"] for r in eng_off.search("zebrafish", k=5).collect()}
+        assert hits_on == {"c1"}  # the long line's tokens were blanked
+        assert hits_off == {"c0", "c1"}
+        # stored text untouched (display keeps the original)
+        txt = eng_on.docs.filter("conv_id = 'c0'").collect()[0]["text"]
+        assert "zebrafish" in txt
