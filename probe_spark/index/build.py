@@ -1705,6 +1705,16 @@ def _merge_partials_fused(
             plan.append((b, salt, len(groups), g))
     os.makedirs(_strip_scheme(out_path), exist_ok=True)
     if not plan:
+        # 0-row corpus: write one empty, correctly-typed segment file so
+        # postings/ stays schema-readable (mirrors _ensure_docs_nonempty)
+        import pyarrow.parquet as pq
+
+        d = os.path.join(_strip_scheme(out_path), "kind=tok", "bucket=0")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            _SEG_FILE_SCHEMA.empty_table(),
+            os.path.join(d, "part-00000.parquet"),
+        )
         return []
     plan_df = _one_row_per_partition(
         spark, plan, "bucket int, salt int, n_salts int, files array<string>"
