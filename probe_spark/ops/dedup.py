@@ -28,8 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_LAST_SH: "DataFrame | None" = None  # previous call's persisted shingles
-
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -76,13 +74,7 @@ def ngram_jaccard_pairs(
     explode candidate generation); |A∪B| = n_a + n_b - |A∩B| over *all*
     shingles.  Jaccard is therefore exact for every emitted pair.
     """
-    global _LAST_SH
     sh = word_shingles(df, text_col, id_col, k).persist()
-    if _LAST_SH is not None:
-        # bound the cache leak: the function returns a lazy plan, so the
-        # previous call's shingles can only be dropped on the next call
-        _LAST_SH.unpersist(blocking=False)
-    _LAST_SH = sh
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     hot = (
         sh.groupBy("shingle")
@@ -134,7 +126,20 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # caller-lifetime-bound persist: the plan references the shingle set
+    # four times, so it stays cached while the RESULT DataFrame is alive
+    # and unpersists when the caller drops it (no module-global leak)
+    import weakref
+
+    weakref.finalize(out, _safe_unpersist, sh)
     return out
+
+
+def _safe_unpersist(df: DataFrame) -> None:
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass  # session already stopped
 
 
 def minhash_signatures(

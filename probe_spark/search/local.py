@@ -53,9 +53,9 @@ RESULT_COLUMNS = [
 class LocalSearcher:
     """In-process top-k BM25 search over an index directory (posix paths).
 
-    Caches decoded postings per term (an explicit LRU would bound this for
-    a long-lived service; a per-process dict is the honest small-footprint
-    default) and memoizes term df from segment metadata.
+    Caches decoded postings per term (FIFO-bounded at 512 entries so a
+    long-lived service over a hot vocabulary stays within ~512MB of
+    decoded arrays) and memoizes term df from segment metadata.
     """
 
     def __init__(self, index_path: str):
@@ -69,7 +69,11 @@ class LocalSearcher:
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
         self.n_buckets = int(stats["n_buckets"])
+        # FIFO-bounded: a long-lived service over a hot vocabulary would
+        # otherwise grow this without limit (decoded arrays are the big
+        # entries; 512 terms x ~1MB is the intended ceiling)
         self._postings_cache: dict[tuple[str, str], tuple] = {}
+        self._postings_cache_cap = 512
         self._repair_cache: dict[frozenset, tuple] = {}
         self._docs_ds = None
 
@@ -114,6 +118,8 @@ class LocalSearcher:
         else:
             ids = np.empty(0, dtype=np.int64)
             dls = np.empty(0, dtype=np.int64)
+        while len(self._postings_cache) >= self._postings_cache_cap:
+            self._postings_cache.pop(next(iter(self._postings_cache)))
         self._postings_cache[key] = (ids, dls)
         return ids, dls
 

@@ -91,3 +91,36 @@ def test_merge_empty(spark):
         [], "doc_id long, score double, conv_id string, turn_idx int, text string"
     )
     assert merge_adjacent_turns(df).collect() == []
+
+
+class TestFormatters:
+    def test_all_formats_render(self):
+        from probe_spark.search.output import FORMATTERS
+
+        rows = [
+            {
+                "doc_id": 7, "score": 1.2345678, "conv_id": "c1",
+                "turn_idx": 3, "role": "user", "tool": "bash",
+                "matched_terms": ["error", "handl"],
+                "text": "an <error> & a \"handler\"\nsecond line",
+            },
+            {"doc_id": 9, "score": 0.5, "conv_id": "c2", "turn_idx": 0,
+             "text": None},
+        ]
+        plain = FORMATTERS["plain"](rows)
+        assert "c1:3" in plain and "matched: error, handl" in plain
+        md = FORMATTERS["markdown"](rows)
+        assert md.startswith("## 1. c1:3") and "```" in md
+        xml = FORMATTERS["xml"](rows)
+        assert "&lt;error&gt; &amp;" in xml and "<term>error</term>" in xml
+        assert xml.count("<result>") == 2
+        color = FORMATTERS["color"](rows)
+        assert "\x1b[1m" in color and "c1:3" in color
+        assert FORMATTERS["terminal"] is FORMATTERS["color"]
+
+    def test_merged_span_location(self):
+        from probe_spark.search.output import format_plain
+
+        rows = [{"conv_id": "c9", "turn_lo": 2, "turn_hi": 5,
+                 "score": 3.0, "doc_id": 1, "text": "t"}]
+        assert "c9:2-5" in format_plain(rows)
