@@ -103,7 +103,29 @@ def cmd_search(args) -> int:
 
     if args.local:
         # driver-local low-latency path (no Spark session; posix index
-        # paths): same results as the distributed engine, pinned by tests
+        # paths): same results as the distributed engine, pinned by tests.
+        # Feature flags that need the distributed engine are refused
+        # loudly rather than silently ignored.
+        unsupported = [
+            flag
+            for flag, on in (
+                ("--session", args.session),
+                ("--match-metadata", args.match_metadata),
+                ("--max-bytes", args.max_bytes),
+                ("--max-tokens", args.max_tokens),
+                ("--merge-turns", args.merge_turns is not None),
+            )
+            if on
+        ]
+        if unsupported:
+            print(
+                f"error: {', '.join(unsupported)} not supported with "
+                "--local (drop --local to use the distributed engine)",
+                file=sys.stderr,
+            )
+            if timer:
+                timer.cancel()
+            return 2
         from probe_spark.search.local import LocalSearcher
 
         rows = LocalSearcher(args.index).search(
@@ -152,11 +174,9 @@ def cmd_search(args) -> int:
         res = apply_limits(
             res, max_bytes=args.max_bytes, max_tokens=args.max_tokens
         )
-    if args.session:
-        from probe_spark.search.session_cache import record_results
-
-        returned = [r["doc_id"] for r in res.select("doc_id").collect()]
-        record_results(spark, args.index, args.session, args.query, returned)
+    # NOTE: rows are collected ONCE here; session recording and display
+    # both work off this list (a separate .collect() would re-execute the
+    # whole search DAG)
     if args.merge_turns is not None and not args.ids_only:
         # block_merging.rs analog: adjacent turns of one conversation merge
         # into a span (opt-in: turns are atomic units, unlike the
@@ -165,6 +185,16 @@ def cmd_search(args) -> int:
 
         res = merge_adjacent_turns(res, threshold=args.merge_turns)
     rows = res.collect()
+    if args.session:
+        from probe_spark.search.session_cache import record_results
+
+        record_results(
+            spark,
+            args.index,
+            args.session,
+            args.query,
+            [r["doc_id"] for r in rows if "doc_id" in r.asDict()],
+        )
     from probe_spark.search.output import FORMATTERS
 
     if args.dry_run:

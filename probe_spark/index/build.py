@@ -927,26 +927,38 @@ _EXCHANGE_COUNTS_SCHEMA = StructType(
 
 def _encode_keys(conv_ids: list, turn_idxs, width: int):
     """Fixed-width byte encoding of (conv_id, turn_idx) whose memcmp order
-    equals the lexicographic (conv_id, turn_idx) order: conv_id NUL-padded
-    to ``width`` (NUL sorts before every real byte, preserving prefix
-    order) + big-endian uint32 of turn_idx biased by 2^31 (sign-safe).
-    NULLs encode as the minimal key (nulls-first, matching range
-    partitioning).  Returns a numpy 'S' array ready for np.searchsorted."""
+    equals the lexicographic (conv_id, turn_idx) order with nulls first.
+
+    Layout per key (width + 6 bytes, built as a uint8 matrix then viewed
+    as one 'S' scalar per row so NUL padding participates in memcmp):
+      [conv-null flag 0|1][conv_id NUL-padded to width]
+      [turn-null flag 0|1][big-endian uint32 of turn_idx biased by 2^31]
+    NUL padding sorts before every real byte, preserving prefix order
+    ('c1' < 'c10'); the explicit null flags sort SQL nulls before every
+    value including ""/INT_MIN.  (An earlier np.char.add-based version
+    silently STRIPPED the NUL padding — numpy treats 'S' as C strings —
+    which broke ordering exactly for prefix pairs.)"""
     import numpy as np
 
     n = len(conv_ids)
     conv = np.array(
-        [c.encode("utf-8", "surrogatepass") if c is not None else b"" for c in conv_ids],
+        [
+            c.encode("utf-8", "surrogatepass") if c is not None else b""
+            for c in conv_ids
+        ],
         dtype=f"S{width}",
     )
+    mat = np.zeros((n, width + 6), dtype=np.uint8)
+    mat[:, 0] = [0 if c is None else 1 for c in conv_ids]
+    mat[:, 1 : width + 1] = conv.view(np.uint8).reshape(n, width)
+    t_null = np.array([x is None for x in turn_idxs], dtype=bool)
+    mat[:, width + 1] = (~t_null).astype(np.uint8)
     t = np.asarray(
         [0 if x is None else int(x) for x in turn_idxs], dtype=np.int64
     )
     tb = ((t + (1 << 31)).astype(">u4")).tobytes()
-    turn = np.frombuffer(tb, dtype="S4")
-    out = np.char.add(conv, turn)
-    assert len(out) == n
-    return out
+    mat[:, width + 2 :] = np.frombuffer(tb, dtype=np.uint8).reshape(n, 4)
+    return np.ascontiguousarray(mat).view(f"S{width + 6}").ravel()
 
 
 def _exact_boundaries_local(
@@ -970,15 +982,16 @@ def _exact_boundaries_local(
     if n_rows == 0 or n_parts <= 1:
         return [], n_rows
     t = dataset.to_table(columns=["conv_id", "turn_idx"])
-    conv = t.column("conv_id").to_pylist()
-    turn = t.column("turn_idx").to_pylist()
     # strided deterministic subsample (boundaries only steer the partition
     # SPLIT — docIDs are rank-by-key via exact per-bucket counts, so any
-    # boundary set yields identical ids; no need to sort all keys)
+    # boundary set yields identical ids).  take() on the Arrow table keeps
+    # the full column set out of Python: only the sample rows become
+    # Python objects
     stride = max(1, n_rows // max(200 * n_parts, 100_000))
-    sub = list(range(0, n_rows, stride))
-    conv_s = [conv[i] for i in sub]
-    turn_s = [turn[i] for i in sub]
+    t = t.take(np.arange(0, n_rows, stride))
+    conv_s = t.column("conv_id").to_pylist()
+    turn_s = t.column("turn_idx").to_pylist()
+    sub = range(len(conv_s))
     width = max(
         (
             len(c.encode("utf-8", "surrogatepass"))

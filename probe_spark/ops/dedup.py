@@ -128,7 +128,12 @@ def ngram_jaccard_pairs(
     )
     # caller-lifetime-bound persist: the plan references the shingle set
     # four times, so it stays cached while the RESULT DataFrame is alive
-    # and unpersists when the caller drops it (no module-global leak)
+    # and unpersists when the caller drops it (no module-global leak).
+    # Cache-only lifetime, never correctness: a caller that derives a new
+    # plan and drops this handle before executing (e.g.
+    # `ngram_jaccard_pairs(df).filter(...).collect()`) loses the caching
+    # and recomputes the shingles — hold the returned DataFrame across
+    # the action to keep the cache.
     import weakref
 
     weakref.finalize(out, _safe_unpersist, sh)

@@ -188,3 +188,34 @@ class TestBlankLongLines:
         # stored text untouched (display keeps the original)
         txt = eng_on.docs.filter("conv_id = 'c0'").collect()[0]["text"]
         assert "zebrafish" in txt
+
+
+class TestPrefixConvIds:
+    def test_doc_ids_with_prefix_conv_ids(self, spark, tmp_path):
+        """Regression: 'c1' vs 'c10' (prefix pairs — the natural numbering
+        scheme) must produce docIDs in true (conv_id, turn_idx) order; an
+        earlier key encoding stripped NUL padding and mis-routed these."""
+        import datetime
+
+        from probe_spark.index.build import BuildConfig, IndexBuilder
+
+        ts = datetime.datetime(2026, 1, 1)
+        rows = [
+            (c, t, "user", f"text {c} {t}", "tool", ts)
+            for c in ["c1", "c10", "c2", "c100", "c"]
+            for t in range(4)
+        ]
+        schema = ("conv_id string, turn_idx int, role string, text string,"
+                  " tool string, ts timestamp")
+        corpus = spark.createDataFrame(rows, schema).repartition(5)
+        idx = str(tmp_path / "prefix_idx")
+        IndexBuilder(
+            spark, BuildConfig(n_buckets=4, exchange_bucket_rows=4)
+        ).build(corpus, idx)
+        docs = sorted(
+            (r["conv_id"], r["turn_idx"], r["doc_id"])
+            for r in spark.read.parquet(f"{idx}/docs").collect()
+        )
+        expected_order = sorted((c, t) for c, t, *_ in rows)
+        assert [(c, t) for c, t, _ in docs] == expected_order
+        assert [d for *_, d in docs] == list(range(len(rows)))
