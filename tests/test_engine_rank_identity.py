@@ -133,3 +133,61 @@ class TestDeterminism:
         assert [(r["doc_id"], r["score"]) for r in a] == [
             (r["doc_id"], r["score"]) for r in b
         ]
+
+
+def _random_queries(n: int, seed: int) -> list[str]:
+    """Seeded random query generator over the fixture vocabulary: mixes
+    plain words, camelCase (multi-keyword Terms -> the conjunctive ladder),
+    +required / -excluded / quoted-exact (special-term repair), AND/OR and
+    parentheses — every engine code path gets sampled."""
+    import random
+
+    rng = random.Random(seed)
+    words = [
+        "error", "handling", "database", "timeout", "worker", "cache",
+        "queue", "login", "auth", "api", "process", "load", "whitelist",
+        "firewall", "handler", "table", "hash", "join", "running",
+        "JWTMiddleware", "getUserProfile", "enableFirewallWhitelist",
+        "oauth2", "sqlite", "hashtable", "parseJSONToHTML5", "blackmail",
+    ]
+
+    def term() -> str:
+        w = rng.choice(words)
+        deco = rng.random()
+        if deco < 0.12:
+            return f"+{w}"
+        if deco < 0.24:
+            return f"-{w}"
+        if deco < 0.34:
+            return f'"{w}"'
+        return w
+
+    out = []
+    for _ in range(n):
+        k = rng.randint(1, 4)
+        parts = [term() for _ in range(k)]
+        q = parts[0]
+        for p in parts[1:]:
+            op = rng.choice([" ", " AND ", " OR "])
+            q = f"{q}{op}{p}"
+        if k >= 2 and rng.random() < 0.3:
+            q = f"({q}) {rng.choice(['AND', 'OR'])} {term()}"
+        out.append(q)
+    return out
+
+
+class TestRankIdentityFuzz:
+    @pytest.mark.parametrize("query", _random_queries(25, seed=20260818))
+    def test_random_query(self, engine, corpus_rows, query):
+        texts = [r["text"] for r in corpus_rows]
+        expected = oracle.search(texts, query, k=25)
+        got = engine.search(query, k=25, with_metadata=False).collect()
+        got_ids = [r["doc_id"] for r in got]
+        exp_ids = [r.doc_id for r in expected]
+        assert got_ids == exp_ids, (
+            f"{query!r}: docID mismatch\n got={got_ids}\n exp={exp_ids}"
+        )
+        for g, e in zip(got, expected):
+            assert g["score"] == pytest.approx(e.score, abs=1e-9), (
+                f"{query!r}: score mismatch doc {g['doc_id']}"
+            )
