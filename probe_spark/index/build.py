@@ -540,17 +540,38 @@ class _PartialAcc:
     concurrent workers vs 8 on the same input; this layout removes ~100x
     of the small-object allocations)."""
 
-    def __init__(self, flush_postings: int, sink):
+    def __init__(self, flush_postings: int, sink, n_buckets: int | None = None):
         self.flush_postings = flush_postings
-        self.sink = sink  # callable(pa.RecordBatch)
+        self.sink = sink  # callable(pa.RecordBatch, buckets=None)
+        self.n_buckets = n_buckets
         self.term_ids: dict[tuple[str, str], int] = {}
         self.terms: list[tuple[str, str]] = []
+        self._term_buckets: list = []  # np chunks, parallel to terms
+        self._hashed_terms = 0
         self.code_chunks: list = []
         self.id_chunks: list = []
         self.dl_chunks: list = []
         self.pending = 0
         self.n_docs = 0
         self.total_dl = 0
+
+    def _buckets_through(self) -> "object":
+        """Term->bucket array covering every interned term: new terms since
+        the last flush are hashed ONCE, vectorized (hashing per flush per
+        row was the sink's dominant cost at ~300k distinct terms/task)."""
+        import numpy as np
+
+        from probe_spark.index.xxhash import spark_buckets_vec
+
+        if self._hashed_terms < len(self.terms):
+            new = [t for _, t in self.terms[self._hashed_terms :]]
+            self._term_buckets.append(
+                np.asarray(spark_buckets_vec(new, self.n_buckets), np.int64)
+            )
+            self._hashed_terms = len(self.terms)
+        if len(self._term_buckets) > 1:
+            self._term_buckets = [np.concatenate(self._term_buckets)]
+        return self._term_buckets[0] if self._term_buckets else None
 
     def add(self, ids, dls, kind_cols) -> None:
         """ids/dls: numpy arrays (ids ascending — batches stream in docID
@@ -588,9 +609,16 @@ class _PartialAcc:
             self.dl_chunks.append(np.repeat(dls, lens))
             self.pending += int(len(codes))
         if self.pending >= self.flush_postings:
-            self.sink(self._flush())
+            self._emit()
 
-    def _flush(self) -> pa.RecordBatch:
+    def _emit(self) -> None:
+        batch, buckets = self._flush()
+        if self.n_buckets is not None:
+            self.sink(batch, buckets)
+        else:
+            self.sink(batch)
+
+    def _flush(self) -> "tuple[pa.RecordBatch, object]":
         import numpy as np
 
         from probe_spark.index.codec import _varint_encode_offsets
@@ -640,7 +668,7 @@ class _PartialAcc:
             term_col.append(term)
             docs_col.append(docs_bin[doc_offs[s] : doc_offs[e]])
             dl_col.append(dl_bin[dl_offs[s] : dl_offs[e]])
-        return pa.RecordBatch.from_arrays(
+        batch = pa.RecordBatch.from_arrays(
             [
                 pa.array(kind_col, pa.string()),
                 pa.array(term_col, pa.string()),
@@ -652,13 +680,17 @@ class _PartialAcc:
             ],
             schema=_PARTIALS_ARROW_SCHEMA,
         )
+        buckets = None
+        if self.n_buckets is not None:
+            buckets = self._buckets_through()[codes[starts]]
+        return batch, buckets
 
     def finish(self) -> None:
         """Flush the tail, then emit the per-partition corpus stats row
         (kind=@stats, df_part=n_docs, min_doc=total_dl): the stats phase
         aggregates partials METADATA instead of re-scanning docs dl."""
         if self.code_chunks:
-            self.sink(self._flush())
+            self._emit()
         self.sink(
             pa.RecordBatch.from_arrays(
                 [
@@ -755,19 +787,20 @@ class _BucketShardSink:
             self.writers[bg] = w
         return w
 
-    def write(self, batch: pa.RecordBatch) -> None:
+    def write(self, batch: pa.RecordBatch, buckets=None) -> None:
         import numpy as np
 
         from probe_spark.index.xxhash import spark_buckets_vec
 
-        terms = batch.column("term").to_pylist()
-        buckets = np.asarray(
-            spark_buckets_vec(terms, self.n_buckets), dtype=np.int64
-        )
-        kinds = batch.column("kind").to_pylist()
-        for i, kind in enumerate(kinds):
-            if kind == "@stats":
-                buckets[i] = -1
+        if buckets is None:
+            terms = batch.column("term").to_pylist()
+            buckets = np.asarray(
+                spark_buckets_vec(terms, self.n_buckets), dtype=np.int64
+            )
+            kinds = batch.column("kind").to_pylist()
+            for i, kind in enumerate(kinds):
+                if kind == "@stats":
+                    buckets[i] = -1
         order = np.argsort(buckets, kind="stable")
         sorted_batch = batch.take(pa.array(order))
         sb = buckets[order]
@@ -812,7 +845,7 @@ class _FusedCore:
         self.store_tokens = store_tokens
         self.blank_lines_over = blank_lines_over
         self.sink = _BucketShardSink(partials_dir, task_id, n_buckets)
-        self.acc = _PartialAcc(flush_postings, self.sink.write)
+        self.acc = _PartialAcc(flush_postings, self.sink.write, n_buckets)
         self.next_id = 0
         self.bucket: int | None = None
         self.docs_shard: _ShardWriter | None = None  # schema from 1st batch
