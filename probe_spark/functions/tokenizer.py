@@ -532,22 +532,64 @@ def is_raw_indexable(w: str) -> bool:
 
 @lru_cache(maxsize=1 << 18)
 def _word_special_runs(word: str) -> tuple[str, ...]:
-    """Lowercase alnum runs of one whitespace word, filtered to raw-index-
-    worthy words — memoized (same Zipf argument as _word_candidates)."""
+    """Raw-index lookup keys of one whitespace word, memoized (same Zipf
+    argument as _word_candidates).
+
+    A per-query special term K changes this word's tokenization only where
+    the tokenizer consults the special set, and every such consultation
+    argument is one of:
+
+      * the full lowercase alnum run (``is_special_case`` on the whole word
+        in _full_split_camel_case / split_compound_word on an unsplit word);
+      * a base camel part (``is_special_case`` per part, and
+        split_compound_word's special check whose argument is the part) —
+        this is the camelCase-fragment case: K = 'hashmap' must credit a doc
+        containing 'myHashmapImpl' because G-tokenization keeps the Hashmap
+        part whole (tokenization.rs:1167-1187 via 2651-2764);
+      * a suffix left after stripping known special-case prefixes
+        (oauth2 / _SPECIAL_SORTED recursion in _full_split_camel_case,
+        which re-checks the remaining string against the special set).
+
+    Emitting every such candidate (filtered to is_raw_indexable, the same
+    predicate the query side applies to its lookup keys) makes the raw
+    index a complete affected-doc source: any doc whose tokenization a
+    registered special could change has that special among its raw terms.
+    """
     out: list[str] = []
-    current: list[str] = []
-    for c in word:
-        if c.isalnum():
-            current.append(c)
-        elif current:
-            w = "".join(current).lower()
-            if is_raw_indexable(w):
-                out.append(w)
-            current = []
-    if current:
-        w = "".join(current).lower()
-        if is_raw_indexable(w):
+    seen: set[str] = set()
+
+    def emit(w: str) -> None:
+        if w not in seen and is_raw_indexable(w):
+            seen.add(w)
             out.append(w)
+
+    runs = (
+        _ASCII_ALNUM_RUN.findall(word)
+        if word.isascii()
+        else _alnum_runs(word)
+    )
+    for run in runs:
+        lower = run.lower()
+        emit(lower)
+        parts = split_camel_case(run)
+        if len(parts) != 1 or parts[0] != lower:
+            for p in parts:
+                emit(p)
+        rem = lower
+        stripped = True
+        while stripped:
+            stripped = False
+            if rem.startswith("oauth2") and len(rem) > 6:
+                rem = rem[6:]
+                emit(rem)
+                stripped = True
+                continue
+            for sc in _SPECIAL_SORTED:
+                if rem.startswith(sc) and len(rem) > len(sc):
+                    rem = rem[len(sc):]
+                    emit(rem)
+                    stripped = True
+                    break
     return tuple(out)
 
 

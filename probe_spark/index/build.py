@@ -96,8 +96,12 @@ from probe_spark.runtime import ensure_package_on_executors, warm_python_workers
 # bump when the on-disk layout changes incompatibly (resume across versions
 # must start a fresh directory).  v6: raw index additionally stores
 # repair-affecting words (tokenize(w,{w}) != tokenize(w)) — v5 indexes
-# silently skip special-term repair for those words.
-FORMAT_VERSION = 6
+# silently skip special-term repair for those words.  v7: raw index also
+# stores base camel parts and special-prefix suffixes of each run
+# (_word_special_runs), so specials occurring only as a camelCase fragment
+# of a longer word ('hashmap' in 'myHashmapImpl') source the repair join —
+# v6 indexes silently miss those docs (the round-1 documented deviation).
+FORMAT_VERSION = 7
 
 POSTINGS_SCHEMA = StructType(
     [

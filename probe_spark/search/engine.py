@@ -35,11 +35,14 @@ keyword K matches a doc iff the G-tokenization emits K, which requires
 K == lower(K), K alphanumeric, not a stop word, and K == stem(K) or K an
 exception term; the doc-side occurrences come from (a) the token index when
 the base tokenizer keeps K whole anyway (G-tokenization == base tokenization)
-or (b) the raw-word index for whole-word occurrences when the base would
-split K.  Known deviation (documented): an occurrence of K only as a
-camelCase *fragment* of a longer word, where base splits K, is not credited;
-the oracle (probe_spark/oracle.py) is fully faithful and the rank-identity
-tests pin the agreement on the reference query set.
+or (b) the raw-word index when the base would split K.  The raw index
+stores, per doc, every lookup key a special could consult — full runs,
+base camel parts, and special-prefix suffixes (tokenizer
+_word_special_runs, format v7) — so K occurring only as a camelCase
+*fragment* of a longer word ('hashmap' in 'myHashmapImpl') is credited
+too: the doc enters the repair join and is retokenized with K registered,
+exactly like the reference's global add_special_term.  (Closed round-1
+deviation; pinned by tests/test_special_camel_fragment.py.)
 """
 
 from __future__ import annotations
@@ -846,11 +849,11 @@ class SearchEngine:
                 return self._with_meta(result) if with_metadata else result
 
         # Special terms whose registration changes doc tokenization
-        # (tokenize(w) != tokenize(w, G)): docs containing such a word as a
-        # whole raw word must be re-tokenized with the per-query special set
+        # (tokenize(w) != tokenize(w, G)): docs containing such a term among
+        # their raw lookup keys (full runs, camel parts, prefix suffixes —
+        # format v7) must be re-tokenized with the per-query special set
         # ("repair join") — this reproduces the reference's global
-        # add_special_term effect on TF/dl/DF/avgdl exactly for whole-word
-        # occurrences (camelCase-embedded fragments are the documented gap).
+        # add_special_term effect on TF/dl/DF/avgdl.
         g_set = frozenset(
             p.lookup
             for p in plans.values()
