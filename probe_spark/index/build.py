@@ -585,7 +585,7 @@ class _PartialAcc:
         import pyarrow.compute as pc
 
         self.n_docs += int(len(ids))
-        self.total_dl += int(dls.sum())
+        self.total_dl += int(dls.sum(dtype=np.int64))
         for kind, arr in kind_cols:
             lens = (
                 pc.fill_null(pc.list_value_length(arr), 0)
@@ -595,11 +595,11 @@ class _PartialAcc:
             if lens.sum() == 0:
                 continue
             de = arr.flatten().dictionary_encode()
-            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int32)
             vocab = de.dictionary.to_pylist()
             term_ids = self.term_ids
             terms = self.terms
-            gmap = np.empty(len(vocab), dtype=np.int64)
+            gmap = np.empty(len(vocab), dtype=np.int32)
             for i, t in enumerate(vocab):
                 key = (kind, t)
                 gid = term_ids.get(key)
@@ -662,31 +662,48 @@ class _PartialAcc:
         docs_bin, doc_offs = _varint_encode_offsets(gaps)
         dl_bin, dl_offs = _varint_encode_offsets(dls.astype(np.uint64))
         terms = self.terms
-        kind_col: list[str] = []
-        term_col: list[str] = []
-        docs_col: list[bytes] = []
-        dl_col: list[bytes] = []
-        for s, e in zip(starts, ends):
-            kind, term = terms[codes[s]]
-            kind_col.append(kind)
-            term_col.append(term)
-            docs_col.append(docs_bin[doc_offs[s] : doc_offs[e]])
-            dl_col.append(dl_bin[dl_offs[s] : dl_offs[e]])
+        sel = codes[starts]
+        kt = [terms[c] for c in sel]
+        # each term's payload is a CONTIGUOUS slice of the varint buffer
+        # (terms are sorted, offsets are cumulative), so the binary columns
+        # are built zero-copy from (offsets[boundaries], buffer) instead of
+        # materializing one Python bytes object per term (~300k allocs +
+        # copies per flush — the pack phase's dominant memory traffic)
+        bnd = np.concatenate((starts, [len(codes)]))
+        n_terms = len(starts)
+        docs_arr = pa.Array.from_buffers(
+            pa.binary(),
+            n_terms,
+            [
+                None,
+                pa.py_buffer(doc_offs[bnd].astype(np.int32)),
+                pa.py_buffer(docs_bin),
+            ],
+        )
+        dl_arr = pa.Array.from_buffers(
+            pa.binary(),
+            n_terms,
+            [
+                None,
+                pa.py_buffer(dl_offs[bnd].astype(np.int32)),
+                pa.py_buffer(dl_bin),
+            ],
+        )
         batch = pa.RecordBatch.from_arrays(
             [
-                pa.array(kind_col, pa.string()),
-                pa.array(term_col, pa.string()),
+                pa.array([k for k, _ in kt], pa.string()),
+                pa.array([t for _, t in kt], pa.string()),
                 pa.array(ends - starts, pa.int64()),
                 pa.array(ids[starts], pa.int64()),
                 pa.array(ids[ends - 1], pa.int64()),
-                pa.array(docs_col, pa.binary()),
-                pa.array(dl_col, pa.binary()),
+                docs_arr,
+                dl_arr,
             ],
             schema=_PARTIALS_ARROW_SCHEMA,
         )
         buckets = None
         if self.n_buckets is not None:
-            buckets = self._buckets_through()[codes[starts]]
+            buckets = self._buckets_through()[sel]
         return batch, buckets
 
     def finish(self) -> None:
@@ -850,6 +867,9 @@ class _FusedCore:
         self.blank_lines_over = blank_lines_over
         self.sink = _BucketShardSink(partials_dir, task_id, n_buckets)
         self.acc = _PartialAcc(flush_postings, self.sink.write, n_buckets)
+        self.tt: "dict | None" = (
+            {} if os.environ.get("PROBE_SPARK_TASK_TRACE") else None
+        )
         self.next_id = 0
         self.bucket: int | None = None
         self.docs_shard: _ShardWriter | None = None  # schema from 1st batch
@@ -880,6 +900,8 @@ class _FusedCore:
         n = batch.num_rows
         if n == 0:
             return
+        tt = self.tt  # sub-phase timers, populated only under TASK_TRACE
+        t0 = time.time() if tt is not None else 0.0
         texts = batch.column("text").to_pylist()
         if self.blank_lines_over is not None:
             lim = self.blank_lines_over
@@ -888,11 +910,17 @@ class _FusedCore:
             rank_texts = texts
         tokens = [tokenize(t) if t else [] for t in rank_texts]
         raws = [raw_special_words(t) if t else [] for t in rank_texts]
+        if tt is not None:
+            tt["tok"] = tt.get("tok", 0.0) + time.time() - t0
+            t0 = time.time()
         ids = np.arange(self.next_id, self.next_id + n, dtype=np.int64)
-        dls = np.array([len(ts) for ts in tokens], dtype=np.int64)
+        dls = np.array([len(ts) for ts in tokens], dtype=np.int32)
         tok_arr = pa.array(tokens, pa.list_(pa.string()))
         raw_arr = pa.array(raws, pa.list_(pa.string()))
         self.acc.add(ids, dls, [("tok", tok_arr), ("raw", raw_arr)])
+        if tt is not None:
+            tt["pack"] = tt.get("pack", 0.0) + time.time() - t0
+            t0 = time.time()
         arrays = [
             pa.array(ids),
             batch.column("conv_id"),
@@ -922,6 +950,8 @@ class _FusedCore:
         self.docs_buf_rows += n
         if self.docs_buf_rows >= 1 << 17:  # ~128k rows per row group
             self._flush_docs()
+        if tt is not None:
+            tt["docw"] = tt.get("docw", 0.0) + time.time() - t0
 
     def finish(self) -> tuple[int, int]:
         """Close writers; returns (n_docs, total_dl) for the @stats row."""
@@ -1338,6 +1368,8 @@ def _make_bucket_builder(
         n_docs, total_dl = core.finish()
         tt["finish"] = time.time() - t0
         if trace:
+            if core.tt:
+                tt.update({f"c_{k}": v for k, v in core.tt.items()})
             with open(trace, "a") as f:
                 f.write(
                     f"task={task_id} rows={n_docs} "
