@@ -219,3 +219,53 @@ class TestPrefixConvIds:
         expected_order = sorted((c, t) for c, t, *_ in rows)
         assert [(c, t) for c, t, _ in docs] == expected_order
         assert [d for *_, d in docs] == list(range(len(rows)))
+
+
+class TestKeyEncodingParity:
+    def test_arrow_encoder_matches_scalar(self):
+        """The vectorized Arrow-buffer key encoder (exchange hot path) must
+        emit byte-identical keys to the scalar reference encoder for any
+        null-free input — prefix pairs, empty strings, unicode, negative
+        and extreme turn indexes."""
+        import random
+
+        import pyarrow as pa
+
+        from probe_spark.index.build import _encode_keys, _encode_keys_arrow
+
+        rng = random.Random(7)
+        pool = ["c1", "c10", "c100", "c2", "c", "", "конв", "日本語x",
+                "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"]
+        convs = [rng.choice(pool) for _ in range(500)]
+        turns = [
+            rng.choice([0, 1, -1, 2**31 - 1, -(2**31), rng.randrange(10**6)])
+            for _ in range(500)
+        ]
+        for min_width in (1, 8, 64):
+            got, width = _encode_keys_arrow(
+                pa.array(convs, pa.string()),
+                pa.array(turns, pa.int32()),
+                min_width,
+            )
+            byte_w = max(
+                min_width,
+                max(len(c.encode("utf-8")) for c in convs),
+            )
+            assert width == byte_w
+            want = _encode_keys(convs, turns, width)
+            assert got.tolist() == want.tolist()
+
+    def test_arrow_encoder_large_string_and_slice(self):
+        import pyarrow as pa
+
+        from probe_spark.index.build import _encode_keys, _encode_keys_arrow
+
+        convs = ["c1", "c10", "c2"]
+        turns = [5, 6, 7]
+        arr = pa.array(convs, pa.large_string())
+        got, width = _encode_keys_arrow(arr, pa.array(turns, pa.int32()), 1)
+        assert got.tolist() == _encode_keys(convs, turns, width).tolist()
+        # sliced arrays exercise the offset-aware buffer view
+        big = pa.array(["zzz"] + convs, pa.string()).slice(1, 3)
+        got2, w2 = _encode_keys_arrow(big, pa.array(turns, pa.int32()), 1)
+        assert got2.tolist() == _encode_keys(convs, turns, w2).tolist()
