@@ -609,3 +609,53 @@ def raw_special_words(text: str) -> list[str]:
 
 def raw_special_words_batch(texts):
     return texts.map(lambda t: raw_special_words(t) if t else [])
+
+
+def tokenize_and_raw(text: str) -> tuple[list[str], list[str]]:
+    """``(tokenize(text), raw_special_words(text))`` in ONE whitespace walk.
+
+    The index build calls both on every turn; splitting and iterating the
+    text twice was a measurable share of the fused core at 32-way worker
+    concurrency.  Emission is streamed optimistically: negation (a
+    ``-``-prefixed word anywhere in the text) can suppress tokens emitted
+    from EARLIER words, so on the first such word the token side falls back
+    to the exact two-pass ``tokenize`` while the raw side (which ignores
+    negation) finishes in this walk.  Output parity with the two separate
+    calls is pinned by tests on every fixture text."""
+    seen: set[str] = set()
+    toks: list[str] = []
+    rseen: set[str] = set()
+    raws: list[str] = []
+    add = seen.add
+    append = toks.append
+    radd = rseen.add
+    rappend = raws.append
+    words = text.split()
+    for i, word in enumerate(words):
+        for w in _word_special_runs(word):
+            if w not in rseen:
+                radd(w)
+                rappend(w)
+        if word.isalnum():
+            runs = (word,)
+        elif word.startswith("-"):
+            for later in words[i + 1 :]:
+                for w in _word_special_runs(later):
+                    if w not in rseen:
+                        radd(w)
+                        rappend(w)
+            return tokenize(text), raws
+        elif word.isascii():
+            runs = _ASCII_ALNUM_RUN.findall(word)
+        else:
+            runs = _alnum_runs(word)
+        for token in runs:
+            for _lower, comps in _word_candidates(token):
+                for comp, stemmed, is_exc in comps:
+                    if is_exc and comp not in seen:
+                        add(comp)
+                        append(comp)
+                    if stemmed not in seen:
+                        add(stemmed)
+                        append(stemmed)
+    return toks, raws

@@ -242,6 +242,10 @@ class BuildConfig:
     # (bucket, doc-range group)); bounds task memory AND spreads hot
     # buckets across tasks — the doc-range salting, by construction
     merge_group_bytes: int = 48 << 20
+    # pass-B (fused core) tasks per executor slot: >2 waves so per-task
+    # wall variance (host contention, not data skew — rows are balanced by
+    # construction) averages out instead of one straggler ending each wave
+    build_tasks_per_slot: int = 3
 
 
 def _blank_long_lines(text: str, limit: int) -> str:
@@ -274,7 +278,7 @@ def _make_docs_builder(
         _single_threaded_arrow()
         from pyspark import TaskContext
 
-        from probe_spark.functions.tokenizer import raw_special_words, tokenize
+        from probe_spark.functions.tokenizer import tokenize_and_raw
 
         pid = TaskContext.get().partitionId()
         next_id = offsets.get(pid, 0)
@@ -290,8 +294,9 @@ def _make_docs_builder(
                 ]
             else:
                 texts_r = texts
-            tokens = [tokenize(t) if t else [] for t in texts_r]
-            raws = [raw_special_words(t) if t else [] for t in texts_r]
+            both = [tokenize_and_raw(t) if t else ([], []) for t in texts_r]
+            tokens = [tk for tk, _ in both]
+            raws = [rw for _, rw in both]
             arrays = [
                 pa.array(range(next_id, next_id + n), pa.int64()),
                 batch.column("conv_id"),
@@ -895,7 +900,7 @@ class _FusedCore:
     def process(self, batch: pa.RecordBatch) -> None:
         import numpy as np
 
-        from probe_spark.functions.tokenizer import raw_special_words, tokenize
+        from probe_spark.functions.tokenizer import tokenize_and_raw
 
         n = batch.num_rows
         if n == 0:
@@ -908,8 +913,9 @@ class _FusedCore:
             rank_texts = [_blank_long_lines(t, lim) if t else t for t in texts]
         else:
             rank_texts = texts
-        tokens = [tokenize(t) if t else [] for t in rank_texts]
-        raws = [raw_special_words(t) if t else [] for t in rank_texts]
+        both = [tokenize_and_raw(t) if t else ([], []) for t in rank_texts]
+        tokens = [tk for tk, _ in both]
+        raws = [rw for _, rw in both]
         if tt is not None:
             tt["tok"] = tt.get("tok", 0.0) + time.time() - t0
             t0 = time.time()
@@ -2184,7 +2190,8 @@ class IndexBuilder:
                             spark,
                             plan,
                             "bucket int, files array<string>",
-                            n_tasks=2 * spark.sparkContext.defaultParallelism,
+                            n_tasks=cfg.build_tasks_per_slot
+                            * spark.sparkContext.defaultParallelism,
                         )
                         stat_rows = plan_df.mapInArrow(
                             _make_bucket_builder(

@@ -17,37 +17,55 @@ import numpy as np
 _MASK = np.uint64(0x7F)
 _CONT = np.uint64(0x80)
 
+# byte count per value = searchsorted(_VARINT_THRESH, v, 'right') + 1:
+# v < 2^7 -> 1 byte, < 2^14 -> 2, ... (ceil(bit_length/7), min 1)
+_VARINT_THRESH = (np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64)))
+
 
 def _varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Encode a uint64 array as concatenated LEB128 varints (vectorized).
     Returns (bytes, per-value byte start offsets, length len(values)+1 with
-    the total at the end)."""
-    if len(values) == 0:
+    the total at the end).
+
+    Two structural fast paths (the build's flush is dominated by this
+    function, and posting gaps / doc lengths are overwhelmingly 1-byte):
+    byte counts come from ONE searchsorted pass instead of a shift loop,
+    and the continuation-byte loop runs only over the (typically small)
+    subset of multi-byte values instead of masking the full array."""
+    n = len(values)
+    if n == 0:
         return b"", np.zeros(1, dtype=np.int64)
-    v = values.astype(np.uint64, copy=True)
-    # bytes needed per value: ceil(bit_length / 7), min 1
-    bits = np.zeros(len(v), dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nonzero = tmp > 0
-        if not nonzero.any():
-            break
-        bits[nonzero] += 1
-        tmp >>= np.uint64(7)
-    nbytes = np.maximum(bits, 1)
-    offsets = np.zeros(len(v) + 1, dtype=np.int64)
+    v = values if values.dtype == np.uint64 else values.astype(np.uint64)
+    nbytes = np.searchsorted(_VARINT_THRESH, v, side="right")
+    nbytes += 1
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[0] = 0
     np.cumsum(nbytes, out=offsets[1:])
-    out = np.zeros(offsets[-1], dtype=np.uint8)
-    max_b = int(nbytes.max())
-    shifted = v.copy()
-    for b in range(max_b):
-        active = nbytes > b
-        idx = offsets[:-1][active] + b
-        byte = (shifted[active] & _MASK).astype(np.uint8)
-        more = nbytes[active] > (b + 1)
-        byte = byte | (more.astype(np.uint8) << 7)
-        out[idx] = byte
-        shifted = shifted >> np.uint64(7)
+    total = int(offsets[-1])
+    if total == n:  # every value < 128: the byte stream IS the values
+        return v.astype(np.uint8).tobytes(), offsets
+    out = np.empty(total, dtype=np.uint8)
+    # first byte of every value, continuation bit where more bytes follow
+    more = nbytes > 1
+    first = v.astype(np.uint8)
+    np.bitwise_and(first, 0x7F, out=first)
+    first |= more.astype(np.uint8) << 7
+    out[offsets[:-1]] = first
+    # remaining bytes: iterate byte positions over the multi-byte subset only
+    multi = np.flatnonzero(more)
+    sv = v[multi] >> np.uint64(7)
+    off = offsets[multi] + 1
+    nb = nbytes[multi] - 1  # continuation bytes still to write
+    for b in range(int(nb.max())):
+        if b:
+            live = nb > b
+            sv = sv[live] >> np.uint64(7)
+            off = off[live] + 1
+            nb = nb[live]
+        byte = sv.astype(np.uint8)
+        np.bitwise_and(byte, 0x7F, out=byte)
+        byte |= (nb > (b + 1)).astype(np.uint8) << 7
+        out[off] = byte
     return out.tobytes(), offsets
 
 

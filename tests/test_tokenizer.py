@@ -189,3 +189,60 @@ def test_stem_idempotent_on_lowercase(word):
     # stem(stem(w)) == stem(w) is NOT guaranteed by Porter2 in general,
     # but stemming must be deterministic and never crash
     assert stem(word) == stem(word)
+
+
+class TestTokenizeAndRaw:
+    """tokenize_and_raw must equal (tokenize(t), raw_special_words(t))
+    exactly — the fused build rides it for every turn."""
+
+    CASES = [
+        "Hello world the HashMap getUserName",
+        "run --verbose -force foo-bar can't",
+        "-excluded word then reuse excluded",
+        "- -- -a b",
+        "naïve café русский 日本語 mixedASCIIножка",
+        "oauth2token setupEnableFirewallWhitelist xxHash64",
+        "a.b.c.d x_y_z 0 10 11 12 3.14159",
+        "   ",
+        "-",
+        "repeat repeat REPEAT RePeat",
+    ]
+
+    def test_parity_fixed(self):
+        from probe_spark.functions.tokenizer import (
+            raw_special_words,
+            tokenize,
+            tokenize_and_raw,
+        )
+
+        for t in self.CASES:
+            assert tokenize_and_raw(t) == (tokenize(t), raw_special_words(t)), t
+
+    def test_parity_fixture_corpus(self, spark):
+        from probe_spark.fixtures import transcripts_df
+        from probe_spark.functions.tokenizer import (
+            raw_special_words,
+            tokenize,
+            tokenize_and_raw,
+        )
+
+        texts = [
+            r["text"]
+            for r in transcripts_df(spark, n_convs=300, seed=11).collect()
+            if r["text"]
+        ]
+        assert len(texts) > 1000
+        for t in texts:
+            assert tokenize_and_raw(t) == (tokenize(t), raw_special_words(t))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_tokenize_and_raw_parity_property(text):
+    from probe_spark.functions.tokenizer import (
+        raw_special_words,
+        tokenize,
+        tokenize_and_raw,
+    )
+
+    assert tokenize_and_raw(text) == (tokenize(text), raw_special_words(text))
