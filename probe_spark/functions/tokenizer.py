@@ -611,6 +611,32 @@ def raw_special_words_batch(texts):
     return texts.map(lambda t: raw_special_words(t) if t else [])
 
 
+# word -> (special_runs, flat (comp, stemmed, is_exc) candidates) for
+# NON-negation words: one dict probe per word replaces two lru_cache hits
+# plus the per-word run split.  Plain dict beats lru_cache here (no lock /
+# recency bookkeeping on the build's hottest loop); capped + cleared so a
+# long-lived executor worker can't grow it unboundedly on adversarial
+# vocabulary (real vocabulary is Zipf — the cap is never hit in practice).
+_WORD_RECIPE: dict[str, tuple] = {}
+_WORD_RECIPE_MAX = 1 << 20
+
+
+def _word_recipe(word: str) -> tuple:
+    if word.isalnum():
+        runs = (word,)
+    elif word.isascii():
+        runs = _ASCII_ALNUM_RUN.findall(word)
+    else:
+        runs = _alnum_runs(word)
+    flat = tuple(
+        trip
+        for tok in runs
+        for _lower, comps in _word_candidates(tok)
+        for trip in comps
+    )
+    return (_word_special_runs(word), flat)
+
+
 def tokenize_and_raw(text: str) -> tuple[list[str], list[str]]:
     """``(tokenize(text), raw_special_words(text))`` in ONE whitespace walk.
 
@@ -630,32 +656,35 @@ def tokenize_and_raw(text: str) -> tuple[list[str], list[str]]:
     append = toks.append
     radd = rseen.add
     rappend = raws.append
+    cache = _WORD_RECIPE
+    cache_get = cache.get
     words = text.split()
     for i, word in enumerate(words):
-        for w in _word_special_runs(word):
+        recipe = cache_get(word)
+        if recipe is None:
+            if word[0] == "-" and not word.isalnum():
+                # negation suppresses tokens from EARLIER words too:
+                # finish the raw side, recompute the token side exactly
+                for later in words[i:]:
+                    for w in _word_special_runs(later):
+                        if w not in rseen:
+                            radd(w)
+                            rappend(w)
+                return tokenize(text), raws
+            recipe = _word_recipe(word)
+            if len(cache) >= _WORD_RECIPE_MAX:
+                cache.clear()
+            cache[word] = recipe
+        sruns, flat = recipe
+        for w in sruns:
             if w not in rseen:
                 radd(w)
                 rappend(w)
-        if word.isalnum():
-            runs = (word,)
-        elif word.startswith("-"):
-            for later in words[i + 1 :]:
-                for w in _word_special_runs(later):
-                    if w not in rseen:
-                        radd(w)
-                        rappend(w)
-            return tokenize(text), raws
-        elif word.isascii():
-            runs = _ASCII_ALNUM_RUN.findall(word)
-        else:
-            runs = _alnum_runs(word)
-        for token in runs:
-            for _lower, comps in _word_candidates(token):
-                for comp, stemmed, is_exc in comps:
-                    if is_exc and comp not in seen:
-                        add(comp)
-                        append(comp)
-                    if stemmed not in seen:
-                        add(stemmed)
-                        append(stemmed)
+        for comp, stemmed, is_exc in flat:
+            if is_exc and comp not in seen:
+                add(comp)
+                append(comp)
+            if stemmed not in seen:
+                add(stemmed)
+                append(stemmed)
     return toks, raws
