@@ -503,6 +503,32 @@ def _q_audio_meta(spark, sf_dir):
     )
 
 
+def _q_video_frames(spark, sf_dir):
+    """Row-expanding multimodal path (ops/multimodal.frame_sample): one
+    video -> n_frames feature rows via mapInPandas.  The strided-slice +
+    mean-pool fold is f32-integer-exact (byte values <= 255, sums < 2^24),
+    so the DuckDB oracle recomputes it from the payload's hex pairs and
+    mirrors the final float32 division with CAST(... AS REAL); posexplode
+    canonicalizes the array column for the driver's comparator."""
+    from probe_spark.ops import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("sample_id"),
+        F.encode(F.col("text"), "UTF-8").alias("video"),
+    )
+    out = multimodal.frame_sample(docs, n_frames=4, feat_dim=8)
+    return out.select(
+        "sample_id",
+        "frame_idx",
+        F.posexplode("frame_feature").alias("feat_idx", "_v"),
+    ).select(
+        "sample_id",
+        "frame_idx",
+        "feat_idx",
+        F.round(F.col("_v").cast("double"), 6).alias("v"),
+    )
+
+
 QUERIES = {
     "bm25_or": _q_bm25_or,
     "bm25_and": _q_bm25_and,
@@ -534,6 +560,7 @@ QUERIES = {
     "image_meta": _q_image_meta,
     "image_resize": _q_image_resize,
     "audio_meta": _q_audio_meta,
+    "video_frames": _q_video_frames,
     "session_page2": _q_session_page2,
     "merged_turns": _q_merged_turns,
     "lang_scan": _q_lang_scan,
@@ -975,6 +1002,51 @@ SELECT doc_id AS sample_id, nb AS n_bytes, 0.0 AS duration_ms, 0.0 AS rms,
 FROM b WHERE nb < 2
 """
 
+# video_frames: mirror of ops/multimodal.frame_sample's deterministic fake.
+# sl = bytes at 0-based positions f, f+4, ... (hex pairs, 1-based k = f+1,
+# f+5, ...); pad with zeros to a multiple of 8; feature j = column-j mean.
+# Byte sums are integer-exact in f32 (< 2^24), so only the final division
+# needs the float32 mirror: CAST(exact_double_quotient AS REAL)
+_VIDEO_FRAMES_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+), codes AS (
+  SELECT doc_id, nb,
+         [CAST(concat('0x', substring(hx, 2*k-1, 2)) AS INT)
+          for k in range(1, nb + 1)] AS cs
+  FROM b
+), frames AS (
+  SELECT doc_id, CAST(f AS INT) AS f,
+         [cs[k] for k in range(f + 1, nb + 1, 4)] AS sl
+  FROM codes, (SELECT unnest(range(0, 4)) AS f) fr
+), sized AS (
+  SELECT doc_id, f,
+         CASE WHEN len(sl) = 0 THEN 1
+              ELSE CAST(ceil(len(sl) / 8.0) AS INT) END AS nrows,
+         CASE WHEN len(sl) = 0
+              THEN [0, 0, 0, 0, 0, 0, 0, 0]
+              ELSE sl || [0 for _x in
+                   range(1, CAST(ceil(len(sl) / 8.0) AS INT) * 8
+                            - len(sl) + 1)]
+         END AS slp
+  FROM frames
+), flat AS (
+  SELECT doc_id, f, nrows,
+         unnest(slp) AS v,
+         unnest(range(1, len(slp) + 1)) AS k
+  FROM sized
+)
+SELECT doc_id AS sample_id, f AS frame_idx,
+       CAST((k - 1) % 8 AS INT) AS feat_idx,
+       ROUND(CAST(CAST(SUM(v) AS DOUBLE) / ANY_VALUE(nrows) AS REAL)::DOUBLE,
+             6) AS v
+FROM flat
+GROUP BY doc_id, f, (k - 1) % 8
+"""
+
 _IMAGE_META_ORACLE = """
 WITH b AS (
   SELECT doc_id, text, hex(encode(text)) AS hx,
@@ -1152,6 +1224,7 @@ FROM events GROUP BY 1, 2
     "image_meta": _IMAGE_META_ORACLE,
     "image_resize": _IMAGE_RESIZE_ORACLE,
     "audio_meta": _AUDIO_META_ORACLE,
+    "video_frames": _VIDEO_FRAMES_ORACLE,
     "session_page2": _SESSION_PAGE2_ORACLE.format(
         c_hash=_contrib("hash"), c_join=_contrib("join")
     ),
