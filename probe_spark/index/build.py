@@ -163,6 +163,12 @@ PARTIALS_SCHEMA = StructType(
         StructField("max_doc", LongType(), False),
         StructField("docs_bin", BinaryType(), False),
         StructField("dl_bin", BinaryType(), False),
+        # per-chunk block metadata (same layout as final segments): lets
+        # the merge splice chunks byte-wise instead of decode+re-encode
+        StructField("block_last", ArrayType(LongType(), False), False),
+        StructField("block_min_dl", ArrayType(IntegerType(), False), False),
+        StructField("block_doc_off", ArrayType(LongType(), False), False),
+        StructField("block_dl_off", ArrayType(LongType(), False), False),
     ]
 )
 
@@ -175,6 +181,10 @@ _PARTIALS_ARROW_SCHEMA = pa.schema(
         pa.field("max_doc", pa.int64(), False),
         pa.field("docs_bin", pa.binary(), False),
         pa.field("dl_bin", pa.binary(), False),
+        pa.field("block_last", pa.list_(pa.int64()), False),
+        pa.field("block_min_dl", pa.list_(pa.int32()), False),
+        pa.field("block_doc_off", pa.list_(pa.int64()), False),
+        pa.field("block_dl_off", pa.list_(pa.int64()), False),
     ]
 )
 
@@ -360,20 +370,34 @@ def _routing_reps(n_parts: int) -> list[int]:
 
 
 def _one_row_per_partition(
-    spark: SparkSession, rows: list, schema: str, n_tasks: int | None = None
+    spark: SparkSession,
+    rows: list,
+    schema: str,
+    n_tasks: int | None = None,
+    contiguous: bool = False,
 ):
-    """Spread driver-planned task rows round-robin over exactly
-    ``n_tasks`` partitions (default: one row per partition).
-    ``repartition(len(rows))`` hash-routes and collides (balls-in-bins:
-    with 32 rows into 32 partitions the fullest task gets ~3 rows while
-    others idle — measured as the merge/build stage taking ~3x one task's
-    time at full concurrency).  Routing row i via the murmur3
-    representative of (i % n_tasks) makes the assignment exact, and keeps
-    each partition's rows in ascending plan order."""
+    """Spread driver-planned task rows over exactly ``n_tasks`` partitions
+    (default: one row per partition).  ``repartition(len(rows))``
+    hash-routes and collides (balls-in-bins: with 32 rows into 32
+    partitions the fullest task gets ~3 rows while others idle — measured
+    as the merge/build stage taking ~3x one task's time at full
+    concurrency).  Routing row i via a murmur3 representative makes the
+    assignment exact, and keeps each partition's rows in ascending plan
+    order.
+
+    ``contiguous=True`` assigns row i -> task i*n_tasks//len(rows)
+    (balanced contiguous runs) instead of round-robin: the fused pass-B
+    plan needs each task to own a CONTIGUOUS docID range so that, per
+    term, level-0 partial chunks across tasks are range-disjoint — the
+    invariant the splice merge's byte concatenation rests on."""
     n_tasks = min(len(rows), n_tasks or len(rows))
     reps = _routing_reps(n_tasks)
+    if contiguous:
+        assign = [i * n_tasks // len(rows) for i in range(len(rows))]
+    else:
+        assign = [i % n_tasks for i in range(len(rows))]
     df = spark.createDataFrame(
-        [(reps[i % n_tasks], *r) for i, r in enumerate(rows)],
+        [(reps[a], *r) for a, r in zip(assign, rows)],
         "_route int, " + schema,
     )
     return df.repartition(n_tasks, F.col("_route")).drop("_route")
@@ -549,10 +573,17 @@ class _PartialAcc:
     concurrent workers vs 8 on the same input; this layout removes ~100x
     of the small-object allocations)."""
 
-    def __init__(self, flush_postings: int, sink, n_buckets: int | None = None):
+    def __init__(
+        self,
+        flush_postings: int,
+        sink,
+        n_buckets: int | None = None,
+        block_size: int = 128,
+    ):
         self.flush_postings = flush_postings
         self.sink = sink  # callable(pa.RecordBatch, buckets=None)
         self.n_buckets = n_buckets
+        self.block_size = block_size
         self.term_ids: dict[tuple[str, str], int] = {}
         self.terms: list[tuple[str, str]] = []
         self._term_buckets: list = []  # np chunks, parallel to terms
@@ -676,6 +707,29 @@ class _PartialAcc:
         # copies per flush — the pack phase's dominant memory traffic)
         bnd = np.concatenate((starts, [len(codes)]))
         n_terms = len(starts)
+        # per-term block metadata, all-vectorized: term runs are contiguous
+        # in the flush buffer, so one global reduceat/fancy-index pass
+        # covers every block of every term.  Emitting it here is what lets
+        # the merge splice chunks byte-wise (codec.splice_chunks) instead
+        # of decoding + re-encoding every posting.
+        Bsz = self.block_size
+        counts = ends - starts
+        nb = (counts + Bsz - 1) // Bsz
+        bcum = np.concatenate(([0], np.cumsum(nb)))
+        total_b = int(bcum[-1])
+        rep_tstart = np.repeat(starts, nb)
+        intra = np.arange(total_b, dtype=np.int64) - np.repeat(bcum[:-1], nb)
+        bstarts = rep_tstart + intra * Bsz
+        bends = np.minimum(bstarts + Bsz, np.repeat(ends, nb))
+        block_last_v = ids[bends - 1]
+        block_min_dl_v = np.minimum.reduceat(dls, bstarts).astype(np.int32)
+        block_doc_off_v = doc_offs[bstarts] - doc_offs[rep_tstart]
+        block_dl_off_v = dl_offs[bstarts] - dl_offs[rep_tstart]
+        boff = pa.array(bcum.astype(np.int32))
+
+        def _blist(vals: "np.ndarray", typ) -> pa.Array:
+            return pa.ListArray.from_arrays(boff, pa.array(vals, typ))
+
         docs_arr = pa.Array.from_buffers(
             pa.binary(),
             n_terms,
@@ -703,6 +757,10 @@ class _PartialAcc:
                 pa.array(ids[ends - 1], pa.int64()),
                 docs_arr,
                 dl_arr,
+                _blist(block_last_v, pa.int64()),
+                _blist(block_min_dl_v, pa.int32()),
+                _blist(block_doc_off_v, pa.int64()),
+                _blist(block_dl_off_v, pa.int64()),
             ],
             schema=_PARTIALS_ARROW_SCHEMA,
         )
@@ -727,20 +785,24 @@ class _PartialAcc:
                     pa.array([0], pa.int64()),
                     pa.array([b""], pa.binary()),
                     pa.array([b""], pa.binary()),
+                    pa.array([[]], pa.list_(pa.int64())),
+                    pa.array([[]], pa.list_(pa.int32())),
+                    pa.array([[]], pa.list_(pa.int64())),
+                    pa.array([[]], pa.list_(pa.int64())),
                 ],
                 schema=_PARTIALS_ARROW_SCHEMA,
             )
         )
 
 
-def _make_partial_builder(flush_postings: int):
+def _make_partial_builder(flush_postings: int, block_size: int = 128):
     """mapInArrow generator: (doc_id, dl, tokens, raws) batches ->
     PARTIALS_SCHEMA rows (two-pass layout; the streaming delta path)."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _single_threaded_arrow()
         out: list[pa.RecordBatch] = []
-        acc = _PartialAcc(flush_postings, out.append)
+        acc = _PartialAcc(flush_postings, out.append, block_size=block_size)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -866,12 +928,15 @@ class _FusedCore:
         store_tokens: bool,
         n_buckets: int,
         blank_lines_over: "int | None" = None,
+        block_size: int = 128,
     ):
         self.docs_dir = docs_dir
         self.store_tokens = store_tokens
         self.blank_lines_over = blank_lines_over
         self.sink = _BucketShardSink(partials_dir, task_id, n_buckets)
-        self.acc = _PartialAcc(flush_postings, self.sink.write, n_buckets)
+        self.acc = _PartialAcc(
+            flush_postings, self.sink.write, n_buckets, block_size
+        )
         self.tt: "dict | None" = (
             {} if os.environ.get("PROBE_SPARK_TASK_TRACE") else None
         )
@@ -981,6 +1046,10 @@ def _stats_batch(n_docs: int, total_dl: int, shard: int) -> pa.RecordBatch:
             pa.array([shard], pa.int64()),
             pa.array([b""], pa.binary()),
             pa.array([b""], pa.binary()),
+            pa.array([[]], pa.list_(pa.int64())),
+            pa.array([[]], pa.list_(pa.int32())),
+            pa.array([[]], pa.list_(pa.int64())),
+            pa.array([[]], pa.list_(pa.int64())),
         ],
         schema=_PARTIALS_ARROW_SCHEMA,
     )
@@ -1362,6 +1431,7 @@ def _make_bucket_builder(
     store_tokens: bool,
     n_buckets: int,
     blank_lines_over: "int | None" = None,
+    block_size: int = 128,
 ):
     """Pass B of the file-based doc exchange: plan rows (bucket, files),
     several buckets per task.  Each bucket's IPC shards are read directly
@@ -1388,7 +1458,7 @@ def _make_bucket_builder(
         rows.sort(key=lambda r: int(r["bucket"]))  # ascending docID order
         core = _FusedCore(
             task_id, docs_dir, partials_dir, flush_postings, store_tokens,
-            n_buckets, blank_lines_over,
+            n_buckets, blank_lines_over, block_size,
         )
         tt = {"read": 0.0, "sort": 0.0, "core": 0.0}
         for row in rows:
@@ -1598,13 +1668,29 @@ _SEG_FILE_SCHEMA = pa.schema(
 def _make_file_merger(block_size: int, max_seg: int, out_dir: str):
     """mapInArrow generator over MERGE-PLAN rows (bucket, salt, n_salts,
     files): each row names the level-0 shard files of one bucket's
-    doc-range group.  The task reads those files directly with pyarrow,
-    concatenates + sorts each (kind, term)'s chunks, emits final segments
-    hard-capped at ``max_seg`` postings into kind=/bucket=/ dirs, and
-    yields only per-segment metadata.  NO SHUFFLE anywhere: the packed
-    postings move exactly once, file -> file, and skew is handled by the
-    driver's size-based range grouping (a hot term's postings are split
-    across groups by construction)."""
+    doc-range group.  The task reads those files directly with pyarrow and
+    merges each (kind, term)'s chunks into final segments hard-capped at
+    ``max_seg`` postings, yielding only per-segment metadata.
+
+    FAST PATH (the default): per term, the level-0 chunks are doc-range
+    DISJOINT and min_doc-ascending — pass-B tasks own contiguous docID
+    ranges (_one_row_per_partition(contiguous=True)) and stream ids
+    ascending within a task — so segments are assembled by BYTE SPLICING
+    the already-encoded varint streams (codec.splice_chunks): one leading
+    varint rewritten per chunk boundary, block metadata concatenated with
+    offset shifts.  The decode+sort+re-encode this replaces was the merge
+    phase's memory-bandwidth wall (at local[32] the same work took 4x the
+    task-seconds of local[8] — saturated memory system), and postings now
+    move once as ~1.3 B/posting encoded bytes instead of 2x16 B/posting
+    decoded int64 traffic.
+
+    FALLBACK (legacy partials without block metadata, or a term whose
+    chunk ranges overlap): decode, concatenate, sort, re-encode — the
+    original path, kept for resume-across-format and safety.
+
+    NO SHUFFLE anywhere: the packed postings move exactly once, file ->
+    file; skew is handled by the driver's size-based range grouping (a hot
+    term's postings are split across groups by construction)."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _single_threaded_arrow()
@@ -1614,7 +1700,13 @@ def _make_file_merger(block_size: int, max_seg: int, out_dir: str):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        from probe_spark.index.codec import encode_postings, varint_decode
+        from probe_spark.index.codec import (
+            EncodedChunk,
+            encode_postings,
+            splice_chunks,
+            split_encoded_chunk,
+            varint_decode,
+        )
 
         meta: dict[str, list] = {f.name: [] for f in _SEG_META_ARROW_SCHEMA}
 
@@ -1627,38 +1719,72 @@ def _make_file_merger(block_size: int, max_seg: int, out_dir: str):
                 v.clear()
             return batch
 
+        def _flat(col):
+            return (
+                pa.concat_arrays(col.chunks)
+                if isinstance(col, pa.ChunkedArray)
+                else col
+            )
+
+        def _bin_view(col):
+            """(offsets int32 np, data memoryview) of a binary column —
+            chunk bytes slice zero-copy as data[offs[i]:offs[i+1]]."""
+            arr = _flat(col)
+            o = arr.offset
+            offs = np.frombuffer(arr.buffers()[1], np.int32)[o : o + len(arr) + 1]
+            return offs, memoryview(arr.buffers()[2])
+
+        def _list_view(col, dtype):
+            arr = _flat(col)
+            return (
+                arr.offsets.to_numpy(zero_copy_only=False),
+                arr.values.to_numpy(zero_copy_only=False).astype(dtype, copy=False),
+            )
+
         for batch in batches:
             for row in batch.to_pylist():
                 bucket = int(row["bucket"])
                 salt = int(row["salt"])
                 n_salts = int(row["n_salts"])
                 files = list(row["files"])
-                tables = [
-                    pq.read_table(
-                        f,
-                        columns=[
-                            "kind", "term", "min_doc", "docs_bin", "dl_bin",
-                        ],
-                    )
-                    for f in files
+                legacy = "block_last" not in pq.read_schema(files[0]).names
+                cols = [
+                    "kind", "term", "df_part", "min_doc", "max_doc",
+                    "docs_bin", "dl_bin",
                 ]
-                t = pa.concat_tables(tables)
+                if not legacy:
+                    cols += [
+                        "block_last", "block_min_dl",
+                        "block_doc_off", "block_dl_off",
+                    ]
+                t = pa.concat_tables(
+                    [pq.read_table(f, columns=cols) for f in files]
+                )
                 if t.num_rows == 0:
                     continue
-                t = t.take(
-                    pc.sort_indices(
-                        t,
-                        sort_keys=[
-                            ("kind", "ascending"),
-                            ("term", "ascending"),
-                            ("min_doc", "ascending"),
-                        ],
-                    )
-                )
+                # sort INDICES over the key columns only — permuting the
+                # table would copy every binary payload once for nothing
+                order = pc.sort_indices(
+                    t.select(["kind", "term", "min_doc"]),
+                    sort_keys=[
+                        ("kind", "ascending"),
+                        ("term", "ascending"),
+                        ("min_doc", "ascending"),
+                    ],
+                ).to_numpy(zero_copy_only=False)
                 kinds = t.column("kind").to_pylist()
                 terms = t.column("term").to_pylist()
-                docs_bins = t.column("docs_bin").to_pylist()
-                dl_bins = t.column("dl_bin").to_pylist()
+                min_docs = _flat(t.column("min_doc")).to_numpy(zero_copy_only=False)
+                max_docs = _flat(t.column("max_doc")).to_numpy(zero_copy_only=False)
+                dfs = _flat(t.column("df_part")).to_numpy(zero_copy_only=False)
+                d_offs, d_buf = _bin_view(t.column("docs_bin"))
+                l_offs, l_buf = _bin_view(t.column("dl_bin"))
+                if not legacy:
+                    bl_off, bl_v = _list_view(t.column("block_last"), np.int64)
+                    bm_off, bm_v = _list_view(t.column("block_min_dl"), np.int32)
+                    bd_off, bd_v = _list_view(t.column("block_doc_off"), np.int64)
+                    bo_off, bo_v = _list_view(t.column("block_dl_off"), np.int64)
+
                 writers: dict[str, tuple[_ShardWriter, dict]] = {}
 
                 def _writer(kind: str):
@@ -1677,74 +1803,141 @@ def _make_file_merger(block_size: int, max_seg: int, out_dir: str):
                         writers[kind] = ent
                     return ent
 
-                def emit(kind: str, term: str, idc: list, dlc: list) -> None:
-                    ids = np.concatenate(idc)
-                    dls = np.concatenate(dlc)
-                    order = np.argsort(ids, kind="stable")
-                    ids = ids[order]
-                    dls = dls[order]
-                    w, cols = _writer(kind)
-                    for seg_seq, s in enumerate(range(0, len(ids), max_seg)):
-                        d = ids[s : s + max_seg]
-                        l = dls[s : s + max_seg]
-                        (
-                            docs_bin, dl_bin, block_last, block_min_dl,
-                            block_doc_off, block_dl_off,
-                        ) = encode_postings(d, l, block=block_size)
-                        cols["term"].append(term)
-                        cols["salt"].append(salt)
-                        cols["seg_seq"].append(seg_seq)
-                        cols["n_salts"].append(n_salts)
-                        cols["df_seg"].append(len(d))
-                        cols["min_doc"].append(int(d[0]))
-                        cols["max_doc"].append(int(d[-1]))
-                        cols["docs_bin"].append(docs_bin)
-                        cols["dl_bin"].append(dl_bin)
-                        cols["block_last_doc"].append(block_last.tolist())
-                        cols["block_min_dl"].append(block_min_dl.tolist())
-                        cols["block_doc_off"].append(block_doc_off.tolist())
-                        cols["block_dl_off"].append(block_dl_off.tolist())
-                        cols["seg_bytes"].append(len(docs_bin) + len(dl_bin))
-                        cols["seg_crc"].append(zlib.crc32(docs_bin))
-                        meta["kind"].append(kind)
-                        meta["bucket"].append(bucket)
-                        meta["term"].append(term)
-                        meta["df_seg"].append(len(d))
-                        meta["seg_bytes"].append(len(docs_bin) + len(dl_bin))
-                        meta["seg_crc"].append(zlib.crc32(docs_bin))
-                    if len(cols["term"]) >= 256:
+                def emit_seg(kind: str, term: str, c, seg_seq: int) -> None:
+                    docs_bin = bytes(c.docs)
+                    dl_bin = bytes(c.dls)
+                    w, out_cols = _writer(kind)
+                    out_cols["term"].append(term)
+                    out_cols["salt"].append(salt)
+                    out_cols["seg_seq"].append(seg_seq)
+                    out_cols["n_salts"].append(n_salts)
+                    out_cols["df_seg"].append(c.df)
+                    out_cols["min_doc"].append(c.min_doc)
+                    out_cols["max_doc"].append(c.max_doc)
+                    out_cols["docs_bin"].append(docs_bin)
+                    out_cols["dl_bin"].append(dl_bin)
+                    out_cols["block_last_doc"].append(c.block_last.tolist())
+                    out_cols["block_min_dl"].append(c.block_min_dl.tolist())
+                    out_cols["block_doc_off"].append(c.block_doc_off.tolist())
+                    out_cols["block_dl_off"].append(c.block_dl_off.tolist())
+                    out_cols["seg_bytes"].append(len(docs_bin) + len(dl_bin))
+                    out_cols["seg_crc"].append(zlib.crc32(docs_bin))
+                    meta["kind"].append(kind)
+                    meta["bucket"].append(bucket)
+                    meta["term"].append(term)
+                    meta["df_seg"].append(c.df)
+                    meta["seg_bytes"].append(len(docs_bin) + len(dl_bin))
+                    meta["seg_crc"].append(zlib.crc32(docs_bin))
+                    if len(out_cols["term"]) >= 256:
                         w.write(
                             pa.RecordBatch.from_arrays(
                                 [
-                                    pa.array(cols[f.name], f.type)
+                                    pa.array(out_cols[f.name], f.type)
                                     for f in _SEG_FILE_SCHEMA
                                 ],
                                 schema=_SEG_FILE_SCHEMA,
                             )
                         )
-                        for v in cols.values():
+                        for v in out_cols.values():
                             v.clear()
 
-                cur: tuple[str, str] | None = None
-                idc: list = []
-                dlc: list = []
-                for i in range(t.num_rows):
-                    key = (kinds[i], terms[i])
-                    if cur is not None and key != cur:
-                        emit(cur[0], cur[1], idc, dlc)
-                        idc, dlc = [], []
-                    cur = key
-                    gaps = varint_decode(docs_bins[i])
-                    idc.append(np.cumsum(gaps.astype(np.int64)))
-                    dlc.append(varint_decode(dl_bins[i]).astype(np.int64))
-                if cur is not None:
-                    emit(cur[0], cur[1], idc, dlc)
-                for w, cols in writers.values():
-                    if cols["term"]:
+                def chunk_of(i: int) -> "EncodedChunk":
+                    return EncodedChunk(
+                        dfs[i], min_docs[i], max_docs[i],
+                        d_buf[d_offs[i] : d_offs[i + 1]],
+                        l_buf[l_offs[i] : l_offs[i + 1]],
+                        bl_v[bl_off[i] : bl_off[i + 1]],
+                        bm_v[bm_off[i] : bm_off[i + 1]],
+                        bd_v[bd_off[i] : bd_off[i + 1]],
+                        bo_v[bo_off[i] : bo_off[i + 1]],
+                    )
+
+                def emit_decoded(kind, term, rows_idx) -> None:
+                    """Fallback: decode + sort + re-encode (legacy partials
+                    or overlapping chunk ranges)."""
+                    idc = []
+                    dlc = []
+                    for i in rows_idx:
+                        gaps = varint_decode(bytes(d_buf[d_offs[i] : d_offs[i + 1]]))
+                        idc.append(np.cumsum(gaps.astype(np.int64)))
+                        dlc.append(
+                            varint_decode(
+                                bytes(l_buf[l_offs[i] : l_offs[i + 1]])
+                            ).astype(np.int64)
+                        )
+                    ids = np.concatenate(idc)
+                    dls = np.concatenate(dlc)
+                    o = np.argsort(ids, kind="stable")
+                    ids = ids[o]
+                    dls = dls[o]
+                    for seg_seq, s in enumerate(range(0, len(ids), max_seg)):
+                        d = ids[s : s + max_seg]
+                        l = dls[s : s + max_seg]
+                        (
+                            docs_bin, dl_bin, blast, bmin,
+                            bdoc, bdl,
+                        ) = encode_postings(d, l, block=block_size)
+                        emit_seg(
+                            kind, term,
+                            EncodedChunk(
+                                len(d), int(d[0]), int(d[-1]),
+                                docs_bin, dl_bin, blast, bmin, bdoc, bdl,
+                            ),
+                            seg_seq,
+                        )
+
+                n = len(order)
+                i = 0
+                while i < n:
+                    ii = int(order[i])
+                    key = (kinds[ii], terms[ii])
+                    j = i
+                    while j < n and (
+                        kinds[int(order[j])], terms[int(order[j])]
+                    ) == key:
+                        j += 1
+                    rows_idx = [int(x) for x in order[i:j]]
+                    i = j
+                    kind, term = key
+                    if legacy or (
+                        len(rows_idx) > 1
+                        and bool(
+                            np.any(
+                                min_docs[rows_idx][1:]
+                                <= max_docs[rows_idx][:-1]
+                            )
+                        )
+                    ):
+                        emit_decoded(kind, term, rows_idx)
+                        continue
+                    pieces: list = []
+                    for ri in rows_idx:
+                        c = chunk_of(ri)
+                        if c.df > max_seg:
+                            pieces.extend(
+                                split_encoded_chunk(c, max_seg, block_size)
+                            )
+                        else:
+                            pieces.append(c)
+                    seg_seq = 0
+                    group: list = []
+                    gdf = 0
+                    for c in pieces:
+                        if group and gdf + c.df > max_seg:
+                            emit_seg(kind, term, splice_chunks(group), seg_seq)
+                            seg_seq += 1
+                            group, gdf = [], 0
+                        group.append(c)
+                        gdf += c.df
+                    if group:
+                        emit_seg(kind, term, splice_chunks(group), seg_seq)
+
+                for w, out_cols in writers.values():
+                    if out_cols["term"]:
                         w.write(
                             pa.RecordBatch.from_arrays(
                                 [
-                                    pa.array(cols[f.name], f.type)
+                                    pa.array(out_cols[f.name], f.type)
                                     for f in _SEG_FILE_SCHEMA
                                 ],
                                 schema=_SEG_FILE_SCHEMA,
@@ -2185,6 +2378,13 @@ class IndexBuilder:
                             )
                             if files:
                                 plan.append((b, files))
+                    # NUMERIC bucket order: contiguous task assignment
+                    # below hands each task a contiguous docID range only
+                    # if the plan itself ascends by bucket (os.listdir's
+                    # string sort puts b=10 before b=2, which scrambled
+                    # ranges across tasks and made per-term chunk ranges
+                    # overlap — defeating the splice merge for hot terms)
+                    plan.sort(key=lambda r: r[0])
                     if plan:
                         plan_df = _one_row_per_partition(
                             spark,
@@ -2192,6 +2392,9 @@ class IndexBuilder:
                             "bucket int, files array<string>",
                             n_tasks=cfg.build_tasks_per_slot
                             * spark.sparkContext.defaultParallelism,
+                            # contiguous docID range per task: the splice
+                            # merge's per-term chunk disjointness invariant
+                            contiguous=True,
                         )
                         stat_rows = plan_df.mapInArrow(
                             _make_bucket_builder(
@@ -2202,6 +2405,7 @@ class IndexBuilder:
                                 cfg.store_tokens,
                                 cfg.n_buckets,
                                 cfg.blank_lines_over,
+                                cfg.block_size,
                             ),
                             PARTIALS_SCHEMA,
                         ).collect()
@@ -2242,7 +2446,9 @@ class IndexBuilder:
                     (
                         docs.select("doc_id", "dl", "tokens", "raws")
                         .mapInArrow(
-                            _make_partial_builder(cfg.partial_flush_postings),
+                            _make_partial_builder(
+                                cfg.partial_flush_postings, cfg.block_size
+                            ),
                             PARTIALS_SCHEMA,
                         )
                         .write.mode("overwrite")

@@ -176,6 +176,159 @@ def decode_blocks(
     return np.concatenate(ids_parts), np.concatenate(dl_parts)
 
 
+def varint_read_first(buf) -> tuple[int, int]:
+    """Parse the leading LEB128 varint of ``buf`` -> (value, byte length)."""
+    v = 0
+    shift = 0
+    i = 0
+    while True:
+        b = buf[i]
+        v |= (b & 0x7F) << shift
+        i += 1
+        if not (b & 0x80):
+            return v, i
+        shift += 7
+
+
+def varint_encode_one(v: int) -> bytes:
+    """Encode one non-negative int as a LEB128 varint."""
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+class EncodedChunk:
+    """One already-encoded posting run of a single term: varint gap stream
+    whose FIRST varint is the ABSOLUTE first doc id, a parallel raw-varint
+    dl stream, and per-block metadata (exactly what ``encode_postings``
+    emits).  The merge composes these by byte splicing — see
+    ``split_encoded_chunk`` / ``splice_chunks``."""
+
+    __slots__ = (
+        "df", "min_doc", "max_doc", "docs", "dls",
+        "block_last", "block_min_dl", "block_doc_off", "block_dl_off",
+    )
+
+    def __init__(
+        self, df, min_doc, max_doc, docs, dls,
+        block_last, block_min_dl, block_doc_off, block_dl_off,
+    ):
+        self.df = int(df)
+        self.min_doc = int(min_doc)
+        self.max_doc = int(max_doc)
+        self.docs = docs  # bytes-like (memoryview ok)
+        self.dls = dls
+        self.block_last = np.asarray(block_last, dtype=np.int64)
+        self.block_min_dl = np.asarray(block_min_dl, dtype=np.int32)
+        self.block_doc_off = np.asarray(block_doc_off, dtype=np.int64)
+        self.block_dl_off = np.asarray(block_dl_off, dtype=np.int64)
+
+
+def split_encoded_chunk(
+    c: EncodedChunk, max_seg: int, block: int
+) -> list[EncodedChunk]:
+    """Split an oversized chunk into <= max_seg pieces at BLOCK boundaries
+    without decoding postings: a block's delta stream is self-contained
+    given the previous block's last doc (encode_postings invariant), so a
+    piece starting at block s only needs its first varint rewritten from
+    gap-relative-to-block_last[s-1] to the absolute doc id.  Chunks carry
+    uniform ``block``-sized blocks except the tail (the _flush layout), so
+    piece sizes are exact from arithmetic."""
+    if c.df <= max_seg:
+        return [c]
+    nb = len(c.block_last)
+    per = max(1, max_seg // block)  # whole blocks per piece
+    docs = memoryview(c.docs)
+    dls = memoryview(c.dls)
+    out: list[EncodedChunk] = []
+    for s in range(0, nb, per):
+        e = min(s + per, nb)
+        d_lo = int(c.block_doc_off[s])
+        d_hi = int(c.block_doc_off[e]) if e < nb else len(docs)
+        l_lo = int(c.block_dl_off[s])
+        l_hi = int(c.block_dl_off[e]) if e < nb else len(dls)
+        piece_docs = docs[d_lo:d_hi]
+        doc_off = c.block_doc_off[s:e] - d_lo
+        if s == 0:
+            first_doc = c.min_doc
+            body = piece_docs
+        else:
+            gap, flen = varint_read_first(piece_docs)
+            first_doc = int(c.block_last[s - 1]) + gap
+            enc = varint_encode_one(first_doc)
+            body = bytes(enc) + bytes(piece_docs[flen:])
+            delta = len(enc) - flen
+            doc_off = doc_off.copy()
+            doc_off[1:] += delta
+        df = (e - s - 1) * block + (
+            c.df - (nb - 1) * block if e == nb else block
+        )
+        out.append(
+            EncodedChunk(
+                df, first_doc, int(c.block_last[e - 1]), body,
+                dls[l_lo:l_hi], c.block_last[s:e], c.block_min_dl[s:e],
+                doc_off, c.block_dl_off[s:e] - l_lo,
+            )
+        )
+    return out
+
+
+def splice_chunks(chunks: list[EncodedChunk]) -> EncodedChunk:
+    """Merge doc-range-DISJOINT, min_doc-ascending chunks of one term into
+    a single segment by byte concatenation: only each non-first chunk's
+    leading varint is rewritten (absolute doc id -> gap from the previous
+    chunk's last doc).  Postings move once as encoded bytes — no decode,
+    no sort, no int64 inflation (the merge phase's former memory-bandwidth
+    wall).  The result satisfies every ``encode_postings`` invariant
+    except uniform block sizes, which no consumer assumes (decode_blocks
+    resolves offsets; WAND reads per-block last_doc/min_dl)."""
+    if len(chunks) == 1:
+        c = chunks[0]
+        return EncodedChunk(
+            c.df, c.min_doc, c.max_doc, bytes(c.docs), bytes(c.dls),
+            c.block_last, c.block_min_dl, c.block_doc_off, c.block_dl_off,
+        )
+    docs = bytearray()
+    dls = bytearray()
+    bl: list[np.ndarray] = []
+    bm: list[np.ndarray] = []
+    bdo: list[np.ndarray] = []
+    blo: list[np.ndarray] = []
+    df = 0
+    prev_last = None
+    for c in chunks:
+        if prev_last is None:
+            doc_base = 0
+            docs += c.docs
+        else:
+            mv = memoryview(c.docs)
+            old, flen = varint_read_first(mv)
+            enc = varint_encode_one(c.min_doc - prev_last)
+            doc_base = len(docs)
+            docs += enc
+            docs += mv[flen:]
+            delta = len(enc) - flen
+        off = c.block_doc_off.copy() if prev_last is not None else c.block_doc_off
+        if prev_last is not None:
+            off[1:] += delta
+        bdo.append(off + doc_base)
+        blo.append(c.block_dl_off + len(dls))
+        dls += c.dls
+        bl.append(c.block_last)
+        bm.append(c.block_min_dl)
+        df += c.df
+        prev_last = c.max_doc
+    return EncodedChunk(
+        df, chunks[0].min_doc, chunks[-1].max_doc, bytes(docs), bytes(dls),
+        np.concatenate(bl), np.concatenate(bm),
+        np.concatenate(bdo), np.concatenate(blo),
+    )
+
+
 def decode_postings(docs_bin: bytes, dl_bin: bytes):
     """Inverse of encode_postings: (doc_ids int64, dls int64)."""
     gaps = varint_decode(docs_bin)

@@ -192,7 +192,9 @@ class StreamingIndexer:
         )
         (
             batch_docs.mapInArrow(
-                _make_partial_builder(cfg.partial_flush_postings),
+                _make_partial_builder(
+                    cfg.partial_flush_postings, cfg.block_size
+                ),
                 PARTIALS_SCHEMA,
             )
             .write.mode("overwrite")

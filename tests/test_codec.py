@@ -128,3 +128,112 @@ class TestXXH64Vec:
         got = spark_buckets_vec(terms, 32)
         for t, b in zip(terms, got):
             assert spark_bucket(t, 32) == int(b)
+
+
+# -- splice merge (byte-level chunk concatenation) ---------------------------
+
+
+@st.composite
+def _chunked_postings(draw):
+    """Global sorted postings split into disjoint ascending chunks at
+    arbitrary boundaries — the level-0 partials shape the splice merge
+    consumes."""
+    n = draw(st.integers(min_value=2, max_value=800))
+    gaps = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=50_000), min_size=n, max_size=n
+        )
+    )
+    ids = np.cumsum(np.asarray(gaps, dtype=np.int64) + 1)
+    dls = np.asarray(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=5_000),
+                min_size=n,
+                max_size=n,
+            )
+        ),
+        dtype=np.int64,
+    )
+    n_cuts = draw(st.integers(min_value=0, max_value=min(6, n - 1)))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=n - 1),
+                min_size=n_cuts,
+                max_size=n_cuts,
+                unique=True,
+            )
+        )
+    )
+    block = draw(st.sampled_from([4, 16, 128]))
+    return ids, dls, cuts, block
+
+
+def _encode_chunk(ids, dls, block):
+    from probe_spark.index.codec import EncodedChunk
+
+    docs_bin, dl_bin, bl, bm, bdo, blo = encode_postings(
+        ids, dls, block=block
+    )
+    return EncodedChunk(
+        len(ids), int(ids[0]), int(ids[-1]), docs_bin, dl_bin, bl, bm,
+        bdo, blo,
+    )
+
+
+@given(_chunked_postings())
+@settings(max_examples=150, deadline=None)
+def test_splice_chunks_equals_full_encode_decode(p):
+    from probe_spark.index.codec import splice_chunks
+
+    ids, dls, cuts, block = p
+    bounds = [0] + cuts + [len(ids)]
+    chunks = [
+        _encode_chunk(ids[s:e], dls[s:e], block)
+        for s, e in zip(bounds, bounds[1:])
+    ]
+    m = splice_chunks(chunks)
+    got_ids, got_dls = decode_postings(m.docs, m.dls)
+    assert got_ids.tolist() == ids.tolist()
+    assert got_dls.tolist() == dls.tolist()
+    assert m.df == len(ids)
+    assert m.min_doc == ids[0] and m.max_doc == ids[-1]
+    # block metadata stays decode-consistent: every keep subset of the
+    # spliced segment matches slicing the plain decode
+    n_blocks = len(m.block_last)
+    keep = list(range(0, n_blocks, 2))
+    kids, kdls = decode_blocks(
+        m.docs, m.dls, m.block_last, m.block_doc_off, m.block_dl_off, keep
+    )
+    # reference: per-block extents from offsets
+    starts = np.searchsorted(got_ids, np.concatenate(([ids[0]], m.block_last[:-1] + 1)))
+    ends = np.searchsorted(got_ids, m.block_last, side="right")
+    want_ids = np.concatenate([got_ids[starts[i]:ends[i]] for i in keep])
+    want_dls = np.concatenate([got_dls[starts[i]:ends[i]] for i in keep])
+    assert kids.tolist() == want_ids.tolist()
+    assert kdls.tolist() == want_dls.tolist()
+    # per-block min_dl is exact
+    for i in range(n_blocks):
+        assert m.block_min_dl[i] == got_dls[starts[i]:ends[i]].min()
+
+
+@given(_chunked_postings(), st.integers(min_value=1, max_value=12))
+@settings(max_examples=150, deadline=None)
+def test_split_then_splice_roundtrip(p, blocks_per_piece):
+    from probe_spark.index.codec import split_encoded_chunk, splice_chunks
+
+    ids, dls, _cuts, block = p
+    c = _encode_chunk(ids, dls, block)
+    max_seg = blocks_per_piece * block
+    pieces = split_encoded_chunk(c, max_seg, block)
+    assert sum(x.df for x in pieces) == len(ids)
+    for x in pieces:
+        assert x.df <= max(max_seg, block)
+        got_ids, got_dls = decode_postings(bytes(x.docs), bytes(x.dls))
+        assert got_ids[0] == x.min_doc and got_ids[-1] == x.max_doc
+        assert len(got_ids) == x.df
+    m = splice_chunks(pieces)
+    got_ids, got_dls = decode_postings(m.docs, m.dls)
+    assert got_ids.tolist() == ids.tolist()
+    assert got_dls.tolist() == dls.tolist()
