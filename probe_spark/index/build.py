@@ -233,11 +233,23 @@ class BuildConfig:
     # the reference's default is 500
     blank_lines_over: int | None = None
     # level-0 flush threshold: bounds the partial builder's in-memory
-    # accumulator (postings held per task before a flush).  Kept small so
-    # flushes interleave with tokenization instead of bursting at task end
-    # (64 tasks all flushing 4M-posting accumulators simultaneously
-    # measured as an allocation storm at 32-way concurrency)
-    partial_flush_postings: int = 1 << 20
+    # accumulator (postings held per task before a flush).  CACHE-SIZED,
+    # not memory-sized: the flush's regroup (stable argsort by term code +
+    # three fancy-index gathers) is a random-access pass over every
+    # pending posting, and at 32-way worker concurrency a ~1.6M-posting
+    # flush measured 3-16x per-op inflation (DRAM-bound random access;
+    # /tmp/op_bench: gather 0.58s@8w -> 9.5s@32w on 2M elements) while
+    # ~128k-posting flushes stayed cache-resident and scaled (1.3x).
+    # The partials format already allows many chunks per (kind, term) —
+    # the merge splices them byte-wise — so small flushes cost only
+    # duplicated per-term metadata rows in the (deleted-after-merge)
+    # partial shards.
+    partial_flush_postings: int = 1 << 17
+    # pass-B Arrow slice size fed to the fused core: one add() appends
+    # ~rows x avg_dl postings, so this bounds the accumulator's chunk
+    # granularity (and with it the flush working set) — 4096 rows x ~30
+    # tokens ≈ the flush threshold
+    pack_chunk_rows: int = 4096
     # fused=True (default): single-pass build — the tokenize pass side-writes
     # the level-0 partials per task (posix-visible index paths only; remote
     # object stores fall back to the two-pass path), and the merge side-
@@ -992,13 +1004,18 @@ class _FusedCore:
         if tt is not None:
             tt["pack"] = tt.get("pack", 0.0) + time.time() - t0
             t0 = time.time()
+        ts_col = batch.column("ts")
+        if pa.types.is_timestamp(ts_col.type) and ts_col.type.unit == "ns":
+            # INT96-written sources decode as nanos, which Spark's parquet
+            # reader refuses; micros is the engine's canonical unit
+            ts_col = ts_col.cast(pa.timestamp("us", tz=ts_col.type.tz))
         arrays = [
             pa.array(ids),
             batch.column("conv_id"),
             batch.column("turn_idx"),
             batch.column("role"),
             batch.column("tool"),
-            batch.column("ts"),
+            ts_col,
             batch.column("text"),
             pa.array(dls.astype(np.int32)),
         ]
@@ -1139,6 +1156,288 @@ def _encode_keys_arrow(conv: "pa.Array", turn: "pa.Array", min_width: int):
     tb = ((t + (1 << 31)).astype(">u4")).tobytes()
     mat[:, width + 2 :] = np.frombuffer(tb, dtype=np.uint8).reshape(n, 4)
     return np.ascontiguousarray(mat).view(f"S{width + 6}").ravel(), width
+
+
+_PROBE_SCHEMA = StructType(
+    [
+        StructField("file", StringType(), False),
+        StructField("rg", IntegerType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("min_conv", StringType(), True),
+        StructField("min_turn", IntegerType(), True),
+        StructField("max_conv", StringType(), True),
+        StructField("max_turn", IntegerType(), True),
+        StructField("sorted", IntegerType(), False),
+        StructField("has_null", IntegerType(), False),
+    ]
+)
+
+
+def _make_rg_prober(cap_threads: bool = True):
+    """Sortedness probe over (file, row_group) units: reads ONLY the
+    (conv_id, turn_idx) columns of each row group and emits its exact key
+    bounds + internal-sortedness flag.  Exact by construction (computed
+    from the data, never from parquet footer statistics, which writers may
+    truncate for strings).  At Iceberg scale the table's sort order +
+    per-file bounds metadata answer this without any read; for plain
+    parquet the probe costs a ~2-narrow-column scan.  ``cap_threads=False``
+    when run driver-side (capping the driver's global Arrow pool would
+    outlive the probe)."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        if cap_threads:
+            _single_threaded_arrow()
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        out: list[tuple] = []
+        for batch in batches:
+            for row in batch.to_pylist():
+                pf = pq.ParquetFile(row["file"])
+                t = pf.read_row_group(
+                    int(row["rg"]), columns=["conv_id", "turn_idx"]
+                )
+                pf.close()
+                n = t.num_rows
+                conv = t.column("conv_id").combine_chunks()
+                turn = t.column("turn_idx").combine_chunks()
+                if n == 0:
+                    out.append(
+                        (row["file"], row["rg"], 0, None, None, None, None,
+                         1, 0)
+                    )
+                    continue
+                if conv.null_count or turn.null_count:
+                    out.append(
+                        (row["file"], row["rg"], n, None, None, None, None,
+                         0, 1)
+                    )
+                    continue
+                keys, _ = _encode_keys_arrow(conv, turn, 1)
+                srt = bool(np.all(keys[:-1] <= keys[1:]))
+                if srt:
+                    imin, imax = 0, n - 1
+                else:
+                    order = np.argsort(keys, kind="stable")
+                    imin, imax = int(order[0]), int(order[-1])
+                out.append(
+                    (
+                        row["file"], row["rg"], n,
+                        conv[imin].as_py(), int(turn[imin].as_py()),
+                        conv[imax].as_py(), int(turn[imax].as_py()),
+                        int(srt), 0,
+                    )
+                )
+        if out:
+            cols = list(zip(*out))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.int32()),
+                    pa.array(cols[2], pa.int64()),
+                    pa.array(cols[3], pa.string()),
+                    pa.array(cols[4], pa.int32()),
+                    pa.array(cols[5], pa.string()),
+                    pa.array(cols[6], pa.int32()),
+                    pa.array(cols[7], pa.int32()),
+                    pa.array(cols[8], pa.int32()),
+                ],
+                names=[f.name for f in _PROBE_SCHEMA.fields],
+            )
+
+    return gen
+
+
+def _sorted_source_plan(
+    spark: SparkSession,
+    src_path: str,
+    bucket_rows: int,
+    parallelism: int,
+) -> "tuple[list, dict[int, int]] | None":
+    """Detect a globally range-sorted parquet source and plan pass B
+    DIRECTLY over its row groups, skipping the exchange entirely.
+
+    A source qualifies when its row groups, ordered by exact min
+    (conv_id, turn_idx), are strictly non-overlapping and null-free in the
+    key columns — then the global docID order is 'row groups in min-key
+    order, rows sorted within', per-bucket counts are exact from footer
+    row counts, and the corpus is read ONCE (by pass B) instead of
+    read + rewritten + re-read by the exchange.  This is the common case
+    for any corpus maintained in key order (an Iceberg table with a
+    (conv_id, turn_idx) sort order, or any append-by-conversation log).
+
+    Returns (plan_rows, offsets) where plan_rows are
+    (bucket, files, row_groups, presorted) with buckets of ~bucket_rows
+    rows built from consecutive whole row groups, or None when the source
+    is not provably sorted (the exchange path handles it)."""
+    import pyarrow.parquet as pq
+
+    local = _strip_scheme(src_path)
+    units: list[tuple[str, int]] = []
+    total_rows = 0
+    for root, _dirs, files in os.walk(local):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet") or fn.startswith("."):
+                continue
+            full = os.path.join(root, fn)
+            try:
+                md = pq.ParquetFile(full).metadata
+            except Exception:
+                return None
+            total_rows += md.num_rows
+            units.extend((full, g) for g in range(md.num_row_groups))
+    if not units:
+        return None
+    if total_rows <= 50_000_000:
+        # small corpus: a driver-side threaded probe beats a Spark job's
+        # fixed scheduling + Python-worker round trips (measured ~5s of
+        # wall for 64 trivial tasks at local[32]); the key columns are a
+        # few % of corpus bytes
+        from concurrent.futures import ThreadPoolExecutor
+
+        prober = _make_rg_prober(cap_threads=False)
+
+        def one(u: "tuple[str, int]"):
+            batch = pa.RecordBatch.from_arrays(
+                [pa.array([u[0]], pa.string()), pa.array([u[1]], pa.int32())],
+                names=["file", "rg"],
+            )
+            out = list(prober(iter([batch])))
+            return out[0].to_pylist()[0]
+
+        with ThreadPoolExecutor(max_workers=min(16, len(units))) as ex:
+            probe_rows = list(ex.map(one, units))
+    else:
+        probe_rows = (
+            _one_row_per_partition(
+                spark,
+                units,
+                "file string, rg int",
+                n_tasks=min(len(units), 2 * parallelism),
+            )
+            .mapInArrow(_make_rg_prober(), _PROBE_SCHEMA)
+            .collect()
+        )
+    rgs = [r for r in probe_rows if int(r["n_rows"]) > 0]
+    if any(int(r["has_null"]) for r in rgs):
+        return None
+    rgs.sort(key=lambda r: (r["min_conv"], int(r["min_turn"])))
+    prev_max: "tuple[str, int] | None" = None
+    for r in rgs:
+        lo = (r["min_conv"], int(r["min_turn"]))
+        if prev_max is not None and lo <= prev_max:
+            return None  # overlapping or duplicate boundary key
+        prev_max = (r["max_conv"], int(r["max_turn"]))
+    # group consecutive whole row groups into ~bucket_rows buckets
+    plan: list[tuple[int, list[str], list[int], bool]] = []
+    offsets: dict[int, int] = {}
+    acc = 0
+    cur_f: list[str] = []
+    cur_g: list[int] = []
+    cur_rows = 0
+    cur_sorted = True
+
+    def emit() -> None:
+        nonlocal cur_f, cur_g, cur_rows, cur_sorted, acc
+        b = len(plan)
+        offsets[b] = acc
+        plan.append((b, cur_f, cur_g, cur_sorted))
+        acc += cur_rows
+        cur_f, cur_g, cur_rows, cur_sorted = [], [], 0, True
+
+    for r in rgs:
+        cur_f.append(r["file"])
+        cur_g.append(int(r["rg"]))
+        cur_rows += int(r["n_rows"])
+        cur_sorted = cur_sorted and bool(int(r["sorted"]))
+        if cur_rows >= bucket_rows:
+            emit()
+    if cur_rows:
+        emit()
+    return plan, offsets
+
+
+def _make_bucket_builder_src(
+    offsets: dict[int, int],
+    docs_dir: str,
+    partials_dir: str,
+    flush_postings: int,
+    store_tokens: bool,
+    n_buckets: int,
+    blank_lines_over: "int | None" = None,
+    block_size: int = 128,
+    chunk_rows: int = 4096,
+):
+    """Pass B over a provably sorted parquet SOURCE (no exchange): each
+    task reads its buckets' row groups directly with pyarrow (the corpus'
+    only full read), concatenates them in min-key order — already globally
+    sorted when every row group is internally sorted, else one in-memory
+    sort — and runs the shared fused core.  Identical docIDs to the
+    exchange path by construction (both are rank over (conv_id,
+    turn_idx))."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _single_threaded_arrow()
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        trace = os.environ.get("PROBE_SPARK_TASK_TRACE")
+        task_id = TaskContext.get().partitionId()
+        rows = [row for batch in batches for row in batch.to_pylist()]
+        if not rows:
+            return
+        rows.sort(key=lambda r: int(r["bucket"]))  # ascending docID order
+        core = _FusedCore(
+            task_id, docs_dir, partials_dir, flush_postings, store_tokens,
+            n_buckets, blank_lines_over, block_size,
+        )
+        tt = {"read": 0.0, "sort": 0.0, "core": 0.0}
+        for row in rows:
+            t0 = time.time()
+            bucket = int(row["bucket"])
+            tables = []
+            for fn, g in zip(row["files"], row["rgs"]):
+                pf = pq.ParquetFile(fn)
+                t = pf.read_row_group(int(g), columns=_CANONICAL_COLS)
+                pf.close()
+                if t.schema.field("turn_idx").type != pa.int32():
+                    idx = t.schema.get_field_index("turn_idx")
+                    t = t.set_column(
+                        idx, "turn_idx",
+                        t.column("turn_idx").cast(pa.int32()),
+                    )
+                tables.append(t)
+            t = pa.concat_tables(tables)
+            del tables
+            tt["read"] += time.time() - t0
+            t0 = time.time()
+            if not row["presorted"]:
+                t = t.sort_by(
+                    [("conv_id", "ascending"), ("turn_idx", "ascending")],
+                    null_placement="at_start",
+                )
+            tt["sort"] += time.time() - t0
+            t0 = time.time()
+            core.start_bucket(bucket, offsets.get(bucket, 0))
+            for rb in t.to_batches(max_chunksize=chunk_rows):
+                core.process(rb)
+            del t
+            tt["core"] += time.time() - t0
+        t0 = time.time()
+        n_docs, total_dl = core.finish()
+        tt["finish"] = time.time() - t0
+        if trace:
+            if core.tt:
+                tt.update({f"c_{k}": v for k, v in core.tt.items()})
+            with open(trace, "a") as f:
+                f.write(
+                    f"task={task_id} rows={n_docs} "
+                    + " ".join(f"{k}={v:.2f}" for k, v in tt.items())
+                    + "\n"
+                )
+        yield _stats_batch(n_docs, total_dl, task_id)
+
+    return gen
 
 
 def _exact_boundaries_local(
@@ -1432,6 +1731,7 @@ def _make_bucket_builder(
     n_buckets: int,
     blank_lines_over: "int | None" = None,
     block_size: int = 128,
+    chunk_rows: int = 4096,
 ):
     """Pass B of the file-based doc exchange: plan rows (bucket, files),
     several buckets per task.  Each bucket's IPC shards are read directly
@@ -1479,7 +1779,8 @@ def _make_bucket_builder(
             tt["sort"] += time.time() - t0
             t0 = time.time()
             core.start_bucket(bucket, offsets.get(bucket, 0))
-            for rb in t.to_batches(max_chunksize=1 << 16):
+            # cache-sized slices: see BuildConfig.pack_chunk_rows
+            for rb in t.to_batches(max_chunksize=chunk_rows):
                 core.process(rb)
             del t
             tt["core"] += time.time() - t0
@@ -2291,113 +2592,30 @@ class IndexBuilder:
                     self._delete_dir(docs_path)
                     exchange_path = f"{index_path}/exchange"
                     self._delete_dir(exchange_path)
-                    # pass A: route rows to range buckets, side-write
-                    # per-bucket IPC shards; the collected output IS the
-                    # exact per-bucket counts, so docID offsets are known
-                    # with no extra job and the JVM never shuffles rows
-                    with _timed("exchange"):
-                        bnd = None
-                        if src_path and _is_posix_path(src_path):
-                            bnd = _exact_boundaries_local(
+                    # sorted-source fast path: a provably range-sorted
+                    # parquet source skips the exchange — pass B reads its
+                    # row groups directly, so the corpus is read ONCE
+                    # instead of read + rewritten + re-read.  The probe is
+                    # a distributed 2-narrow-column scan; at Iceberg scale
+                    # the table's sort-order metadata answers it for free.
+                    plan: list = []
+                    plan_schema = "bucket int, files array<string>"
+                    builder_fn = None
+                    if src_path and _is_posix_path(src_path):
+                        with _timed("probe"):
+                            sp = _sorted_source_plan(
+                                spark,
                                 src_path,
-                                cfg.doc_partitions,
                                 cfg.exchange_bucket_rows,
                                 spark.sparkContext.defaultParallelism,
                             )
-                        if bnd is None:
-                            bnd = _range_boundaries(
-                                transcripts,
-                                cfg.doc_partitions,
-                                bucket_rows=cfg.exchange_bucket_rows,
-                                min_parts=(
-                                    spark.sparkContext.defaultParallelism
-                                ),
+                        if sp is not None:
+                            plan, offsets = sp
+                            plan_schema = (
+                                "bucket int, files array<string>, "
+                                "rgs array<int>, presorted boolean"
                             )
-                        boundaries, _ = bnd
-                        units = (
-                            self._source_units(src_path)
-                            if src_path and _is_posix_path(src_path)
-                            else None
-                        )
-                        if units is not None:
-                            par = spark.sparkContext.defaultParallelism
-                            counts_rows = (
-                                _one_row_per_partition(
-                                    spark,
-                                    units,
-                                    "file string, row_groups array<int>",
-                                    n_tasks=min(len(units), 2 * par),
-                                ).mapInArrow(
-                                    _make_exchange_reader(
-                                        boundaries, exchange_path
-                                    ),
-                                    _EXCHANGE_COUNTS_SCHEMA,
-                                )
-                                .collect()
-                                if units
-                                else []
-                            )
-                        else:
-                            counts_rows = (
-                                _canonical_input(transcripts)
-                                .mapInArrow(
-                                    _make_exchange_writer(
-                                        boundaries, exchange_path
-                                    ),
-                                    _EXCHANGE_COUNTS_SCHEMA,
-                                )
-                                .collect()
-                            )
-                    counts: dict[int, int] = {}
-                    for r in counts_rows:
-                        counts[int(r["bucket"])] = counts.get(
-                            int(r["bucket"]), 0
-                        ) + int(r["cnt"])
-                    offsets = {}
-                    acc_rows = 0
-                    for b in range(len(boundaries) + 1):
-                        offsets[b] = acc_rows
-                        acc_rows += counts.get(b, 0)
-                    # pass B: one task per bucket reads its shards directly
-                    # (driver-planned, like the merge), sorts, and runs the
-                    # fused core — docs/ and partials/ are side-written by
-                    # the tasks; stats fold out of the collected rows
-                    local_ex = _strip_scheme(exchange_path)
-                    plan: list[tuple[int, list[str]]] = []
-                    if os.path.isdir(local_ex):
-                        for entry in sorted(os.listdir(local_ex)):
-                            if not entry.startswith("b="):
-                                continue
-                            b = int(entry.split("=", 1)[1])
-                            d = os.path.join(local_ex, entry)
-                            files = sorted(
-                                os.path.join(d, fn)
-                                for fn in os.listdir(d)
-                                if fn.endswith(".arrow")
-                                and not fn.startswith(".")
-                            )
-                            if files:
-                                plan.append((b, files))
-                    # NUMERIC bucket order: contiguous task assignment
-                    # below hands each task a contiguous docID range only
-                    # if the plan itself ascends by bucket (os.listdir's
-                    # string sort puts b=10 before b=2, which scrambled
-                    # ranges across tasks and made per-term chunk ranges
-                    # overlap — defeating the splice merge for hot terms)
-                    plan.sort(key=lambda r: r[0])
-                    if plan:
-                        plan_df = _one_row_per_partition(
-                            spark,
-                            plan,
-                            "bucket int, files array<string>",
-                            n_tasks=cfg.build_tasks_per_slot
-                            * spark.sparkContext.defaultParallelism,
-                            # contiguous docID range per task: the splice
-                            # merge's per-term chunk disjointness invariant
-                            contiguous=True,
-                        )
-                        stat_rows = plan_df.mapInArrow(
-                            _make_bucket_builder(
+                            builder_fn = _make_bucket_builder_src(
                                 offsets,
                                 docs_path,
                                 partials_path,
@@ -2406,8 +2624,127 @@ class IndexBuilder:
                                 cfg.n_buckets,
                                 cfg.blank_lines_over,
                                 cfg.block_size,
-                            ),
-                            PARTIALS_SCHEMA,
+                                cfg.pack_chunk_rows,
+                            )
+                    if builder_fn is None:
+                        # pass A: route rows to range buckets, side-write
+                        # per-bucket IPC shards; the collected output IS
+                        # the exact per-bucket counts, so docID offsets are
+                        # known with no extra job and the JVM never
+                        # shuffles rows
+                        with _timed("exchange"):
+                            bnd = None
+                            if src_path and _is_posix_path(src_path):
+                                bnd = _exact_boundaries_local(
+                                    src_path,
+                                    cfg.doc_partitions,
+                                    cfg.exchange_bucket_rows,
+                                    spark.sparkContext.defaultParallelism,
+                                )
+                            if bnd is None:
+                                bnd = _range_boundaries(
+                                    transcripts,
+                                    cfg.doc_partitions,
+                                    bucket_rows=cfg.exchange_bucket_rows,
+                                    min_parts=(
+                                        spark.sparkContext
+                                        .defaultParallelism
+                                    ),
+                                )
+                            boundaries, _ = bnd
+                            units = (
+                                self._source_units(src_path)
+                                if src_path and _is_posix_path(src_path)
+                                else None
+                            )
+                            if units is not None:
+                                par = spark.sparkContext.defaultParallelism
+                                counts_rows = (
+                                    _one_row_per_partition(
+                                        spark,
+                                        units,
+                                        "file string, row_groups array<int>",
+                                        n_tasks=min(len(units), 2 * par),
+                                    ).mapInArrow(
+                                        _make_exchange_reader(
+                                            boundaries, exchange_path
+                                        ),
+                                        _EXCHANGE_COUNTS_SCHEMA,
+                                    )
+                                    .collect()
+                                    if units
+                                    else []
+                                )
+                            else:
+                                counts_rows = (
+                                    _canonical_input(transcripts)
+                                    .mapInArrow(
+                                        _make_exchange_writer(
+                                            boundaries, exchange_path
+                                        ),
+                                        _EXCHANGE_COUNTS_SCHEMA,
+                                    )
+                                    .collect()
+                                )
+                        counts: dict[int, int] = {}
+                        for r in counts_rows:
+                            counts[int(r["bucket"])] = counts.get(
+                                int(r["bucket"]), 0
+                            ) + int(r["cnt"])
+                        offsets = {}
+                        acc_rows = 0
+                        for b in range(len(boundaries) + 1):
+                            offsets[b] = acc_rows
+                            acc_rows += counts.get(b, 0)
+                        # pass B reads the exchange shards; stats fold out
+                        # of the collected rows
+                        local_ex = _strip_scheme(exchange_path)
+                        if os.path.isdir(local_ex):
+                            for entry in sorted(os.listdir(local_ex)):
+                                if not entry.startswith("b="):
+                                    continue
+                                b = int(entry.split("=", 1)[1])
+                                d = os.path.join(local_ex, entry)
+                                files = sorted(
+                                    os.path.join(d, fn)
+                                    for fn in os.listdir(d)
+                                    if fn.endswith(".arrow")
+                                    and not fn.startswith(".")
+                                )
+                                if files:
+                                    plan.append((b, files))
+                        # NUMERIC bucket order: contiguous task assignment
+                        # below hands each task a contiguous docID range
+                        # only if the plan itself ascends by bucket
+                        # (os.listdir's string sort puts b=10 before b=2,
+                        # which scrambled ranges across tasks and made
+                        # per-term chunk ranges overlap — defeating the
+                        # splice merge for hot terms)
+                        plan.sort(key=lambda r: r[0])
+                        builder_fn = _make_bucket_builder(
+                            offsets,
+                            docs_path,
+                            partials_path,
+                            cfg.partial_flush_postings,
+                            cfg.store_tokens,
+                            cfg.n_buckets,
+                            cfg.blank_lines_over,
+                            cfg.block_size,
+                            cfg.pack_chunk_rows,
+                        )
+                    if plan:
+                        plan_df = _one_row_per_partition(
+                            spark,
+                            plan,
+                            plan_schema,
+                            n_tasks=cfg.build_tasks_per_slot
+                            * spark.sparkContext.defaultParallelism,
+                            # contiguous docID range per task: the splice
+                            # merge's per-term chunk disjointness invariant
+                            contiguous=True,
+                        )
+                        stat_rows = plan_df.mapInArrow(
+                            builder_fn, PARTIALS_SCHEMA
                         ).collect()
                     else:
                         stat_rows = []

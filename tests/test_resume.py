@@ -269,3 +269,61 @@ class TestKeyEncodingParity:
         big = pa.array(["zzz"] + convs, pa.string()).slice(1, 3)
         got2, w2 = _encode_keys_arrow(big, pa.array(turns, pa.int32()), 1)
         assert got2.tolist() == _encode_keys(convs, turns, w2).tolist()
+
+
+class TestSortedSourceFastPath:
+    """A provably range-sorted parquet source takes the exchange-free
+    plan (pass B reads its row groups directly); an unsorted source falls
+    back to the exchange.  Both must produce identical segments, docIDs,
+    and stats — docID = rank over (conv_id, turn_idx) regardless of path."""
+
+    def _write(self, spark, df, path):
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def test_sorted_source_equals_dataframe_build(self, spark, tmp_path):
+        from probe_spark.index.build import _sorted_source_plan
+
+        df = transcripts_df(spark, 60, seed=11)
+        src = self._write(
+            spark, df.orderBy("conv_id", "turn_idx").coalesce(2),
+            str(tmp_path / "src_sorted"),
+        )
+        plan = _sorted_source_plan(spark, src, 256, 4)
+        assert plan is not None, "sorted source not detected"
+        plan_rows, offsets = plan
+        assert offsets[0] == 0
+        assert sum(1 for _ in plan_rows) == len(offsets)
+
+        idx_a = str(tmp_path / "idx_path")
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(src, idx_a)
+        idx_b = str(tmp_path / "idx_df")
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(df, idx_b)
+        assert _segments(spark, idx_a) == _segments(spark, idx_b)
+        docs_a = sorted(
+            (r["doc_id"], r["conv_id"], r["turn_idx"])
+            for r in spark.read.parquet(f"{idx_a}/docs").collect()
+        )
+        docs_b = sorted(
+            (r["doc_id"], r["conv_id"], r["turn_idx"])
+            for r in spark.read.parquet(f"{idx_b}/docs").collect()
+        )
+        assert docs_a == docs_b
+
+    def test_unsorted_source_falls_back_and_matches(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from probe_spark.index.build import _sorted_source_plan
+
+        df = transcripts_df(spark, 60, seed=11)
+        # hash-repartitioned: every output file spans the whole key range,
+        # so row groups overlap and the sorted plan must refuse
+        shuffled = df.repartition(3, F.col("conv_id"))
+        src = self._write(spark, shuffled, str(tmp_path / "src_shuf"))
+        assert _sorted_source_plan(spark, src, 256, 4) is None
+
+        idx_a = str(tmp_path / "idx_shuf")
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(src, idx_a)
+        idx_b = str(tmp_path / "idx_df2")
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(df, idx_b)
+        assert _segments(spark, idx_a) == _segments(spark, idx_b)
