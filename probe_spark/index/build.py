@@ -203,6 +203,16 @@ def _single_threaded_arrow() -> None:
             pa.set_io_thread_count(1)
     except Exception:
         pass
+    try:
+        # retain freed Arrow memory instead of returning it to the OS:
+        # the fused core allocates/frees a bucket-sized table per bucket,
+        # and at 32-way worker concurrency the resulting mmap/page-fault
+        # churn put 66% of ALL cpu in the KERNEL during pass B
+        # (/proc/stat sys=0.66 vs user=0.18) — guest zone-lock + host EPT
+        # fault contention.  10 min decay ≈ never for a task's lifetime.
+        pa.jemalloc_set_decay_ms(600_000)
+    except Exception:
+        pass
 
 
 @contextlib.contextmanager
@@ -1328,27 +1338,51 @@ def _sorted_source_plan(
         if prev_max is not None and lo <= prev_max:
             return None  # overlapping or duplicate boundary key
         prev_max = (r["max_conv"], int(r["max_turn"]))
-    # group consecutive whole row groups into ~bucket_rows buckets
-    plan: list[tuple[int, list[str], list[int], bool]] = []
+    # group consecutive whole row groups into ~bucket_rows buckets; an
+    # INTERNALLY SORTED row group larger than ~1.5x the target is split
+    # into positional slices (key order == position order, so a slice is a
+    # valid docID bucket) — balanced small buckets keep full-width worker
+    # waves even instead of a few 3x-sized stragglers ending each wave.
+    # Unsorted row groups stay whole (the in-bucket sort needs them).
+    plan: list[tuple[int, list[str], list[int], bool, list[int], list[int]]]
+    plan = []
     offsets: dict[int, int] = {}
     acc = 0
     cur_f: list[str] = []
     cur_g: list[int] = []
+    cur_s: list[int] = []
+    cur_l: list[int] = []
     cur_rows = 0
     cur_sorted = True
 
     def emit() -> None:
-        nonlocal cur_f, cur_g, cur_rows, cur_sorted, acc
+        nonlocal cur_f, cur_g, cur_s, cur_l, cur_rows, cur_sorted, acc
         b = len(plan)
         offsets[b] = acc
-        plan.append((b, cur_f, cur_g, cur_sorted))
+        plan.append((b, cur_f, cur_g, cur_sorted, cur_s, cur_l))
         acc += cur_rows
-        cur_f, cur_g, cur_rows, cur_sorted = [], [], 0, True
+        cur_f, cur_g, cur_s, cur_l = [], [], [], []
+        cur_rows, cur_sorted = 0, True
 
     for r in rgs:
+        n = int(r["n_rows"])
+        if int(r["sorted"]) and n > (3 * bucket_rows) // 2:
+            if cur_rows:
+                emit()
+            n_slices = (n + bucket_rows - 1) // bucket_rows
+            for i in range(n_slices):
+                s = i * n // n_slices
+                e = (i + 1) * n // n_slices
+                cur_f, cur_g = [r["file"]], [int(r["rg"])]
+                cur_s, cur_l = [s], [e - s]
+                cur_rows, cur_sorted = e - s, True
+                emit()
+            continue
         cur_f.append(r["file"])
         cur_g.append(int(r["rg"]))
-        cur_rows += int(r["n_rows"])
+        cur_s.append(0)
+        cur_l.append(n)
+        cur_rows += n
         cur_sorted = cur_sorted and bool(int(r["sorted"]))
         if cur_rows >= bucket_rows:
             emit()
@@ -1382,6 +1416,7 @@ def _make_bucket_builder_src(
         from pyspark import TaskContext
 
         trace = os.environ.get("PROBE_SPARK_TASK_TRACE")
+        gen_t0 = time.time()
         task_id = TaskContext.get().partitionId()
         rows = [row for batch in batches for row in batch.to_pylist()]
         if not rows:
@@ -1392,22 +1427,36 @@ def _make_bucket_builder_src(
             n_buckets, blank_lines_over, block_size,
         )
         tt = {"read": 0.0, "sort": 0.0, "core": 0.0}
+        last_rg: "tuple[str, int] | None" = None
+        last_tbl: "pa.Table | None" = None
         for row in rows:
             t0 = time.time()
             bucket = int(row["bucket"])
+            starts = row["starts"]
+            lens = row["lens"]
             tables = []
-            for fn, g in zip(row["files"], row["rgs"]):
-                pf = pq.ParquetFile(fn)
-                t = pf.read_row_group(int(g), columns=_CANONICAL_COLS)
-                pf.close()
-                if t.schema.field("turn_idx").type != pa.int32():
-                    idx = t.schema.get_field_index("turn_idx")
-                    t = t.set_column(
-                        idx, "turn_idx",
-                        t.column("turn_idx").cast(pa.int32()),
-                    )
+            for i, (fn, g) in enumerate(zip(row["files"], row["rgs"])):
+                key = (fn, int(g))
+                if key == last_rg:
+                    t = last_tbl  # consecutive slices of one row group
+                else:
+                    pf = pq.ParquetFile(fn)
+                    t = pf.read_row_group(int(g), columns=_CANONICAL_COLS)
+                    pf.close()
+                    if t.schema.field("turn_idx").type != pa.int32():
+                        idx = t.schema.get_field_index("turn_idx")
+                        t = t.set_column(
+                            idx, "turn_idx",
+                            t.column("turn_idx").cast(pa.int32()),
+                        )
+                    last_rg, last_tbl = key, t
+                s, ln = int(starts[i]), int(lens[i])
+                if s != 0 or ln != t.num_rows:
+                    t = t.slice(s, ln)
                 tables.append(t)
-            t = pa.concat_tables(tables)
+            t = (
+                tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+            )
             del tables
             tt["read"] += time.time() - t0
             t0 = time.time()
@@ -1432,6 +1481,7 @@ def _make_bucket_builder_src(
             with open(trace, "a") as f:
                 f.write(
                     f"task={task_id} rows={n_docs} "
+                    f"t0={gen_t0:.2f} t1={time.time():.2f} "
                     + " ".join(f"{k}={v:.2f}" for k, v in tt.items())
                     + "\n"
                 )
@@ -1751,6 +1801,7 @@ def _make_bucket_builder(
         from pyspark import TaskContext
 
         trace = os.environ.get("PROBE_SPARK_TASK_TRACE")
+        gen_t0 = time.time()
         task_id = TaskContext.get().partitionId()
         rows = [row for batch in batches for row in batch.to_pylist()]
         if not rows:
@@ -1793,6 +1844,7 @@ def _make_bucket_builder(
             with open(trace, "a") as f:
                 f.write(
                     f"task={task_id} rows={n_docs} "
+                    f"t0={gen_t0:.2f} t1={time.time():.2f} "
                     + " ".join(f"{k}={v:.2f}" for k, v in tt.items())
                     + "\n"
                 )
@@ -2613,7 +2665,8 @@ class IndexBuilder:
                             plan, offsets = sp
                             plan_schema = (
                                 "bucket int, files array<string>, "
-                                "rgs array<int>, presorted boolean"
+                                "rgs array<int>, presorted boolean, "
+                                "starts array<int>, lens array<int>"
                             )
                             builder_fn = _make_bucket_builder_src(
                                 offsets,

@@ -49,16 +49,33 @@ def main():
     )
     # aggregate task traces
     agg: dict[str, float] = {}
-    n_tasks = 0
+    tasks = []
     if os.path.exists(trace):
         for line in open(trace):
-            n_tasks += 1
-            for kv in line.split()[2:]:
-                k, v = kv.split("=")
+            kv = dict(p.split("=") for p in line.split()[2:])
+            tasks.append(kv)
+            for k, v in kv.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
-    print(f"passB tasks={n_tasks} core-seconds by sub-phase:")
+    print(f"passB tasks={len(tasks)} core-seconds by sub-phase:")
     for k, v in sorted(agg.items(), key=lambda x: -x[1]):
-        print(f"  {k:8s} {v:9.1f}")
+        if k not in ("t0", "t1"):
+            print(f"  {k:8s} {v:9.1f}")
+    if tasks and "t0" in tasks[0]:
+        base = min(float(t["t0"]) for t in tasks)
+        span = max(float(t["t1"]) for t in tasks) - base
+        walls = [float(t["t1"]) - float(t["t0"]) for t in tasks]
+        busies = [
+            sum(float(v) for k, v in t.items() if k not in ("t0", "t1"))
+            for t in tasks
+        ]
+        util = sum(walls) / (span * cpus) if span else 0.0
+        inside = sum(busies) / sum(walls) if sum(walls) else 0.0
+        print(
+            f"passB span={span:.1f}s slot-occupancy={util:.2f} "
+            f"traced-share-of-task-wall={inside:.2f} "
+            f"task wall p50={sorted(walls)[len(walls)//2]:.2f} "
+            f"max={max(walls):.2f}"
+        )
     shutil.rmtree(build_dir, ignore_errors=True)
     os.unlink(trace)
     spark.stop()

@@ -139,25 +139,37 @@ def main() -> None:
     job: dict[int, list[float]] = {lo: [], hi: []}
     hw: dict[int, list[float]] = {lo: [], hi: []}
     best_burn: dict[int, float] = {lo: 0.0, hi: 0.0}
+    best_bw: dict[int, float] = {lo: 0.0, hi: 0.0}
     n_turns = None
     for r in range(rounds):
         for cpus in (lo, hi):
-            # clean-window gate: this VM has multi-x noisy-neighbor windows;
-            # wait (bounded) until a quick pure-CPU burn shows >=85% of the
-            # best capacity seen for this level before measuring the job
+            # clean-window gate: this VM has multi-x noisy-neighbor windows
+            # in BOTH dimensions — CPU steal (register burn detects) and
+            # memory-bandwidth contention (only the triad burn detects;
+            # the build is bandwidth-sensitive, so a bw-dirty window
+            # poisons a sample the CPU gate would admit).  Wait (bounded)
+            # until both burns show >=85% of the best seen for this level.
             burn = hw_capacity(cpus)
+            bwx = bw_capacity(cpus)
             best_burn[cpus] = max(best_burn[cpus], burn)
+            best_bw[cpus] = max(best_bw[cpus], bwx)
             for _ in range(6):
-                if burn >= 0.85 * best_burn[cpus]:
+                if (
+                    burn >= 0.85 * best_burn[cpus]
+                    and bwx >= 0.85 * best_bw[cpus]
+                ):
                     break
                 print(
-                    f"  [contended window: burn {burn:.2f} < 85% of "
-                    f"{best_burn[cpus]:.2f}; waiting 45s]",
+                    f"  [contended window: burn {burn:.2f}/"
+                    f"{best_burn[cpus]:.2f} bw {bwx:.2f}/"
+                    f"{best_bw[cpus]:.2f}; waiting 45s]",
                     flush=True,
                 )
                 time.sleep(45)
                 burn = hw_capacity(cpus)
+                bwx = bw_capacity(cpus)
                 best_burn[cpus] = max(best_burn[cpus], burn)
+                best_bw[cpus] = max(best_bw[cpus], bwx)
             hw[cpus].append(burn)
             # post-run burn validation: the pre-run gate cannot see
             # contention that arrives MID-run; a sample whose post-run burn
@@ -166,8 +178,13 @@ def main() -> None:
             for attempt in range(3):
                 res = run_once(cpus)
                 post = hw_capacity(cpus)
+                post_bw = bw_capacity(cpus)
                 best_burn[cpus] = max(best_burn[cpus], post)
-                ok = post >= 0.85 * best_burn[cpus]
+                best_bw[cpus] = max(best_bw[cpus], post_bw)
+                ok = (
+                    post >= 0.85 * best_burn[cpus]
+                    and post_bw >= 0.85 * best_bw[cpus]
+                )
                 n_turns = res["n_turns"]
                 job[cpus].append(res["build_turns_per_sec"])
                 print(
@@ -175,7 +192,8 @@ def main() -> None:
                     f"{'' if ok else f' [dirty window, attempt {attempt}]'}: "
                     f"job {res['build_turns_per_sec']} turns/s "
                     f"({res['build_sec']}s) | burn pre {burn:.2f} post "
-                    f"{post:.2f} | host busy {res.get('host_busy_mean')}% "
+                    f"{post:.2f} bw {bwx:.2f}/{post_bw:.2f} | host busy "
+                    f"{res.get('host_busy_mean')}% "
                     f"steal {res.get('host_steal_mean')}%",
                     flush=True,
                 )

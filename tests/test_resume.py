@@ -295,8 +295,12 @@ class TestSortedSourceFastPath:
         assert offsets[0] == 0
         assert sum(1 for _ in plan_rows) == len(offsets)
 
+        # small bucket target so the build SLICES the sorted row groups
+        # (positional slices must still yield identical docIDs/segments)
         idx_a = str(tmp_path / "idx_path")
-        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(src, idx_a)
+        IndexBuilder(
+            spark, BuildConfig(n_buckets=4, exchange_bucket_rows=256)
+        ).build(src, idx_a)
         idx_b = str(tmp_path / "idx_df")
         IndexBuilder(spark, BuildConfig(n_buckets=4)).build(df, idx_b)
         assert _segments(spark, idx_a) == _segments(spark, idx_b)
