@@ -243,18 +243,13 @@ class BuildConfig:
     # the reference's default is 500
     blank_lines_over: int | None = None
     # level-0 flush threshold: bounds the partial builder's in-memory
-    # accumulator (postings held per task before a flush).  CACHE-SIZED,
-    # not memory-sized: the flush's regroup (stable argsort by term code +
-    # three fancy-index gathers) is a random-access pass over every
-    # pending posting, and at 32-way worker concurrency a ~1.6M-posting
-    # flush measured 3-16x per-op inflation (DRAM-bound random access;
-    # /tmp/op_bench: gather 0.58s@8w -> 9.5s@32w on 2M elements) while
-    # ~128k-posting flushes stayed cache-resident and scaled (1.3x).
-    # The partials format already allows many chunks per (kind, term) —
-    # the merge splices them byte-wise — so small flushes cost only
-    # duplicated per-term metadata rows in the (deleted-after-merge)
-    # partial shards.
-    partial_flush_postings: int = 1 << 17
+    # accumulator (postings held per task before a flush).  The flush
+    # sorts/encodes in cache-resident SORT_CHUNK units internally (the
+    # one-block regroup measured 3-16x per-op inflation at 32-way worker
+    # concurrency — DRAM-bound random access), so this can stay large:
+    # bigger flushes mean fewer duplicated per-term rows in the partial
+    # shards and a cheaper merge.
+    partial_flush_postings: int = 1 << 20
     # pass-B Arrow slice size fed to the fused core: one add() appends
     # ~rows x avg_dl postings, so this bounds the accumulator's chunk
     # granularity (and with it the flush working set) — 4096 rows x ~30
@@ -680,16 +675,40 @@ class _PartialAcc:
         else:
             self.sink(batch)
 
+    # postings per cache-resident sort unit: the flush regroup (stable
+    # argsort by code + gathers) is random-access, and at 32-way worker
+    # concurrency a multi-million-element block measured 3-16x per-op
+    # inflation (DRAM-bound) while ~128k-element blocks stayed
+    # cache-resident (1.3x).  The chunked flush sorts/encodes per unit and
+    # byte-splices per-term pieces, so partials still get ONE row per
+    # (term, flush) — merge cost and shard size do not grow with the
+    # number of sort units.
+    SORT_CHUNK = 1 << 17
+
     def _flush(self) -> "tuple[pa.RecordBatch, object]":
         import numpy as np
-
-        from probe_spark.index.codec import _varint_encode_offsets
 
         codes = np.concatenate(self.code_chunks)
         ids = np.concatenate(self.id_chunks)
         dls = np.concatenate(self.dl_chunks)
         self.code_chunks, self.id_chunks, self.dl_chunks = [], [], []
         self.pending = 0
+        # The chunked path needs doc ids non-decreasing ACROSS sort units
+        # (its per-term byte pieces concatenate as continued delta
+        # streams); a parquet read split in the two-pass layout can
+        # concatenate files out of doc order — those flushes (and small
+        # ones) take the single-block path with its full-lexsort guard.
+        if len(codes) > self.SORT_CHUNK and bool(
+            np.all(ids[1:] >= ids[:-1])
+        ):
+            return self._flush_chunked(codes, ids, dls)
+        return self._flush_block(codes, ids, dls)
+
+    def _flush_block(self, codes, ids, dls) -> "tuple[pa.RecordBatch, object]":
+        import numpy as np
+
+        from probe_spark.index.codec import _varint_encode_offsets
+
         # stable sort by term code: within a term, arrival order is
         # normally ascending doc order (see add), so runs come out sorted.
         # Guard: a parquet read split can concatenate files out of doc
@@ -719,16 +738,13 @@ class _PartialAcc:
         gaps[starts] = ids[starts]
         docs_bin, doc_offs = _varint_encode_offsets(gaps)
         dl_bin, dl_offs = _varint_encode_offsets(dls.astype(np.uint64))
-        terms = self.terms
         sel = codes[starts]
-        kt = [terms[c] for c in sel]
         # each term's payload is a CONTIGUOUS slice of the varint buffer
         # (terms are sorted, offsets are cumulative), so the binary columns
         # are built zero-copy from (offsets[boundaries], buffer) instead of
         # materializing one Python bytes object per term (~300k allocs +
         # copies per flush — the pack phase's dominant memory traffic)
         bnd = np.concatenate((starts, [len(codes)]))
-        n_terms = len(starts)
         # per-term block metadata, all-vectorized: term runs are contiguous
         # in the flush buffer, so one global reduceat/fancy-index pass
         # covers every block of every term.  Emitting it here is what lets
@@ -743,10 +759,206 @@ class _PartialAcc:
         intra = np.arange(total_b, dtype=np.int64) - np.repeat(bcum[:-1], nb)
         bstarts = rep_tstart + intra * Bsz
         bends = np.minimum(bstarts + Bsz, np.repeat(ends, nb))
-        block_last_v = ids[bends - 1]
-        block_min_dl_v = np.minimum.reduceat(dls, bstarts).astype(np.int32)
-        block_doc_off_v = doc_offs[bstarts] - doc_offs[rep_tstart]
-        block_dl_off_v = dl_offs[bstarts] - dl_offs[rep_tstart]
+        return self._build_batch(
+            sel,
+            counts.astype(np.int64),
+            ids[starts],
+            ids[ends - 1],
+            docs_bin,
+            doc_offs[bnd],
+            dl_bin,
+            dl_offs[bnd],
+            ids[bends - 1],
+            np.minimum.reduceat(dls, bstarts).astype(np.int32),
+            doc_offs[bstarts] - doc_offs[rep_tstart],
+            dl_offs[bstarts] - dl_offs[rep_tstart],
+            bcum,
+        )
+
+    def _flush_chunked(
+        self, codes, ids, dls
+    ) -> "tuple[pa.RecordBatch, object]":
+        """Cache-resident flush: sort + varint-encode per SORT_CHUNK unit,
+        then splice each term's per-unit byte pieces in one vectorized
+        gather.  Correct because a term's first gap in each unit is
+        written as (first_id - last_id_seen_for_term), last_id starting
+        at 0 — so 'absolute first value' and 'delta from previous piece'
+        are the same encoding rule and pieces concatenate verbatim."""
+        import numpy as np
+
+        from probe_spark.index.codec import _varint_encode_offsets
+
+        C = self.SORT_CHUNK
+        Bsz = self.block_size
+        n = len(codes)
+        last_id = np.zeros(len(self.terms), dtype=np.int64)
+        # per-run (run = one term's postings within one unit) metadata
+        r_codes, r_counts, r_min, r_max = [], [], [], []
+        r_dsrc, r_dlen, r_lsrc, r_llen = [], [], [], []
+        r_nb, r_bstart = [], []
+        bl_vals, bm_vals, bd_vals, bo_vals = [], [], [], []
+        doc_bufs, dl_bufs = [], []
+        doc_base = 0
+        dl_base = 0
+        block_base = 0
+        for a in range(0, n, C):
+            b = min(a + C, n)
+            cc = codes[a:b]
+            order = np.argsort(cc, kind="stable")
+            sc = cc[order]
+            si = ids[a:b][order]
+            sd = dls[a:b][order]
+            bounds = np.flatnonzero(np.diff(sc)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(sc)]))
+            gaps = np.empty(len(si), dtype=np.uint64)
+            if len(si) > 1:
+                np.subtract(
+                    si[1:], si[:-1], out=gaps[1:], casting="unsafe"
+                )
+            first_codes = sc[starts]
+            gaps[starts] = (
+                si[starts] - last_id[first_codes]
+            ).astype(np.uint64)
+            last_id[first_codes] = si[ends - 1]
+            docs_bin, doc_offs = _varint_encode_offsets(gaps)
+            dl_bin, dl_offs = _varint_encode_offsets(sd.astype(np.uint64))
+            counts = ends - starts
+            nb = (counts + Bsz - 1) // Bsz
+            bcum = np.concatenate(([0], np.cumsum(nb)))
+            rep_tstart = np.repeat(starts, nb)
+            intra = (
+                np.arange(int(bcum[-1]), dtype=np.int64)
+                - np.repeat(bcum[:-1], nb)
+            )
+            bstarts = rep_tstart + intra * Bsz
+            bends = np.minimum(bstarts + Bsz, np.repeat(ends, nb))
+            bl_vals.append(si[bends - 1])
+            bm_vals.append(np.minimum.reduceat(sd, bstarts).astype(np.int32))
+            # unit-relative byte offsets; re-based per term at assembly
+            bd_vals.append(doc_offs[bstarts] - doc_offs[rep_tstart])
+            bo_vals.append(dl_offs[bstarts] - dl_offs[rep_tstart])
+            r_codes.append(first_codes)
+            r_counts.append(counts.astype(np.int64))
+            r_min.append(si[starts])
+            r_max.append(si[ends - 1])
+            r_dsrc.append(doc_base + doc_offs[starts])
+            r_dlen.append(doc_offs[ends] - doc_offs[starts])
+            r_lsrc.append(dl_base + dl_offs[starts])
+            r_llen.append(dl_offs[ends] - dl_offs[starts])
+            r_nb.append(nb.astype(np.int64))
+            r_bstart.append(block_base + bcum[:-1])
+            doc_bufs.append(np.frombuffer(docs_bin, np.uint8))
+            dl_bufs.append(np.frombuffer(dl_bin, np.uint8))
+            doc_base += len(docs_bin)
+            dl_base += len(dl_bin)
+            block_base += int(bcum[-1])
+        # ---- assembly: group runs by term code (chunk order preserved)
+        Rc = np.concatenate(r_codes)
+        Rn = np.concatenate(r_counts)
+        Rmin = np.concatenate(r_min)
+        Rmax = np.concatenate(r_max)
+        Rds = np.concatenate(r_dsrc)
+        Rdl = np.concatenate(r_dlen)
+        Rls = np.concatenate(r_lsrc)
+        Rll = np.concatenate(r_llen)
+        Rnb = np.concatenate(r_nb)
+        Rbs = np.concatenate(r_bstart)
+        DOC = np.concatenate(doc_bufs)
+        DLB = np.concatenate(dl_bufs)
+        BL = np.concatenate(bl_vals)
+        BM = np.concatenate(bm_vals)
+        BD = np.concatenate(bd_vals)
+        BO = np.concatenate(bo_vals)
+        order = np.argsort(Rc, kind="stable")
+        Rc, Rn, Rmin, Rmax = Rc[order], Rn[order], Rmin[order], Rmax[order]
+        Rds, Rdl, Rls, Rll = Rds[order], Rdl[order], Rls[order], Rll[order]
+        Rnb, Rbs = Rnb[order], Rbs[order]
+
+        def _gather(src, src_starts, lens):
+            total = int(lens.sum())
+            dst = np.concatenate(([0], np.cumsum(lens)))
+            idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(dst[:-1], lens)
+                + np.repeat(src_starts, lens)
+            )
+            return src[idx], dst
+
+        def _splice_bytes(src, src_starts, lens):
+            """Variable-slice permutation as a memcpy loop: an index-array
+            gather here would build ~8 bytes of int64 indices per byte
+            moved (measured as the chunked flush's DRAM hog at 32-way
+            concurrency); slice assignment moves the bytes with no index
+            materialization."""
+            dst = np.concatenate(([0], np.cumsum(lens)))
+            out = bytearray(int(dst[-1]))
+            mv = memoryview(src)
+            pos = 0
+            for s, ln in zip(src_starts.tolist(), lens.tolist()):
+                out[pos:pos + ln] = mv[s:s + ln]
+                pos += ln
+            return bytes(out), dst
+
+        docs_all, d_dst = _splice_bytes(DOC, Rds, Rdl)
+        dls_all, l_dst = _splice_bytes(DLB, Rls, Rll)
+        # block metadata in run order -> gathered to sorted-run order
+        bl_g, _ = _gather(BL, Rbs, Rnb)
+        bm_g, _ = _gather(BM, Rbs, Rnb)
+        bd_g, _ = _gather(BD, Rbs, Rnb)
+        bo_g, _ = _gather(BO, Rbs, Rnb)
+        # term boundaries over sorted runs
+        tb = np.flatnonzero(np.diff(Rc)) + 1
+        tstarts = np.concatenate(([0], tb))
+        tends = np.concatenate((tb, [len(Rc)]))
+        sel = Rc[tstarts]
+        dfs = np.add.reduceat(Rn, tstarts)
+        # per-run byte offset within its term (re-bases block offsets)
+        term_first_d = np.repeat(d_dst[tstarts], tends - tstarts)
+        term_first_l = np.repeat(l_dst[tstarts], tends - tstarts)
+        adj_d = d_dst[:-1] - term_first_d
+        adj_l = l_dst[:-1] - term_first_l
+        bd_g = bd_g + np.repeat(adj_d, Rnb)
+        bo_g = bo_g + np.repeat(adj_l, Rnb)
+        nb_term = np.add.reduceat(Rnb, tstarts)
+        bcum_t = np.concatenate(([0], np.cumsum(nb_term)))
+        return self._build_batch(
+            sel,
+            dfs,
+            Rmin[tstarts],
+            Rmax[tends - 1],
+            docs_all,
+            np.concatenate((d_dst[tstarts], [int(d_dst[-1])])),
+            dls_all,
+            np.concatenate((l_dst[tstarts], [int(l_dst[-1])])),
+            bl_g,
+            bm_g,
+            bd_g,
+            bo_g,
+            bcum_t,
+        )
+
+    def _build_batch(
+        self,
+        sel,
+        dfs,
+        min_docs,
+        max_docs,
+        docs_bin,
+        doc_term_offs,
+        dl_bin,
+        dl_term_offs,
+        block_last_v,
+        block_min_dl_v,
+        block_doc_off_v,
+        block_dl_off_v,
+        bcum,
+    ) -> "tuple[pa.RecordBatch, object]":
+        import numpy as np
+
+        terms = self.terms
+        kt = [terms[c] for c in sel]
+        n_terms = len(sel)
         boff = pa.array(bcum.astype(np.int32))
 
         def _blist(vals: "np.ndarray", typ) -> pa.Array:
@@ -757,7 +969,7 @@ class _PartialAcc:
             n_terms,
             [
                 None,
-                pa.py_buffer(doc_offs[bnd].astype(np.int32)),
+                pa.py_buffer(doc_term_offs.astype(np.int32)),
                 pa.py_buffer(docs_bin),
             ],
         )
@@ -766,7 +978,7 @@ class _PartialAcc:
             n_terms,
             [
                 None,
-                pa.py_buffer(dl_offs[bnd].astype(np.int32)),
+                pa.py_buffer(dl_term_offs.astype(np.int32)),
                 pa.py_buffer(dl_bin),
             ],
         )
@@ -774,9 +986,9 @@ class _PartialAcc:
             [
                 pa.array([k for k, _ in kt], pa.string()),
                 pa.array([t for _, t in kt], pa.string()),
-                pa.array(ends - starts, pa.int64()),
-                pa.array(ids[starts], pa.int64()),
-                pa.array(ids[ends - 1], pa.int64()),
+                pa.array(dfs, pa.int64()),
+                pa.array(min_docs, pa.int64()),
+                pa.array(max_docs, pa.int64()),
                 docs_arr,
                 dl_arr,
                 _blist(block_last_v, pa.int64()),
