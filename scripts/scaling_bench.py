@@ -154,10 +154,11 @@ def main() -> None:
             best_burn[cpus] = max(best_burn[cpus], burn)
             best_bw[cpus] = max(best_bw[cpus], bwx)
             for _ in range(6):
-                if (
-                    burn >= 0.85 * best_burn[cpus]
-                    and bwx >= 0.85 * best_bw[cpus]
-                ):
+                # the triad is RECORDED but not GATED on: the instrument
+                # itself fluctuates ~18x run-to-run on this box (page-
+                # fault behavior dominates its fixed work), so any
+                # threshold either never fires or ratchets shut forever
+                if burn >= 0.85 * best_burn[cpus]:
                     break
                 print(
                     f"  [contended window: burn {burn:.2f}/"
@@ -181,10 +182,7 @@ def main() -> None:
                 post_bw = bw_capacity(cpus)
                 best_burn[cpus] = max(best_burn[cpus], post)
                 best_bw[cpus] = max(best_bw[cpus], post_bw)
-                ok = (
-                    post >= 0.85 * best_burn[cpus]
-                    and post_bw >= 0.85 * best_bw[cpus]
-                )
+                ok = post >= 0.85 * best_burn[cpus]
                 n_turns = res["n_turns"]
                 job[cpus].append(res["build_turns_per_sec"])
                 print(
