@@ -198,7 +198,12 @@ def main() -> None:
                 if ok:
                     break
     best_job_lo, best_job_hi = max(job[lo]), max(job[hi])
-    best_hw_lo, best_hw_hi = max(hw[lo]), max(hw[hi])
+    # capacity = BEST observed, same estimator as the job's best-of-N:
+    # every burn taken this session (gating probes, pre- and post-run)
+    # feeds best_burn/best_bw, so a single noisy final shot cannot set
+    # the denominator (the triad fluctuates up to ~18x window-to-window)
+    best_hw_lo = max(best_burn[lo], *hw[lo])
+    best_hw_hi = max(best_burn[hi], *hw[hi])
     ratio = hi / lo
     raw = (best_job_hi / best_job_lo) / ratio
     hw_eff = (best_hw_hi / best_hw_lo) / ratio
@@ -207,7 +212,8 @@ def main() -> None:
     # inner loops move bytes, and on this single box 4x the cores buys
     # ~1.2x the bandwidth — the dimension a real 4N-executor cluster
     # scales 4x by adding machines
-    bw_lo, bw_hi = bw_capacity(lo), bw_capacity(hi)
+    bw_lo = max(best_bw[lo], bw_capacity(lo))
+    bw_hi = max(best_bw[hi], bw_capacity(hi))
     bw_eff = (bw_hi / bw_lo) / ratio
     normalized_bw = raw / bw_eff if bw_eff > 0 else 0.0
     result = {
