@@ -26,8 +26,11 @@ varint decoder):
      C(dl) = (k1+1)/(1 + k1*(1 - b + b*dl/avgdl)), k1=1.5 b=0.5
      (ranking.rs:186-208, 361-362)
   7. orderBy(score desc, doc_id asc).limit(k) -> TakeOrderedAndProject
-     (distributed top-k, no global sort), then a broadcast join of the k
-     winners back to docs/ for metadata.
+     (distributed top-k, no global sort), then the k winners are
+     materialized (driver-scale) and their metadata fetched from docs/ by
+     doc_id — footer-pruned file list + pushed-down In predicate, O(k)
+     files/row groups per query instead of a full corpus scan
+     (``_with_meta``).
 
 Special (exact/excluded) terms — reference semantics under the default SIMD
 dispatch (simd_tokenization.rs:120-133) are reproduced as follows: a special
@@ -82,6 +85,8 @@ ISIN_PUSHDOWN_CAP = 10_000
 # distinguishes "repair bundle not cached" from the cached "special terms
 # affect no doc" outcome (stored as None)
 _REPAIR_MISS = object()
+# sentinel for "docs/ footer ranges not swept yet" (None = swept, unusable)
+_UNSET: "object" = object()
 # conjunctive pruning drives candidates from the smallest-df mandatory
 # keyword; above this df the candidate set is too big to broadcast (longs,
 # so ~16MB at the cap) and the full groupBy path is used instead.  At
@@ -289,6 +294,9 @@ class SearchEngine:
         self.n_buckets = int(stats["n_buckets"])
         self.docs = spark.read.parquet(f"{index_path}/docs")
         self._df_cache: dict[str, int] = {}
+        # docs/ per-file doc_id ranges (footer sweep, lazy; _UNSET until
+        # first _with_meta) — prunes the winner-metadata fetch to O(k) files
+        self._docs_ranges: "list[tuple[str, int, int]] | None" = _UNSET
         # per-term WAND metadata + bootstrap-block memos (query services
         # repeat terms across queries; each miss costs a ~0.3s collect job)
         self._meta_cache: dict[str, list] = {}
@@ -716,17 +724,117 @@ class SearchEngine:
             )
         return self.spark.createDataFrame([], StructType(base))
 
-    def _with_meta(self, result: DataFrame) -> DataFrame:
-        """k winners are tiny -> broadcast them against docs metadata."""
-        return (
-            F.broadcast(result)
-            .join(
-                self.docs.select(
-                    "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                    "text",
-                ),
-                "doc_id",
+    def _docs_file_ranges(self) -> "list[tuple[str, int, int]] | None":
+        """Per-file (path, min_doc, max_doc) for docs/, footer-swept once
+        per engine (threaded; ~ms/file).  The build writes docs/ sorted by
+        doc_id within range partitions, so each file covers a tight doc_id
+        interval and a k-winner metadata fetch touches O(k) files.  None
+        when the index is not POSIX-visible or a footer lacks doc_id
+        stats — callers then fall back to the full-file-set In-predicate
+        scan (row-group pruning still applies there)."""
+        if self._docs_ranges is not _UNSET:
+            return self._docs_ranges
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        base = self.index_path.removeprefix("file://")
+        d = os.path.join(base, "docs")
+        ranges: list[tuple[str, int, int]] | None = None
+        if os.path.isdir(d):
+            import pyarrow.parquet as pq
+
+            files = sorted(
+                os.path.join(d, fn)
+                for fn in os.listdir(d)
+                if fn.endswith(".parquet")
             )
+
+            def rng(path: str):
+                md = pq.ParquetFile(path).metadata
+                idx = md.schema.to_arrow_schema().names.index("doc_id")
+                lo = hi = None
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                return (path, int(lo), int(hi)) if lo is not None else None
+
+            try:
+                with ThreadPoolExecutor(max_workers=16) as pool:
+                    out = list(pool.map(rng, files))
+                if out and all(o is not None for o in out):
+                    ranges = sorted(out, key=lambda r: r[1])
+                    # the bisect file selection in _meta_rows assumes one
+                    # file per doc_id; overlapping intervals would silently
+                    # drop winners — fall back to the full-file-set scan
+                    for prev, cur in zip(ranges, ranges[1:]):
+                        if cur[1] <= prev[2]:
+                            ranges = None
+                            break
+            except OSError:
+                ranges = None
+        self._docs_ranges = ranges
+        return ranges
+
+    def _meta_rows(self, ids: list[int]) -> DataFrame:
+        """Doc metadata for ``ids`` reading ONLY the touched docs/ files
+        (driver-cached footer ranges) with a pushed-down In predicate —
+        O(k) files and row groups instead of every text byte of the
+        corpus."""
+        cols = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text"]
+        ranges = self._docs_file_ranges()
+        src = self.docs
+        if ranges is not None:
+            import bisect
+
+            starts = [r[1] for r in ranges]
+            paths: list[str] = []
+            last = None
+            for i in sorted(ids):
+                j = bisect.bisect_right(starts, i) - 1
+                if j >= 0 and ranges[j][1] <= i <= ranges[j][2] and j != last:
+                    paths.append(ranges[j][0])
+                    last = j
+            if not paths:
+                return self.docs.select(*cols).limit(0)
+            src = self.spark.read.schema(self.docs.schema).parquet(*paths)
+        return src.filter(
+            F.col("doc_id").isin([int(i) for i in ids])
+        ).select(*cols)
+
+    def _with_meta(self, result: DataFrame) -> DataFrame:
+        """Attach doc metadata to the top-k winners.
+
+        The winners are driver-scale (k rows), so they are materialized
+        and their metadata fetched by doc_id: footer-pruned file list +
+        In-predicate row-group pruning (see ``_meta_rows``).  The previous
+        shape — broadcast the winners against the whole docs table —
+        kept k rows but SCANNED the entire corpus text per query
+        (O(corpus) IO; at 10^12 turns, disqualifying for a query service).
+        Past ISIN_PUSHDOWN_CAP winners the scan is the lesser evil and the
+        broadcast join returns."""
+        rows = result.collect()
+        if not rows:
+            return self._empty(True)
+        if len(rows) > ISIN_PUSHDOWN_CAP:
+            return (
+                F.broadcast(result)
+                .join(
+                    self.docs.select(
+                        "doc_id", "conv_id", "turn_idx", "role", "tool",
+                        "ts", "text",
+                    ),
+                    "doc_id",
+                )
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+        winners = self.spark.createDataFrame(rows, result.schema)
+        ids = sorted({int(r["doc_id"]) for r in rows})
+        return (
+            F.broadcast(winners)
+            .join(self._meta_rows(ids), "doc_id")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
