@@ -14,11 +14,19 @@ varint decoder):
   4. df per term from segment metadata (sum of df_seg; driver-side collect of
      <= 256 tiny rows), idf = ln(1 + (N - df + .5)/(df + .5))
      (ranking.rs:129-143)
-  5. candidates: groupBy(doc_id) -> hits = collect_set(term) (shuffle
-     bounded by docs-matching-any-term); for queries satisfiable by docs
-     with NO term hit (e.g. only-excluded queries) the docs table is
-     left-joined so every doc is a candidate — same semantics as the
-     reference, which scores every extracted block
+  5. candidates — two shapes:
+     a. doc-range-partitioned (the default for top-k queries without
+        retokenization repair, `_search_ranged` / search/ranged.py): ONE
+        exchange of the compressed varint segments hash-partitioned on
+        fixed-width doc ranges, then a vectorized Arrow worker per range
+        decodes only its overlapping blocks and evaluates the AST in
+        numpy, emitting its per-range top-k — no per-posting row shuffle;
+     b. full path (repair/session-exclude/metadata-match/k=None):
+        groupBy(doc_id) -> hits = collect_set(term) (shuffle bounded by
+        docs-matching-any-term); for queries satisfiable by docs with NO
+        term hit (e.g. only-excluded queries) the docs table is
+        left-joined so every doc is a candidate — same semantics as the
+        reference, which scores every extracted block
   6. filter + score: the AST compiles to nested when/otherwise Column trees
      (evaluate: elastic_query.rs:148-292; scoring incl. must/must_not gates:
      ranking.rs:226-274); TF is binary (the tokenizer dedups), so
@@ -633,6 +641,19 @@ class SearchEngine:
         self.last_wand_stats = {**stats, "theta": theta}
         if not keep:
             return empty
+        if (
+            not isinstance(expr, ast.Term)
+            and stats["blocks_kept"] > 0.5 * stats["blocks_total"]
+        ):
+            # block-max pruning is ineffective here (narrow dl spread
+            # keeps every block's upper bound above theta — measured
+            # blocks_kept == blocks_total on hot-term OR queries), so the
+            # decode is ~full either way and the groupBy(doc_id) row
+            # shuffle would dominate.  The doc-range-partitioned path
+            # does the same decode but evaluates locally per range.
+            return self._search_ranged(
+                expr, {t: t for t in token_terms}, k, with_metadata
+            )
         keep_df = spark.createDataFrame(
             [
                 (t, s, q, m, sorted(blocks))
@@ -723,6 +744,82 @@ class SearchEngine:
                 ),
             )
         return self.spark.createDataFrame([], StructType(base))
+
+    def _search_ranged(
+        self,
+        expr: ast.Expr,
+        kw_to_match: dict[str, str],
+        k: int,
+        with_metadata: bool,
+    ) -> DataFrame:
+        """Doc-range-partitioned evaluation (probe_spark.search.ranged):
+        ship the query terms' COMPRESSED varint segments to fixed-width
+        doc-range partitions (one exchange, ~1.2 B/posting) and evaluate
+        the AST locally per range in numpy, emitting only each range's
+        top-k — no row-level groupBy shuffle.  Scores are bit-identical
+        to the Column-compiled full path (same float association order)."""
+        from probe_spark.search import ranged
+
+        lookups = sorted({v for v in kw_to_match.values() if v is not None})
+        empty = self._empty(with_metadata)
+        if not lookups or not self.n_docs:
+            return empty
+        dfs = self._term_dfs(lookups)
+        idfs: dict[str, float] = {}
+        for kw in ast.extract_query_terms(expr):
+            match = kw_to_match.get(kw)
+            df = dfs.get(match, 0) if match else 0
+            if df > 0:
+                idfs[kw] = math.log(
+                    1.0 + (self.n_docs - df + 0.5) / (df + 0.5)
+                )
+        sum_df = sum(dfs.get(t, 0) for t in lookups)
+        if sum_df == 0:
+            # no postings anywhere and zero-hit docs don't qualify
+            # (dispatch precondition) -> empty
+            return empty
+        n_ranges = max(
+            2 * self.spark.sparkContext.defaultParallelism,
+            -(-sum_df // ranged.TARGET_POSTINGS_PER_RANGE),
+        )
+        width = max(1, -(-self.n_docs // n_ranges))
+        buckets = sorted({spark_bucket(t, self.n_buckets) for t in lookups})
+        src = (
+            self.postings.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(lookups)
+            )
+            .select(
+                "term", "min_doc", "max_doc", "docs_bin", "dl_bin",
+                "block_last_doc", "block_doc_off", "block_dl_off",
+            )
+            .withColumn(
+                "range_id",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("min_doc") / width).cast("int"),
+                        F.floor(F.col("max_doc") / width).cast("int"),
+                    )
+                ),
+            )
+        )
+        gen = ranged.make_range_eval(
+            expr, idfs, kw_to_match, self.avgdl, width, k, with_metadata
+        )
+        fields = [
+            StructField("doc_id", LongType(), False),
+            StructField("score", DoubleType(), False),
+        ]
+        if with_metadata:
+            fields.append(
+                StructField(
+                    "matched_terms", ArrayType(StringType(), True), False
+                )
+            )
+        out = src.repartition("range_id").mapInArrow(
+            gen, StructType(fields)
+        )
+        result = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self._with_meta(result) if with_metadata else result
 
     def _docs_file_ranges(self) -> "list[tuple[str, int, int]] | None":
         """Per-file (path, min_doc, max_doc) for docs/, footer-swept once
@@ -955,6 +1052,36 @@ class SearchEngine:
                     .limit(k)
                 )
                 return self._with_meta(result) if with_metadata else result
+
+        # doc-range-partitioned path (search/ranged.py): any top-k boolean
+        # query whose special terms do NOT trigger retokenization repair
+        # and that a zero-hit doc cannot satisfy.  Replaces the decoded
+        # groupBy(doc_id) row shuffle with one exchange of the compressed
+        # varint segments and a per-range vectorized evaluation — the
+        # document-sharded fan-out of a distributed search engine.
+        if (
+            prune
+            and k is not None
+            and exclude is None
+            and not match_metadata
+        ):
+            g_set0 = frozenset(
+                p.lookup
+                for p in plans.values()
+                if p.lookup and all(c.isalnum() for c in p.lookup)
+            )
+            needs_repair = any(
+                tok.tokenize(w) != tok.tokenize(w, g_set0) for w in g_set0
+            )
+            zero_inc = ast.evaluate(expr, lambda kw: False) and (
+                ast.score(expr, lambda kw: 0.0) is not None
+            )
+            if not needs_repair and not zero_inc:
+                ktm = {kw: kw for kw in normal_kws}
+                for kw, p in plans.items():
+                    if p.matchable:
+                        ktm[kw] = p.lookup
+                return self._search_ranged(expr, ktm, k, with_metadata)
 
         # Special terms whose registration changes doc tokenization
         # (tokenize(w) != tokenize(w, G)): docs containing such a term among
@@ -1285,7 +1412,7 @@ class SearchEngine:
 
         if with_metadata:
             if k is not None:
-                # k winners are tiny -> broadcast them against docs
+                # k winners are driver-scale -> footer-pruned fetch
                 result = self._with_meta(result)
             else:
                 result = result.join(

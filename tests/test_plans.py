@@ -107,9 +107,26 @@ class TestConjunctive:
             (r["doc_id"], r["score"]) for r in full.collect()
         ]
 
-    def test_mandatory_anchor_semi_join_in_full_path(self, engine):
-        # AND query: both sides mandatory -> anchor pre-filters the groupBy
+    def test_and_query_takes_ranged_path_no_row_shuffle(self, engine):
+        # AND query -> doc-range-partitioned evaluation: ONE exchange of
+        # the compressed segments (hashpartitioning on range_id), a Python
+        # Arrow stage, and NO per-posting groupBy/collect_set aggregation
         res = engine.search("error AND handling", k=5, with_metadata=False)
+        plan = _plan(res)
+        assert "TakeOrderedAndProject" in plan
+        assert "range_id" in plan and "Exchange hashpartitioning" in plan
+        assert "collect_set" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_mandatory_anchor_semi_join_in_full_path(self, engine, spark):
+        # the exclude (session) path still runs the full groupBy plan;
+        # both AND sides mandatory -> anchor pre-filters the groupBy
+        res = engine.search(
+            "error AND handling",
+            k=5,
+            with_metadata=False,
+            exclude=spark.createDataFrame([(999_999,)], "doc_id long"),
+        )
         plan = _plan(res)
         assert "LeftSemi" in plan
 
