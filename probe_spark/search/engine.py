@@ -15,13 +15,18 @@ varint decoder):
      <= 256 tiny rows), idf = ln(1 + (N - df + .5)/(df + .5))
      (ranking.rs:129-143)
   5. candidates — two shapes:
-     a. doc-range-partitioned (the default for top-k queries without
-        retokenization repair, `_search_ranged` / search/ranged.py): ONE
-        exchange of the compressed varint segments hash-partitioned on
-        fixed-width doc ranges, then a vectorized Arrow worker per range
-        decodes only its overlapping blocks and evaluates the AST in
-        numpy, emitting its per-range top-k — no per-posting row shuffle;
-     b. full path (repair/session-exclude/metadata-match/k=None):
+     a. doc-range-partitioned (the default for top-k queries,
+        `_search_ranged` / search/ranged.py): ONE exchange of the
+        compressed varint segments hash-partitioned on fixed-width doc
+        ranges, then a vectorized Arrow worker per range decodes only its
+        overlapping blocks and evaluates the AST in numpy, emitting its
+        per-range top-k — no per-posting row shuffle.  Special terms that
+        trigger retokenization repair ride it too: the affected set
+        (driver-capped) is retokenized in one distributed job, scored on
+        the driver with repaired presence/dl/df/avgdl, and the ranges
+        skip those ids (`_repair_overlay`);
+     b. full path (repair past the driver caps/session-exclude/
+        metadata-match/k=None):
         groupBy(doc_id) -> hits = collect_set(term) (shuffle bounded by
         docs-matching-any-term); for queries satisfiable by docs with NO
         term hit (e.g. only-excluded queries) the docs table is
@@ -100,6 +105,18 @@ _UNSET: "object" = object()
 # so ~16MB at the cap) and the full groupBy path is used instead.  At
 # 10^12-doc scale this would instead switch to a shuffle-join ladder.
 BROADCAST_DF_CAP = 2_000_000
+# repair-overlay cap: special-term queries whose raw-word affected set is
+# at or below this ride the doc-range path with a DRIVER-resident repaired
+# overlay (ids + presence bitmaps + dls, ~10 B/doc) instead of the full
+# groupBy path; past it the affected set is too big to hold/ship on the
+# driver and the distributed repair join takes over.  At 10^12-doc scale
+# a hot excluded word exceeds this and correctly falls back.
+REPAIR_OVERLAY_CAP = 500_000
+# session-exclude sets at or below this are collected to the driver and
+# ride the doc-range path as exclude_ids (seen sets are prior result
+# pages, so k-scale by construction); a larger exclude DataFrame falls
+# back to the full path's left_anti join
+EXCLUDE_COLLECT_CAP = 100_000
 
 _DECODED_SCHEMA = StructType(
     [
@@ -314,6 +331,11 @@ class SearchEngine:
         # Query services repeat excluded/exact-term queries; a hit skips the
         # affected-doc retokenization AND the stats job entirely.
         self._repair_cache: dict[tuple, tuple] = {}
+        # driver-resident repair overlays for the ranged path, same key:
+        # (ids, presence, dls, df_adj, dl_delta) or None (= infeasible,
+        # use the full path).  ~10 B/affected doc; capped per bundle by
+        # REPAIR_OVERLAY_CAP and FIFO-bounded across bundles.
+        self._overlay_cache: dict[tuple, "tuple | None"] = {}
         segments = spark.read.parquet(f"{index_path}/postings")
         # kind is a partition directory -> these filters prune at the source
         self.postings = segments.filter(F.col("kind") == "tok")
@@ -327,6 +349,7 @@ class SearchEngine:
         self._df_cache.clear()
         self._meta_cache.clear()
         self._boot_cache.clear()
+        self._overlay_cache.clear()
         for bundle in self._repair_cache.values():
             if bundle is not None:
                 bundle[0].unpersist(blocking=False)
@@ -745,26 +768,165 @@ class SearchEngine:
             )
         return self.spark.createDataFrame([], StructType(base))
 
+    def _repair_overlay(
+        self,
+        g_set: frozenset,
+        affecting: list[str],
+        all_lookups: list[str],
+    ) -> "tuple | None":
+        """Driver-resident repair bundle for the doc-range path: resolve the
+        affected-doc set (raw index, driver decode), retokenize it in ONE
+        distributed job, and collect the driver-scale result —
+        (ids sorted int64, presence {lookup -> bool array}, dls int64,
+        df_adj {lookup -> int}, dl_delta_sum).  The affected docs are then
+        scored on the driver with their repaired presence/dl while the
+        ranges skip them (`exclude_ids`), reproducing the reference's
+        global add_special_term effect (file_processing.rs:1090-1180 /
+        ranking.rs:186-208) without the full path's per-posting groupBy
+        shuffle or its distributed stats job.
+
+        Returns None when infeasible (index off-POSIX, raw df past the
+        driver decode cap, or affected set past REPAIR_OVERLAY_CAP) — the
+        caller falls back to the full path.  Cached per (special set,
+        lookup tuple): a warm query service pays the retokenization job
+        once per distinct special-term query shape."""
+        key = (g_set, tuple(all_lookups))
+        if key in self._overlay_cache:
+            return self._overlay_cache[key]
+        import numpy as np  # noqa: PLC0415
+
+        bundle: "tuple | None" = None
+        ids = raw_doc_ids(self.index_path, self.n_buckets, affecting)
+        if ids is not None and ids.size == 0:
+            bundle = (ids, {}, ids, {}, 0)
+        elif ids is not None and ids.size <= REPAIR_OVERLAY_CAP:
+            import pandas as pd  # noqa: PLC0415
+
+            if ids.size <= ISIN_PUSHDOWN_CAP:
+                # literal IN predicate -> parquet row-group pruning (docs/
+                # is doc_id-sorted within range partitions)
+                affected = self.docs.filter(
+                    F.col("doc_id").isin([int(x) for x in ids])
+                ).select("doc_id", "text", "dl")
+            else:
+                affected = self.docs.join(
+                    F.broadcast(
+                        self.spark.createDataFrame(
+                            pd.DataFrame({"doc_id": ids}),
+                            schema="doc_id long",
+                        )
+                    ),
+                    "doc_id",
+                ).select("doc_id", "text", "dl")
+            retok_schema = StructType(
+                [
+                    StructField("doc_id", LongType(), False),
+                    StructField("hits", ArrayType(StringType(), False), False),
+                    StructField(
+                        "old_hits", ArrayType(StringType(), False), False
+                    ),
+                    StructField("dl", IntegerType(), False),
+                    StructField("dl_delta", IntegerType(), False),
+                ]
+            )
+            lookups_b = list(all_lookups)
+            g_b = g_set
+
+            def retokenize(pdfs):
+                import pandas as pd  # noqa: PLC0415
+
+                for pdf in pdfs:
+                    toks = [
+                        tok.tokenize(t, g_b) if t else [] for t in pdf["text"]
+                    ]
+                    # base tokenization == the token-index state being
+                    # replaced (the index stores tokenize(text) dedup'd),
+                    # so old presence re-derives without decoding postings
+                    olds = [tok.tokenize(t) if t else [] for t in pdf["text"]]
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"],
+                            "hits": [
+                                [m for m in lookups_b if m in set(ts)]
+                                for ts in toks
+                            ],
+                            "old_hits": [
+                                [m for m in lookups_b if m in set(ts)]
+                                for ts in olds
+                            ],
+                            "dl": [len(ts) for ts in toks],
+                            "dl_delta": [
+                                len(ts) - int(d)
+                                for ts, d in zip(toks, pdf["dl"])
+                            ],
+                        }
+                    )
+
+            rows = affected.mapInPandas(retokenize, retok_schema).collect()
+            rows.sort(key=lambda r: r["doc_id"])
+            n = len(rows)
+            o_ids = np.fromiter((r["doc_id"] for r in rows), np.int64, n)
+            o_dls = np.fromiter((r["dl"] for r in rows), np.int64, n)
+            presence = {t: np.zeros(n, dtype=bool) for t in all_lookups}
+            old_counts = {t: 0 for t in all_lookups}
+            dl_delta = 0
+            for i, r in enumerate(rows):
+                for t in r["hits"]:
+                    presence[t][i] = True
+                for t in r["old_hits"]:
+                    old_counts[t] += 1
+                dl_delta += int(r["dl_delta"])
+            df_adj = {
+                t: int(presence[t].sum()) - old_counts[t]
+                for t in all_lookups
+                if int(presence[t].sum()) != old_counts[t]
+            }
+            bundle = (o_ids, presence, o_dls, df_adj, dl_delta)
+        if len(self._overlay_cache) >= 8:
+            self._overlay_cache.pop(next(iter(self._overlay_cache)))
+        self._overlay_cache[key] = bundle
+        return bundle
+
     def _search_ranged(
         self,
         expr: ast.Expr,
         kw_to_match: dict[str, str],
         k: int,
         with_metadata: bool,
+        df_adj: "dict[str, int] | None" = None,
+        avgdl: "float | None" = None,
+        overlay: "tuple | None" = None,
+        seen_ids=None,
     ) -> DataFrame:
         """Doc-range-partitioned evaluation (probe_spark.search.ranged):
         ship the query terms' COMPRESSED varint segments to fixed-width
         doc-range partitions (one exchange, ~1.2 B/posting) and evaluate
         the AST locally per range in numpy, emitting only each range's
         top-k — no row-level groupBy shuffle.  Scores are bit-identical
-        to the Column-compiled full path (same float association order)."""
+        to the Column-compiled full path (same float association order).
+
+        ``df_adj``/``avgdl``/``overlay`` carry a special-term repair
+        bundle (`_repair_overlay`): df/avgdl shift to their repaired
+        values, affected docs are scored HERE on the driver from their
+        repaired presence/dls (same numpy recursion as the ranges), and
+        the ranges drop them (exclude_ids) — so the union is exactly the
+        full repair path's candidate set.
+
+        ``seen_ids`` (sorted int64 array): session-seen docs dropped
+        BEFORE the per-range top-k — the reference's early session
+        filtering (cache.rs:392-541), so a repeated --session query fills
+        its page with the NEXT k unseen results."""
         from probe_spark.search import ranged
 
         lookups = sorted({v for v in kw_to_match.values() if v is not None})
         empty = self._empty(with_metadata)
         if not lookups or not self.n_docs:
             return empty
+        if avgdl is None:
+            avgdl = self.avgdl
         dfs = self._term_dfs(lookups)
+        if df_adj:
+            dfs = {t: dfs[t] + df_adj.get(t, 0) for t in lookups}
         idfs: dict[str, float] = {}
         for kw in ast.extract_query_terms(expr):
             match = kw_to_match.get(kw)
@@ -773,10 +935,11 @@ class SearchEngine:
                 idfs[kw] = math.log(
                     1.0 + (self.n_docs - df + 0.5) / (df + 0.5)
                 )
+        overlay_ids = overlay[0] if overlay is not None else None
         sum_df = sum(dfs.get(t, 0) for t in lookups)
-        if sum_df == 0:
-            # no postings anywhere and zero-hit docs don't qualify
-            # (dispatch precondition) -> empty
+        if sum_df == 0 and (overlay_ids is None or not overlay_ids.size):
+            # no postings anywhere, no repaired docs, and zero-hit docs
+            # don't qualify (dispatch precondition) -> empty
             return empty
         n_ranges = max(
             2 * self.spark.sparkContext.defaultParallelism,
@@ -802,8 +965,25 @@ class SearchEngine:
                 ),
             )
         )
+        exclude_ids = None
+        if overlay_ids is not None and overlay_ids.size:
+            exclude_ids = overlay_ids
+        if seen_ids is not None and seen_ids.size:
+            if exclude_ids is None:
+                exclude_ids = seen_ids
+            else:
+                import numpy as np  # noqa: PLC0415
+
+                exclude_ids = np.union1d(exclude_ids, seen_ids)
         gen = ranged.make_range_eval(
-            expr, idfs, kw_to_match, self.avgdl, width, k, with_metadata
+            expr,
+            idfs,
+            kw_to_match,
+            avgdl,
+            width,
+            k,
+            with_metadata,
+            exclude_ids=exclude_ids,
         )
         fields = [
             StructField("doc_id", LongType(), False),
@@ -815,9 +995,54 @@ class SearchEngine:
                     "matched_terms", ArrayType(StringType(), True), False
                 )
             )
-        out = src.repartition("range_id").mapInArrow(
-            gen, StructType(fields)
-        )
+        out_schema = StructType(fields)
+        out = src.repartition("range_id").mapInArrow(gen, out_schema)
+        if overlay_ids is not None and overlay_ids.size:
+            # affected docs: score on the driver with repaired presence/dl
+            # (same numpy recursion / float association order as the
+            # ranges), keep their top-k, union before the global top-k
+            import numpy as np  # noqa: PLC0415
+
+            o_presence, o_dls = overlay[1], overlay[2]
+            n = overlay_ids.size
+            zeros = np.zeros(n, dtype=bool)
+            sorted_kws = sorted(
+                {kw for t in ast.walk_terms(expr) for kw in t.keywords}
+            )
+            present = {}
+            for kw in sorted_kws:
+                lookup = kw_to_match.get(kw)
+                present[kw] = (
+                    o_presence.get(lookup, zeros)
+                    if lookup is not None
+                    else zeros
+                )
+            tf_norm = (K1 + 1.0) / (
+                1.0
+                + K1 * ((1.0 - B) + B * (o_dls.astype(np.float64) / avgdl))
+            )
+            score, isnull, ok = ranged._score_eval_numpy(
+                expr, idfs, present, tf_norm, np
+            )
+            sel = np.nonzero(ok & ~isnull)[0]
+            if seen_ids is not None and seen_ids.size and len(sel):
+                # seen filter BEFORE the top-k cut, so the page fills
+                sel = sel[~np.isin(overlay_ids[sel], seen_ids)]
+            if len(sel) > k:
+                order = np.lexsort((overlay_ids[sel], -score[sel]))[:k]
+                sel = sel[order]
+            if len(sel):
+                o_rows = []
+                for i in sel.tolist():
+                    row = [int(overlay_ids[i]), float(score[i])]
+                    if with_metadata:
+                        row.append(
+                            [kw for kw in sorted_kws if present[kw][i]]
+                        )
+                    o_rows.append(tuple(row))
+                out = out.unionByName(
+                    self.spark.createDataFrame(o_rows, out_schema)
+                )
         result = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return self._with_meta(result) if with_metadata else result
 
@@ -1054,34 +1279,73 @@ class SearchEngine:
                 return self._with_meta(result) if with_metadata else result
 
         # doc-range-partitioned path (search/ranged.py): any top-k boolean
-        # query whose special terms do NOT trigger retokenization repair
-        # and that a zero-hit doc cannot satisfy.  Replaces the decoded
+        # query that a zero-hit doc cannot satisfy.  Replaces the decoded
         # groupBy(doc_id) row shuffle with one exchange of the compressed
         # varint segments and a per-range vectorized evaluation — the
         # document-sharded fan-out of a distributed search engine.
-        if (
-            prune
-            and k is not None
-            and exclude is None
-            and not match_metadata
-        ):
+        # Special terms that trigger retokenization repair ride it too
+        # when the affected set fits the driver (`_repair_overlay`);
+        # past the caps they fall through to the distributed repair join.
+        # Session-exclude sets ride it as collected exclude_ids (filtered
+        # BEFORE the per-range top-k, so pages fill with unseen results).
+        if prune and k is not None and not match_metadata:
+            seen_ids = None
+            if exclude is not None:
+                import numpy as np  # noqa: PLC0415
+
+                seen_rows = (
+                    exclude.select("doc_id")
+                    .limit(EXCLUDE_COLLECT_CAP + 1)
+                    .collect()
+                )
+                if len(seen_rows) <= EXCLUDE_COLLECT_CAP:
+                    seen_ids = np.sort(
+                        np.fromiter(
+                            (r["doc_id"] for r in seen_rows),
+                            np.int64,
+                            len(seen_rows),
+                        )
+                    )
             g_set0 = frozenset(
                 p.lookup
                 for p in plans.values()
                 if p.lookup and all(c.isalnum() for c in p.lookup)
             )
-            needs_repair = any(
-                tok.tokenize(w) != tok.tokenize(w, g_set0) for w in g_set0
+            affecting0 = sorted(
+                w for w in g_set0 if tok.tokenize(w) != tok.tokenize(w, g_set0)
             )
             zero_inc = ast.evaluate(expr, lambda kw: False) and (
                 ast.score(expr, lambda kw: 0.0) is not None
             )
-            if not needs_repair and not zero_inc:
+            if not zero_inc and (exclude is None or seen_ids is not None):
                 ktm = {kw: kw for kw in normal_kws}
                 for kw, p in plans.items():
                     if p.matchable:
                         ktm[kw] = p.lookup
-                return self._search_ranged(expr, ktm, k, with_metadata)
+                if not affecting0:
+                    return self._search_ranged(
+                        expr, ktm, k, with_metadata, seen_ids=seen_ids
+                    )
+                bundle = self._repair_overlay(
+                    g_set0, affecting0, sorted(set(ktm.values()))
+                )
+                if bundle is not None:
+                    o_ids, o_presence, o_dls, odf_adj, o_delta = bundle
+                    adj_avgdl = self.avgdl
+                    if o_ids.size and self.n_docs:
+                        adj_avgdl = (
+                            self.avgdl * self.n_docs + o_delta
+                        ) / self.n_docs
+                    return self._search_ranged(
+                        expr,
+                        ktm,
+                        k,
+                        with_metadata,
+                        df_adj=odf_adj,
+                        avgdl=adj_avgdl,
+                        overlay=(o_ids, o_presence, o_dls),
+                        seen_ids=seen_ids,
+                    )
 
         # Special terms whose registration changes doc tokenization
         # (tokenize(w) != tokenize(w, G)): docs containing such a term among

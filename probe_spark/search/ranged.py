@@ -147,9 +147,17 @@ def make_range_eval(
     width: int,
     k: int,
     with_matched: bool,
+    exclude_ids=None,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
     """Build the mapInArrow generator: decode blocks overlapping each
-    range, evaluate, emit the per-range top-k (score desc, doc_id asc)."""
+    range, evaluate, emit the per-range top-k (score desc, doc_id asc).
+
+    ``exclude_ids`` (sorted int64 numpy array): doc_ids whose candidacy is
+    handled elsewhere — the special-term repair overlay scores affected
+    docs on the driver with their REPAIRED presence/dl, so the ranges must
+    not emit them with stale token-index state.  The array rides the
+    pickled task closure (PySpark auto-broadcasts large commands); it is
+    capped driver-side (engine.REPAIR_OVERLAY_CAP)."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -228,6 +236,12 @@ def make_range_eval(
             score, isnull, ok = _score_eval_numpy(
                 expr, idfs, present, tf_norm, np
             )
+            if exclude_ids is not None and len(exclude_ids):
+                a = rid * width
+                lo = np.searchsorted(exclude_ids, a)
+                hi = np.searchsorted(exclude_ids, a + width)
+                if hi > lo:
+                    ok = ok & ~np.isin(uids, exclude_ids[lo:hi])
             sel = np.nonzero(ok & ~isnull)[0]
             if not len(sel):
                 continue

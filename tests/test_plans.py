@@ -118,9 +118,27 @@ class TestConjunctive:
         assert "collect_set" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
 
-    def test_mandatory_anchor_semi_join_in_full_path(self, engine, spark):
-        # the exclude (session) path still runs the full groupBy plan;
-        # both AND sides mandatory -> anchor pre-filters the groupBy
+    def test_exclude_rides_ranged_path(self, engine, spark):
+        # session-exclude sets collect to the driver and ride the
+        # doc-range path (exclude_ids) — no groupBy, one exchange
+        res = engine.search(
+            "error AND handling",
+            k=5,
+            with_metadata=False,
+            exclude=spark.createDataFrame([(999_999,)], "doc_id long"),
+        )
+        plan = _plan(res)
+        assert "collect_set" not in plan
+        assert "range_id" in plan
+
+    def test_mandatory_anchor_semi_join_in_full_path(
+        self, engine, spark, monkeypatch
+    ):
+        # an exclude set past the driver cap falls back to the full
+        # groupBy plan; both AND sides mandatory -> anchor pre-filters it
+        import probe_spark.search.engine as eng_mod
+
+        monkeypatch.setattr(eng_mod, "EXCLUDE_COLLECT_CAP", 0)
         res = engine.search(
             "error AND handling",
             k=5,
