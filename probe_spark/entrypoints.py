@@ -77,16 +77,28 @@ WITH wordlists AS (
 """
 
 
-def _bm25_sql(tokens: list[str], filter_expr: str, score_terms: list[str]) -> str:
+def _bm25_sql(
+    tokens: list[str],
+    filter_expr: str,
+    score_terms: list[str],
+    limit: "int | None" = None,
+) -> str:
     """Assemble a BM25 oracle: presence flags + dfs + idf*tf_norm score.
 
     filter_expr / score_terms reference p_<tok> flags, idf via
-    ln(1 + (n - df_<tok> + 0.5)/(df_<tok> + 0.5)) and tfn (shared)."""
+    ln(1 + (n - df_<tok> + 0.5)/(df_<tok> + 0.5)) and tfn (shared).
+    ``limit`` adds the engine's top-k ordering (raw score desc, doc_id
+    asc) BEFORE rounding — the rank-identity shape of the topk oracles."""
     flags = ",\n         ".join(
         f"MAX(CASE WHEN tok.t = '{t}' THEN 1 ELSE 0 END) AS p_{t}" for t in tokens
     )
     dfs = ", ".join(f"SUM(p_{t}) AS df_{t}" for t in tokens)
     score = " + ".join(score_terms)
+    order = (
+        f"\n  ORDER BY score DESC, p.doc_id ASC\n  LIMIT {limit}"
+        if limit
+        else ""
+    )
     return f"""{_BM25_PRELUDE}
 , pres AS (
   SELECT dls.doc_id, dls.dl,
@@ -95,11 +107,12 @@ def _bm25_sql(tokens: list[str], filter_expr: str, score_terms: list[str]) -> st
   GROUP BY dls.doc_id, dls.dl
 ), dfs AS (
   SELECT {dfs} FROM pres
+), scored AS (
+  SELECT p.doc_id, {score} AS score
+  FROM pres p, stats s, dfs d
+  WHERE {filter_expr}{order}
 )
-SELECT p.doc_id,
-       ROUND({score}, 6) AS score
-FROM pres p, stats s, dfs d
-WHERE {filter_expr}
+SELECT doc_id, ROUND(score, 6) AS score FROM scored
 """
 
 
@@ -320,6 +333,18 @@ def _q_bm25_topk_wand(spark, sf_dir):
     so the driver compare IS the rank-identity check."""
     eng = get_engine(spark, sf_dir)
     res = eng.search("hash OR join", k=50, with_metadata=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_bm25_topk_ranged(spark, sf_dir):
+    """Top-k through the doc-range-partitioned path (search/ranged.py):
+    a boolean query with a stable excluded special is not WAND-eligible
+    and not a single conjunctive Term, so with k given it takes the
+    one-exchange ranged fan-out.  The oracle is the naive full-scoring
+    SQL + the engine's ordering + LIMIT, so the driver compare IS the
+    ranged path's rank-identity check."""
+    eng = get_engine(spark, sf_dir)
+    res = eng.search("hash -dup", k=50, with_metadata=False)
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -552,6 +577,7 @@ QUERIES = {
     "sessionize": _q_sessionize,
     "windowed_counts": _q_windowed_counts,
     "bm25_topk_wand": _q_bm25_topk_wand,
+    "bm25_topk_ranged": _q_bm25_topk_ranged,
     "bm25_topk_local": _q_bm25_topk_local,
     "limited_search": _q_limited_search,
     "simhash": _q_simhash,
@@ -1211,6 +1237,12 @@ FROM events GROUP BY 1, 2
 """,
     "bm25_topk_wand": _BM25_TOPK_WAND_ORACLE.format(
         c_hash=_contrib("hash"), c_join=_contrib("join")
+    ),
+    "bm25_topk_ranged": _bm25_sql(
+        ["hash", "dup"],
+        "p.p_hash = 1 AND p.p_dup = 0",
+        [_contrib("hash")],
+        limit=50,
     ),
     "bm25_topk_local": _BM25_TOPK_WAND_ORACLE.format(
         c_hash=_contrib("hash"), c_join=_contrib("join")
