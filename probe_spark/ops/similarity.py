@@ -14,12 +14,17 @@ Two paths:
     agree without shipping state.
   * IVF-flat (coarse quantizer cells) — every vector is assigned to its
     nearest of n_cells centroid directions (argmax dot); queries scan only
-    the n_probe closest cells.  Centroids are seeded-deterministic rather
-    than k-means-trained (training would make the assignment depend on
-    iterative float state that no independent oracle could reproduce);
-    the partition-by-cell / probe-pruning plumbing is identical to a
-    trained quantizer, which can be dropped in by replacing
-    _seeded_centroids with persisted trained centroids.
+    the n_probe closest cells.  The quantizer has two sources: the default
+    seeded-deterministic directions (which an independent SQL oracle can
+    reproduce — the driver contract entry pins this path), and a
+    k-means-trained quantizer from train_ivf_centroids() (spherical
+    Lloyd on a bounded deterministic sample, the standard IVF recipe —
+    faiss trains its coarse quantizer on ~1e5-1e6 sampled vectors
+    regardless of corpus size).  Trained centroids persist as a
+    ``_centroids`` sidecar inside write_ivf_index() output, so queries
+    against the index reload the exact training result; every other piece
+    of plumbing (partition-by-cell write, probe pruning, fold order) is
+    shared between the two sources.
 
 Embedding near-dup (cosine > threshold pairs) composes bucketing with an
 exact verify join — the same candidate/verify shape as ops.dedup.
@@ -185,18 +190,72 @@ def _seeded_centroids(dim: int, n_cells: int, seed: int = 13) -> np.ndarray:
     return out
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    iters: int = 10,
+    sample_size: int = 100_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer on a bounded sample.
+
+    Scale shape: the quantizer trains on a SAMPLE, never the corpus — the
+    standard IVF recipe (faiss trains on ~1e5-1e6 vectors whether the
+    corpus is 1 GB or 100 TB).  The sample is deterministic without a full
+    sort: order by xxhash64(id, seed) and TakeOrdered the first
+    sample_size rows (one scan, sample_size * dim floats on the driver).
+    Full-corpus assignment stays distributed in with_ivf_cell.
+
+    Lloyd iterations use the assignment rule the executors use (argmax
+    dot, ties -> lowest cell index); the update step is mean-then-L2-
+    normalize, the exact maximizer of the spherical objective
+    sum_i dot(x_i, c_assign(i)) for unit centroids — so the objective is
+    monotone non-decreasing from the seeded (normalized) init.  A cell
+    that goes empty keeps its previous direction.  Persist the result via
+    write_ivf_index(..., centroids=...); queries reload it, so ranking
+    never depends on re-running training."""
+    sample = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    cents = _seeded_centroids(dim, n_cells, seed)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if x.size == 0:
+        return cents
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cents[c] = v / norm
+    return cents
+
+
 def with_ivf_cell(
     df: DataFrame,
     dim: int,
     n_cells: int = 16,
     vec_col: str = "embedding",
     seed: int = 13,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Add ``cell`` = index of the max-dot centroid (ties -> lowest index).
 
     Build side of an IVF index: write partitioned by cell; queries prune
-    to their n_probe nearest cells.  Dot products run inside codegen."""
-    cents = _seeded_centroids(dim, n_cells, seed)
+    to their n_probe nearest cells.  Dot products run inside codegen.
+    ``centroids`` (e.g. from train_ivf_centroids) overrides the seeded
+    directions; n_cells then follows its row count."""
+    cents = _seeded_centroids(dim, n_cells, seed) if centroids is None else centroids
+    n_cells = len(cents)
     v = F.col(vec_col)
     dots = F.array(
         *[
@@ -227,11 +286,20 @@ def _left_fold_dot(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def _ivf_probes(
-    query_vec: list[float], n_cells: int, n_probe: int, seed: int
+    query_vec: list[float],
+    n_cells: int,
+    n_probe: int,
+    seed: int,
+    centroids: "np.ndarray | None" = None,
 ) -> list[int]:
     """Driver-side probe cells: the n_probe highest query-centroid dots
     (ties -> lowest cell index), same fold order as the plan/oracle."""
-    cents = _seeded_centroids(len(query_vec), n_cells, seed)
+    cents = (
+        _seeded_centroids(len(query_vec), n_cells, seed)
+        if centroids is None
+        else centroids
+    )
+    n_cells = len(cents)
     qv = np.asarray(query_vec, dtype=np.float64)
     qdots = [_left_fold_dot(cents[c], qv) for c in range(n_cells)]
     order = sorted(range(n_cells), key=lambda c: (-qdots[c], c))
@@ -247,13 +315,14 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 13,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate top-k: scan only the n_probe cells whose centroid dot
     with the query is highest (ties -> lowest cell index)."""
-    probes = _ivf_probes(query_vec, n_cells, n_probe, seed)
-    cand = with_ivf_cell(df, len(query_vec), n_cells, vec_col, seed).filter(
-        F.col("cell").isin(probes)
-    )
+    probes = _ivf_probes(query_vec, n_cells, n_probe, seed, centroids)
+    cand = with_ivf_cell(
+        df, len(query_vec), n_cells, vec_col, seed, centroids
+    ).filter(F.col("cell").isin(probes))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
@@ -300,6 +369,7 @@ def write_ivf_index(
     n_cells: int = 16,
     vec_col: str = "embedding",
     seed: int = 13,
+    centroids: "np.ndarray | None" = None,
 ) -> None:
     """Materialize an IVF index: the corpus written partitioned by ``cell``.
 
@@ -307,10 +377,30 @@ def write_ivf_index(
     products per vector) happens ONCE at build; every query then reads only
     its n_probe cell directories via partition pruning, never touching the
     other (n_cells - n_probe)/n_cells of the data and never recomputing
-    assignment dots."""
-    with_ivf_cell(df, dim, n_cells, vec_col, seed).write.mode(
+    assignment dots.
+
+    With ``centroids`` (a trained quantizer), the exact values persist to
+    a ``_centroids`` sidecar inside the index (underscore-prefixed, so the
+    main parquet scan ignores it); ivf_topk_indexed reloads them, making
+    the query side independent of the training run."""
+    with_ivf_cell(df, dim, n_cells, vec_col, seed, centroids).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(path)
+    if centroids is not None:
+        rows = [(c, [float(v) for v in centroids[c]]) for c in range(len(centroids))]
+        df.sparkSession.createDataFrame(
+            rows, "cell int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+
+
+def _load_ivf_centroids(spark, path: str) -> "np.ndarray | None":
+    """Read the trained-quantizer sidecar if the index has one."""
+    try:
+        rows = spark.read.parquet(path + "/_centroids").collect()
+    except Exception:
+        return None
+    rows.sort(key=lambda r: r["cell"])
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
 
 
 def ivf_topk_indexed(
@@ -325,11 +415,14 @@ def ivf_topk_indexed(
     seed: int = 13,
 ) -> DataFrame:
     """Top-k over a write_ivf_index() directory.  The driver picks the
-    n_probe cells (same seeded centroids), and ``cell IN (...)`` is a
-    partition filter — the scan lists only those directories
-    (PartitionFilters in .explain), so per-query IO is n_probe/n_cells of
-    the corpus.  Rank-identical to ivf_topk() on the same parameters."""
-    probes = _ivf_probes(query_vec, n_cells, n_probe, seed)
+    n_probe cells (from the index's ``_centroids`` sidecar when the
+    quantizer was trained, else the seeded directions), and
+    ``cell IN (...)`` is a partition filter — the scan lists only those
+    directories (PartitionFilters in .explain), so per-query IO is
+    n_probe/n_cells of the corpus.  Rank-identical to ivf_topk() on the
+    same parameters."""
+    centroids = _load_ivf_centroids(spark, path)
+    probes = _ivf_probes(query_vec, n_cells, n_probe, seed, centroids)
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 

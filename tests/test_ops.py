@@ -243,6 +243,79 @@ class TestSimilarity:
         pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
         assert pf and "cell" in pf[0] and "PartitionFilters: []" not in pf[0]
 
+    def test_train_ivf_centroids_improves_spherical_objective(self, emb_df):
+        # Lloyd guarantee: the spherical objective (sum of each vector's
+        # dot with its assigned unit centroid) is monotone non-decreasing
+        # from the seeded init, and trained centroids are unit-norm
+        df, vecs = emb_df
+        x = vecs.astype(np.float64)
+        seeded = similarity._seeded_centroids(16, 4, seed=13)
+        seeded = seeded / np.linalg.norm(seeded, axis=1, keepdims=True)
+        trained = similarity.train_ivf_centroids(
+            df, dim=16, n_cells=4, iters=8, sample_size=1000
+        )
+        assert trained.shape == (4, 16)
+        assert np.allclose(np.linalg.norm(trained, axis=1), 1.0)
+
+        def objective(cents):
+            dots = x @ cents.T
+            return dots.max(axis=1).sum()
+
+        assert objective(trained) >= objective(seeded) - 1e-9
+        # and it genuinely moved off the random init on this data
+        assert not np.allclose(trained, seeded)
+
+    def test_ivf_topk_trained_matches_probe_restricted_bruteforce(self, emb_df):
+        # same exactness contract as the seeded test, with a trained
+        # quantizer threaded through assignment + probe selection
+        df, vecs = emb_df
+        cents = similarity.train_ivf_centroids(
+            df, dim=16, n_cells=4, iters=8, sample_size=1000
+        )
+        q = vecs[3].astype(np.float64)
+        cells = (vecs.astype(np.float64) @ cents.T).argmax(axis=1)
+        qdots = [similarity._left_fold_dot(cents[c], q) for c in range(4)]
+        probes = set(sorted(range(4), key=lambda c: (-qdots[c], c))[:2])
+        cand = [i for i in range(40) if cells[i] in probes]
+        sims = (vecs.astype(np.float64) @ q) / (
+            np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q)
+        )
+        exp = sorted(cand, key=lambda i: (-round(sims[i], 6), i))[:5]
+        got = [
+            r["id"]
+            for r in similarity.ivf_topk(
+                df, list(vecs[3]), k=5, n_probe=2, centroids=cents
+            ).collect()
+        ]
+        assert got == exp
+        assert got[0] == 3 and 7 in got
+
+    def test_ivf_indexed_trained_sidecar_roundtrip(self, emb_df, tmp_path):
+        # write with a trained quantizer -> the query side reloads the
+        # _centroids sidecar (no centroids passed) and is rank-identical
+        # to the on-the-fly trained path; the sidecar must not leak into
+        # the main corpus scan
+        df, vecs = emb_df
+        cents = similarity.train_ivf_centroids(
+            df, dim=16, n_cells=4, iters=8, sample_size=1000
+        )
+        path = str(tmp_path / "ivf_trained")
+        similarity.write_ivf_index(df, path, dim=16, n_cells=4, centroids=cents)
+        spark = df.sparkSession
+        loaded = similarity._load_ivf_centroids(spark, path)
+        assert loaded is not None and np.allclose(loaded, cents)
+        got = similarity.ivf_topk_indexed(
+            spark, path, list(vecs[3]), k=5, n_cells=4, n_probe=2
+        )
+        exp = similarity.ivf_topk(
+            df, list(vecs[3]), k=5, n_probe=2, centroids=cents
+        ).collect()
+        assert [(r["id"], r["cos_sim"]) for r in got.collect()] == [
+            (r["id"], r["cos_sim"]) for r in exp
+        ]
+        # underscore sidecar is invisible to the corpus read
+        assert spark.read.parquet(path).count() == 40
+
     def test_lsh_indexed_prunes_partitions_and_matches(self, emb_df, tmp_path):
         df, vecs = emb_df
         path = str(tmp_path / "lsh_idx")
