@@ -32,6 +32,13 @@ import sys
 import time
 
 
+def combine_queries(queries: "list[str]") -> str:
+    """Multiple CLI query args join with " AND " before parsing
+    (search_runner.rs:358-364) — the combined string then goes through
+    the one grammar, so `probe a b` == `probe "a AND b"`."""
+    return " AND ".join(queries)
+
+
 def _build_session(app: str):
     from pyspark.sql import SparkSession
 
@@ -83,7 +90,7 @@ def cmd_search(args) -> int:
             "with BM25 as the reference does)", file=sys.stderr,
         )
         return 2
-    args.query = " AND ".join(args.query)
+    args.query = combine_queries(args.query)
     timer = None
     if args.timeout:
         import os

@@ -192,6 +192,17 @@ def _q_bm25_and(spark, sf_dir):
     return _search(spark, sf_dir, "hash AND join")
 
 
+def _q_multi_query_combine(spark, sf_dir):
+    """Multi-query combine (§2.8): several CLI query strings join with
+    " AND " before parsing (cli.combine_queries, search_runner.rs:358-364).
+    Exercised through the library surface — search(combine_queries(
+    ["scan", "agg"])) must score exactly like the single conjunctive
+    query, which the DuckDB oracle computes directly."""
+    from probe_spark.cli import combine_queries
+
+    return _search(spark, sf_dir, combine_queries(["scan", "agg"]))
+
+
 def _q_bm25_implicit_or(spark, sf_dir):
     return _search(spark, sf_dir, "table query sort fast")
 
@@ -557,6 +568,7 @@ def _q_video_frames(spark, sf_dir):
 QUERIES = {
     "bm25_or": _q_bm25_or,
     "bm25_and": _q_bm25_and,
+    "multi_query_combine": _q_multi_query_combine,
     "bm25_implicit_or": _q_bm25_implicit_or,
     "bm25_required": _q_bm25_required,
     "bm25_excluded": _q_bm25_excluded,
@@ -1102,6 +1114,11 @@ ORACLES = {
         ["hash", "join"],
         "p.p_hash = 1 AND p.p_join = 1",
         [_contrib("hash"), _contrib("join")],
+    ),
+    "multi_query_combine": _bm25_sql(
+        ["scan", "agg"],
+        "p.p_scan = 1 AND p.p_agg = 1",
+        [_contrib("scan"), _contrib("agg")],
     ),
     "bm25_implicit_or": _bm25_sql(
         ["tabl", "queri", "sort", "fast"],
