@@ -236,6 +236,12 @@ def cmd_stats(args) -> int:
         .collect()
     )
     stats["manifest"] = [m.asDict() for m in manifest]
+    if args.verify:
+        from probe_spark.index.verify import verify_index
+
+        stats["verify"] = verify_index(spark, args.index)
+        print(json.dumps(stats, default=str))
+        return 0 if stats["verify"]["ok"] else 1
     print(json.dumps(stats, default=str))
     return 0
 
@@ -330,6 +336,10 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("stats", help="print index stats + manifest lineage")
     st.add_argument("--index", required=True)
+    st.add_argument("--verify", action="store_true",
+                    help="distributed integrity check: segment CRCs + "
+                         "structure, manifest lineage totals, doc_id "
+                         "density (exit 1 on any failure)")
     st.set_defaults(fn=cmd_stats)
 
     args = p.parse_args(argv)
