@@ -170,6 +170,59 @@ def get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _ENGINES[path]
 
 
+def _streamed_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Stream-built sibling of get_engine (§2.10): the same corpus arrives
+    as TWO file waves through Structured Streaming (streaming.ingest
+    foreachBatch delta builds), so the resulting index is grown
+    incrementally, not batch-built.  Waves split the (conv_id, turn_idx)
+    global order prefix/suffix, so streamed docIDs reproduce the batch
+    build's exactly — which is what lets the driver compare this engine
+    against the ordinary batch SQL oracle (stream==batch parity IS the
+    check; no rows-only weakening)."""
+    path = index_path_for(sf_dir) + "_stream"
+    if path in _ENGINES:
+        return _ENGINES[path]
+    marker = os.path.join(path, "_STREAM_DONE")
+    if not os.path.exists(marker):
+        import glob as _glob
+        import shutil
+
+        from probe_spark.streaming.ingest import stream_index
+
+        src = path + "_src"
+        ckpt = path + "_ckpt"
+        for d in (path, src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(src)
+        t = _docs_as_transcripts(spark, sf_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+        n = t.count()
+        cut = F.lpad(F.lit(str(n // 2)), 12, "0")
+
+        def _emit_wave(df, i):
+            tmp = f"{src}_w{i}"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for j, f in enumerate(sorted(_glob.glob(f"{tmp}/part-*.parquet"))):
+                shutil.copy(f, os.path.join(src, f"wave{i}_{j}.parquet"))
+            shutil.rmtree(tmp)
+
+        _emit_wave(t.filter(F.col("conv_id") < cut), 0)
+        q = stream_index(spark, src, path, ckpt, BuildConfig(n_buckets=8))
+        try:
+            q.processAllAvailable()
+            _emit_wave(t.filter(F.col("conv_id") >= cut), 1)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    _ENGINES[path] = SearchEngine(spark, path)
+    return _ENGINES[path]
+
+
 def _search(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """Full result set (no top-k cutoff: the driver's compare is
     order-insensitive, and no cutoff means float ties can't flip membership),
@@ -344,6 +397,17 @@ def _q_bm25_topk_wand(spark, sf_dir):
     so the driver compare IS the rank-identity check."""
     eng = get_engine(spark, sf_dir)
     res = eng.search("hash OR join", k=50, with_metadata=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_streaming_index(spark, sf_dir):
+    """Streaming ingest (§2.10, beyond-reference): the corpus arrives as
+    two Structured Streaming micro-batches (foreachBatch delta builds into
+    one index dir); a BM25 query over the STREAMED index must match the
+    batch oracle SQL exactly — the stream==batch parity the pytest suite
+    pins, promoted to a driver-verified entry."""
+    eng = _streamed_engine(spark, sf_dir)
+    res = eng.search("+vector slow", k=None, with_metadata=False)
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -589,6 +653,7 @@ QUERIES = {
     "sessionize": _q_sessionize,
     "windowed_counts": _q_windowed_counts,
     "bm25_topk_wand": _q_bm25_topk_wand,
+    "streaming_index": _q_streaming_index,
     "bm25_topk_ranged": _q_bm25_topk_ranged,
     "bm25_topk_local": _q_bm25_topk_local,
     "limited_search": _q_limited_search,
@@ -1254,6 +1319,11 @@ FROM events GROUP BY 1, 2
 """,
     "bm25_topk_wand": _BM25_TOPK_WAND_ORACLE.format(
         c_hash=_contrib("hash"), c_join=_contrib("join")
+    ),
+    "streaming_index": _bm25_sql(
+        ["vector", "slow"],
+        "p.p_vector = 1",
+        [_contrib("vector"), _contrib("slow")],
     ),
     "bm25_topk_ranged": _bm25_sql(
         ["hash", "dup"],
