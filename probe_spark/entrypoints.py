@@ -411,6 +411,32 @@ def _q_streaming_index(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_compacted_index(spark, sf_dir):
+    """Streamed-then-compacted index (§2.10): the streamed index's many
+    per-batch segments collapse back into the batch layout via
+    StreamingIndexer.compact() (the batch merge re-run over docs/, no
+    re-tokenization), and the same batch oracle SQL must still hold —
+    compaction is invisible to query results."""
+    import shutil
+
+    from probe_spark.streaming.ingest import StreamingIndexer
+
+    _streamed_engine(spark, sf_dir)  # ensure the streamed index exists
+    path = index_path_for(sf_dir) + "_compacted"
+    if path not in _ENGINES:
+        marker = os.path.join(path, "_COMPACT_DONE")
+        if not os.path.exists(marker):
+            shutil.rmtree(path, ignore_errors=True)
+            shutil.copytree(index_path_for(sf_dir) + "_stream", path)
+            os.remove(os.path.join(path, "_STREAM_DONE"))
+            StreamingIndexer(spark, path, BuildConfig(n_buckets=8)).compact()
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _ENGINES[path] = SearchEngine(spark, path)
+    res = _ENGINES[path].search("big OR line", k=None, with_metadata=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_bm25_topk_ranged(spark, sf_dir):
     """Top-k through the doc-range-partitioned path (search/ranged.py):
     a boolean query with a stable excluded special is not WAND-eligible
@@ -654,6 +680,7 @@ QUERIES = {
     "windowed_counts": _q_windowed_counts,
     "bm25_topk_wand": _q_bm25_topk_wand,
     "streaming_index": _q_streaming_index,
+    "compacted_index": _q_compacted_index,
     "bm25_topk_ranged": _q_bm25_topk_ranged,
     "bm25_topk_local": _q_bm25_topk_local,
     "limited_search": _q_limited_search,
@@ -1324,6 +1351,11 @@ FROM events GROUP BY 1, 2
         ["vector", "slow"],
         "p.p_vector = 1",
         [_contrib("vector"), _contrib("slow")],
+    ),
+    "compacted_index": _bm25_sql(
+        ["big", "line"],
+        "(p.p_big = 1 OR p.p_line = 1)",
+        [_contrib("big"), _contrib("line")],
     ),
     "bm25_topk_ranged": _bm25_sql(
         ["hash", "dup"],
