@@ -45,7 +45,13 @@ def _norm(v):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # entry names: space- and/or comma-separated; a stray --only is ignored
+    only = {
+        n
+        for a in sys.argv[2:]
+        for n in a.split(",")
+        if n and n != "--only"
+    }
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -63,9 +69,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -106,7 +114,13 @@ def main() -> int:
                 o_set = {tuple(_norm(v) for v in r) for r in o_rows}
                 print("  spark-only:", list(s_set - o_set)[:3])
                 print("  oracle-only:", list(o_set - s_set)[:3])
+    print(f"CHECKED: {checked}/{len(only) if only else len(qs)} requested")
     print("FAILURES:", failures if failures else "none")
+    if only:
+        missing = only - set(qs)
+        if missing:
+            print("UNKNOWN entry names:", sorted(missing))
+            return 1
     return 1 if failures else 0
 
 
