@@ -55,7 +55,7 @@ WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ), tok AS (
   SELECT DISTINCT doc_id, {_CASE_TOK} AS t
-  FROM words WHERE w NOT IN ('a', 'the')
+  FROM words WHERE w NOT IN ('a', 'the', '')
 ), dls AS (
   SELECT d.doc_id, COALESCE(x.dl, 0) AS dl
   FROM documents d
@@ -77,11 +77,28 @@ WITH wordlists AS (
 """
 
 
+# degenerate-line variant (file_processing.rs:1090-1107): texts longer than
+# 400 chars are blanked BEFORE tokenization, so they drop out of presence,
+# DF, dl, and avgdl alike.  The corpus has no newlines, so whole-text
+# blanking is exactly the reference's per-line rule.
+_BM25_PRELUDE_BLANK400 = (
+    "WITH blanked AS (\n"
+    "  SELECT doc_id,\n"
+    "         CASE WHEN length(text) > 400 THEN '' ELSE text END AS text\n"
+    "  FROM documents\n"
+    ")"
+    + _BM25_PRELUDE.replace("WITH words AS", ", words AS").replace(
+        "FROM documents", "FROM blanked"
+    )
+)
+
+
 def _bm25_sql(
     tokens: list[str],
     filter_expr: str,
     score_terms: list[str],
     limit: "int | None" = None,
+    prelude: str = _BM25_PRELUDE,
 ) -> str:
     """Assemble a BM25 oracle: presence flags + dfs + idf*tf_norm score.
 
@@ -99,7 +116,7 @@ def _bm25_sql(
         if limit
         else ""
     )
-    return f"""{_BM25_PRELUDE}
+    return f"""{prelude}
 , pres AS (
   SELECT dls.doc_id, dls.dl,
          {flags}
@@ -411,6 +428,24 @@ def _q_streaming_index(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_degenerate_lines(spark, sf_dir):
+    """Degenerate-line filter (§2.2, file_processing.rs:1090-1107): turns
+    longer than 400 chars are blanked before tokenization (minified blobs /
+    base64 walls never pollute the index) — they vanish from candidates,
+    DF, dl, and avgdl alike.  The index is built with blank_lines_over=400
+    (~10% of the sf0.01 corpus blanks); the oracle blanks the same texts
+    in SQL before the shared scoring body."""
+    path = index_path_for(sf_dir) + "_blank400"
+    if path not in _ENGINES:
+        builder = IndexBuilder(
+            spark, BuildConfig(n_buckets=8, blank_lines_over=400)
+        )
+        builder.build(_docs_as_transcripts(spark, sf_dir), path)
+        _ENGINES[path] = SearchEngine(spark, path)
+    res = _ENGINES[path].search("group spark", k=None, with_metadata=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_compacted_index(spark, sf_dir):
     """Streamed-then-compacted index (§2.10): the streamed index's many
     per-batch segments collapse back into the batch layout via
@@ -681,6 +716,7 @@ QUERIES = {
     "bm25_topk_wand": _q_bm25_topk_wand,
     "streaming_index": _q_streaming_index,
     "compacted_index": _q_compacted_index,
+    "degenerate_lines": _q_degenerate_lines,
     "bm25_topk_ranged": _q_bm25_topk_ranged,
     "bm25_topk_local": _q_bm25_topk_local,
     "limited_search": _q_limited_search,
@@ -1356,6 +1392,12 @@ FROM events GROUP BY 1, 2
         ["big", "line"],
         "(p.p_big = 1 OR p.p_line = 1)",
         [_contrib("big"), _contrib("line")],
+    ),
+    "degenerate_lines": _bm25_sql(
+        ["group", "spark"],
+        "(p.p_group = 1 OR p.p_spark = 1)",
+        [_contrib("group"), _contrib("spark")],
+        prelude=_BM25_PRELUDE_BLANK400,
     ),
     "bm25_topk_ranged": _bm25_sql(
         ["hash", "dup"],
