@@ -64,6 +64,7 @@ deviation; pinned by tests/test_special_camel_fragment.py.)
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -1126,14 +1127,38 @@ class SearchEngine:
             F.col("doc_id").isin([int(i) for i in ids])
         ).select(*cols)
 
+    def _meta_rows_driver(self, ids: list[int]):
+        """Driver-side pyarrow metadata lookup for posix indexes: the
+        winners are k rows, so their metadata is k footer-pruned row-group
+        reads — no Spark job at all (the same move the driver-local
+        front-end makes, search/local.py).  Returns None when the index is
+        not a local directory (hdfs/s3 → the distributed ``_meta_rows``)."""
+        base = self.index_path.removeprefix("file://")
+        d = os.path.join(base, "docs")
+        if not os.path.isdir(d):
+            return None
+        import pyarrow.dataset as pds
+
+        try:
+            return pds.dataset(d, format="parquet").to_table(
+                columns=[
+                    "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                    "text",
+                ],
+                filter=pds.field("doc_id").isin(ids),
+            ).to_pylist()
+        except OSError:
+            return None
+
     def _with_meta(self, result: DataFrame) -> DataFrame:
         """Attach doc metadata to the top-k winners.
 
         The winners are driver-scale (k rows), so they are materialized
-        and their metadata fetched by doc_id: footer-pruned file list +
-        In-predicate row-group pruning (see ``_meta_rows``).  The previous
-        shape — broadcast the winners against the whole docs table —
-        kept k rows but SCANNED the entire corpus text per query
+        and their metadata fetched by doc_id — driver-side pyarrow reads
+        for posix indexes (zero extra Spark jobs per query), else a
+        footer-pruned In-predicate Spark scan (see ``_meta_rows``).  The
+        original shape — broadcast the winners against the whole docs
+        table — kept k rows but SCANNED the entire corpus text per query
         (O(corpus) IO; at 10^12 turns, disqualifying for a query service).
         Past ISIN_PUSHDOWN_CAP winners the scan is the lesser evil and the
         broadcast join returns."""
@@ -1152,8 +1177,28 @@ class SearchEngine:
                 )
                 .orderBy(F.desc("score"), F.asc("doc_id"))
             )
-        winners = self.spark.createDataFrame(rows, result.schema)
         ids = sorted({int(r["doc_id"]) for r in rows})
+        meta = self._meta_rows_driver(ids)
+        if meta is not None and len({m["doc_id"] for m in meta}) == len(ids):
+            from pyspark.sql.types import StructType
+
+            by_id = {int(m["doc_id"]): m for m in meta}
+            out = []
+            for r in rows:
+                d = r.asDict()
+                d.update(by_id[int(r["doc_id"])])
+                out.append(d)
+            out.sort(key=lambda d: (-d["score"], d["doc_id"]))
+            meta_fields = [
+                f
+                for f in self.docs.schema.fields
+                if f.name in (
+                    "conv_id", "turn_idx", "role", "tool", "ts", "text"
+                )
+            ]
+            schema = StructType(list(result.schema.fields) + meta_fields)
+            return self.spark.createDataFrame(out, schema)
+        winners = self.spark.createDataFrame(rows, result.schema)
         return (
             F.broadcast(winners)
             .join(self._meta_rows(ids), "doc_id")
