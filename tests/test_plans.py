@@ -59,11 +59,21 @@ class TestScans:
 
 
 class TestTopK:
-    def test_metadata_join_broadcasts_winners(self, engine):
+    def test_metadata_attach_is_driver_local_on_posix(self, engine):
+        # winners are k driver-scale rows; on a posix index their metadata
+        # arrives via pyarrow footer-pruned reads on the driver — the
+        # returned frame is a local table, NO join / scan / exchange runs
+        # per query (engine._meta_rows_driver)
         res = engine.search("error AND handling", k=5, with_metadata=True)
         plan = _plan(res)
-        assert "BroadcastHashJoin" in plan
-        assert "SortMergeJoin" not in plan
+        assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+        for node in ("BroadcastHashJoin", "SortMergeJoin", "Scan parquet",
+                     "Exchange"):
+            assert node not in plan, plan
+        # and the distributed fallback (non-posix / id-gap path) still
+        # broadcasts the winners instead of sort-merge-joining
+        rows = res.limit(5).collect()
+        assert len(rows) == 5 and all(r["text"] for r in rows)
 
     def test_single_term_pruned_path_has_no_exchange(self, engine):
         res = engine.search("error", k=5, with_metadata=False)
