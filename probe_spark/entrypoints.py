@@ -76,6 +76,36 @@ WITH wordlists AS (
 )
 """
 
+# connected components over the ngram-jaccard near-dup pairs, as a DuckDB
+# recursive CTE: walk(id, lab) = labels reachable from id; component id =
+# MIN(lab).  Fine at oracle scale (sf0.01); the Spark side uses
+# large-star/small-star which is the O(log n)-round form of the same fixpoint.
+_CLUSTER_PRELUDE = _SHINGLE_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+, pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE ROUND(c::DOUBLE / (sa.n + sb.n - c), 6) >= 0.8
+)
+, edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+)
+, walk(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.lab
+)
+, comp AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY id)
+"""
+
 
 # degenerate-line variant (file_processing.rs:1090-1107): texts longer than
 # 400 chars are blanked BEFORE tokenization, so they drop out of presence,
@@ -330,6 +360,29 @@ def _q_ngram_jaccard(spark, sf_dir):
 def _q_minhash_lsh(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.minhash_lsh_pairs(docs, k=3, n_hashes=8, band_size=2)
+
+
+def _q_dup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components (large-star/small-star):
+    every doc labeled with its duplicate-cluster id (= min doc_id in the
+    component; docs with no near-dup are their own singleton cluster)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    return dedup.duplicate_clusters(
+        pairs, nodes=docs.select(F.col("doc_id").alias("id"))
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _q_dedup_survivors(spark, sf_dir):
+    """One survivor per duplicate cluster: highest quality_score, ties to
+    the smallest doc_id — the keep/drop decision of a dedup pipeline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    clusters = dedup.duplicate_clusters(
+        pairs, nodes=docs.select(F.col("doc_id").alias("id"))
+    )
+    qual = text.with_quality(docs).select("doc_id", "quality_score")
+    return dedup.cluster_survivors(qual, clusters)
 
 
 def _q_token_counts(spark, sf_dir):
@@ -705,6 +758,8 @@ QUERIES = {
     "dedup_exact": _q_dedup_exact,
     "ngram_jaccard": _q_ngram_jaccard,
     "minhash_lsh": _q_minhash_lsh,
+    "dup_clusters": _q_dup_clusters,
+    "dedup_survivors": _q_dedup_survivors,
     "token_counts": _q_token_counts,
     "quality": _q_quality,
     "fingerprint": _q_fingerprint,
@@ -1302,6 +1357,38 @@ JOIN sizes sb ON id_b = sb.doc_id
 WHERE ROUND(c::DOUBLE / (sa.n + sb.n - c), 6) >= 0.8
 """,
     "minhash_lsh": _minhash_oracle(),
+    "dup_clusters": f"""{_CLUSTER_PRELUDE}
+SELECT doc_id, cluster_id FROM comp
+""",
+    "dedup_survivors": f"""{_CLUSTER_PRELUDE}
+, qbase AS (
+  SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS ws
+  FROM documents
+), qf AS (
+  SELECT doc_id,
+         len(ws)::INT AS n_words,
+         (nc - (len(ws) - 1)) / len(ws)::DOUBLE AS mwl,
+         len(list_filter(ws, w -> w IN
+           ('a','an','and','are','as','at','be','by','for','from','has','in',
+            'is','it','of','on','or','that','the','to','was','with')))
+           / len(ws)::DOUBLE AS sr,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nc::DOUBLE AS ar
+  FROM qbase JOIN documents USING (doc_id)
+), q AS (
+  SELECT doc_id,
+         ROUND(least(n_words/64.0, 1.0)*0.25 + least(mwl/8.0, 1.0)*0.25
+               + sr*0.25 + ar*0.25, 6) AS qs
+  FROM qf
+), ranked AS (
+  SELECT comp.cluster_id, comp.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                            ORDER BY q.qs DESC, comp.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY comp.cluster_id) AS n_members
+  FROM comp JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc_id, n_members
+FROM ranked WHERE rn = 1
+""",
     "token_counts": """
 SELECT doc_id,
        len(string_split(text, ' '))::INT AS ws_tokens,

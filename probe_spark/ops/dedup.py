@@ -207,6 +207,132 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id), cluster_id
+    = the minimum id in the component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — converges in O(log n)
+    rounds *independent of graph diameter*, which is the property that
+    matters at 10^9-node dedup graphs where chained near-dups
+    (A~B~C~...~Z) make naive label propagation O(diameter) rounds.  Each
+    round is two groupBy(node) shuffles over the current edge set, and the
+    edge set monotonically contracts toward the final star forest.  Skewed
+    hubs (one boilerplate doc near-dup to millions) are what large-star is
+    for: it re-points the hub's neighbors at the component minimum instead
+    of re-pairing them with the hub, so no single reducer ever re-emits a
+    hub's full adjacency more than O(log n) times.
+
+    Per-round lineage is truncated with ``localCheckpoint`` (plan depth
+    would otherwise grow linearly and re-execute from the source on every
+    convergence probe).  On a multi-executor cluster prefer
+    ``sc.setCheckpointDir`` + ``.checkpoint()`` if executor loss during the
+    (short) loop must be survivable; the loop is idempotent either way.
+
+    ``nodes`` (optional, single column ``id``): universe of ids — ids that
+    never appear in ``pairs`` come back as their own singleton cluster.
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"),
+            F.col(id_b).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: per node u over the symmetrized adjacency, point every
+        # LARGER neighbor at m = min(neighbors ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("u", "mv").alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: orient edges high->low, point every node (and the
+        # center) at the minimum of its <=-neighborhood
+        oriented = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .union(mins2.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        new_e = ss.localCheckpoint()
+        sig = new_e.agg(
+            F.count("*").alias("n"),
+            # decimal(38) accumulator: a sum of 64-bit hashes overflows long
+            # under ANSI mode
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        e = new_e
+        if prev_sig is not None and tuple(sig) == tuple(prev_sig):
+            break  # star forest reached: every edge is (node, component_min)
+        prev_sig = sig
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")).union(
+        e.select(F.col("v").alias("id"), F.col("v").alias("cluster_id")).distinct()
+    )
+    if nodes is not None:
+        all_ids = nodes.select(F.col("id").cast("long").alias("id")).distinct()
+        labels = (
+            all_ids.join(labels, "id", "left")
+            .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+        )
+    return labels
+
+
+def cluster_survivors(
+    quality: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """(cluster_id, keep_doc_id, n_members): one survivor per duplicate
+    cluster — the member with the highest quality score, ties broken by the
+    smallest id.  ``quality``: (id_col, quality_col); ``clusters``:
+    (id, cluster_id) from :func:`duplicate_clusters`.
+
+    Scale: argmax is an algebraic aggregate (max of a (score, -id) struct),
+    so a giant cluster still map-side-combines — no per-cluster row
+    materialization, one shuffle on cluster_id.
+    """
+    j = clusters.join(
+        quality.select(
+            F.col(id_col).cast("long").alias("id"), F.col(quality_col).alias("_q")
+        ),
+        "id",
+    )
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(F.struct(F.col("_q").alias("q"), (-F.col("id")).alias("neg_id"))).alias("b"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("b.neg_id")).alias("keep_doc_id"),
+            "n_members",
+        )
+    )
+
+
 def simhash_64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

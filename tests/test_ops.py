@@ -102,6 +102,77 @@ class TestDedup:
         ham_far = bin(rows[0] ^ rows[3]).count("1")
         assert ham_near < ham_far
 
+    def test_duplicate_clusters_chain_and_singletons(self, spark):
+        # a 6-node CHAIN is the case naive min-label propagation needs
+        # O(diameter) rounds for; large-star/small-star contracts it in
+        # O(log n).  Plus a triangle, a pair, and a node with no edges.
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+             (10, 11), (11, 12), (10, 12), (20, 21)],
+            "id_a long, id_b long",
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 4, 5, 6, 10, 11, 12, 20, 21, 30]],
+            "id long",
+        )
+        got = sorted(
+            (r["id"], r["cluster_id"])
+            for r in dedup.duplicate_clusters(pairs, nodes=nodes).collect()
+        )
+        assert got == [
+            (1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1),
+            (10, 10), (11, 10), (12, 10), (20, 20), (21, 20), (30, 30),
+        ]
+
+    def test_duplicate_clusters_matches_union_find(self, spark):
+        # randomized cross-check vs a driver-side union-find on 60 nodes
+        import random
+
+        rng = random.Random(7)
+        edges = sorted({
+            tuple(sorted(rng.sample(range(60), 2))) for _ in range(45)
+        })
+        parent = list(range(60))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        want_label = {}
+        for n in range(60):
+            root = find(n)
+            want_label.setdefault(root, []).append(n)
+        want = sorted(
+            (n, min(members))
+            for members in want_label.values() for n in members
+        )
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(60)], "id long")
+        got = sorted(
+            (r["id"], r["cluster_id"])
+            for r in dedup.duplicate_clusters(pairs, nodes=nodes).collect()
+        )
+        assert got == want
+
+    def test_cluster_survivors_argmax_and_ties(self, spark):
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (9, 9)], "id long, cluster_id long"
+        )
+        quality = spark.createDataFrame(
+            [(1, 0.5), (2, 0.9), (3, 0.9), (9, 0.1)],
+            "doc_id long, quality_score double",
+        )
+        got = sorted(
+            (r["cluster_id"], r["keep_doc_id"], r["n_members"])
+            for r in dedup.cluster_survivors(quality, clusters).collect()
+        )
+        # tie at 0.9 between ids 2 and 3 -> smallest id wins
+        assert got == [(1, 2, 3), (9, 9, 1)]
+
 
 class TestText:
     def test_token_counts(self, docs_df):
