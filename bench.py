@@ -72,6 +72,16 @@ def build_spark(cpus: int, shuffle_partitions: int | None = None):
         )
         .config("spark.local.dir", os.path.join(scratch_dir(), "spark-local"))
         .config("spark.ui.enabled", "false")
+        # cluster-correct path for the glibc tunables probe_spark.__init__
+        # sets for local mode (workers inherit them via the daemon exec):
+        # numpy scratch above glibc's mmap threshold causes munmap TLB
+        # shootdowns across every core — 85-90% system time at 32 workers
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+        .config(
+            "spark.executorEnv.GLIBC_TUNABLES", "glibc.malloc.hugetlb=1"
+        )
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
         .getOrCreate()
     )
 

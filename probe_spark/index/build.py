@@ -605,9 +605,17 @@ class _PartialAcc:
         self.terms: list[tuple[str, str]] = []
         self._term_buckets: list = []  # np chunks, parallel to terms
         self._hashed_terms = 0
-        self.code_chunks: list = []
-        self.id_chunks: list = []
-        self.dl_chunks: list = []
+        # preallocated posting slabs, reused across the task's lifetime:
+        # per-batch np.repeat/fancy-index used to allocate ~2 MB of FRESH
+        # pages per add, and on a memory-overcommitted host a guest minor
+        # fault costs ~0.6 ms of kernel time — 32 concurrent workers spent
+        # 80-90% of the machine in the kernel during pass B.  Slabs make
+        # the accumulate path allocation-free regardless of allocator.
+        self._cap = 0
+        self._codes_buf = None  # int32[cap]
+        self._ids_buf = None  # int64[cap]
+        self._dls_buf = None  # int32[cap]
+        self._rows_scratch = None  # int64[cap] repeat-index scratch
         self.pending = 0
         self.n_docs = 0
         self.total_dl = 0
@@ -648,7 +656,9 @@ class _PartialAcc:
             if lens.sum() == 0:
                 continue
             de = arr.flatten().dictionary_encode()
-            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(
+                np.int32, copy=False
+            )
             vocab = de.dictionary.to_pylist()
             term_ids = self.term_ids
             terms = self.terms
@@ -661,12 +671,56 @@ class _PartialAcc:
                     term_ids[key] = gid
                     terms.append(key)
                 gmap[i] = gid
-            self.code_chunks.append(gmap[codes])
-            self.id_chunks.append(np.repeat(ids, lens))
-            self.dl_chunks.append(np.repeat(dls, lens))
-            self.pending += int(len(codes))
+            total = int(len(codes))
+            if self.pending and self.pending + total > max(
+                self._cap, self.flush_postings
+            ):
+                self._emit()
+            self._ensure_capacity(self.pending + total)
+            p = self.pending
+            np.take(gmap, codes, out=self._codes_buf[p : p + total])
+            # repeat(ids, lens) into the slab without a fresh array:
+            # scatter 1 at each row boundary, cumsum in place -> row index
+            # per posting, then gather.  Zero-length rows would collide
+            # boundaries, so compact them away first.
+            nz = lens > 0
+            if not bool(nz.all()):
+                ids_nz, dls_nz, lens_nz = ids[nz], dls[nz], lens[nz]
+            else:
+                ids_nz, dls_nz, lens_nz = ids, dls, lens
+            rows = self._rows_scratch[:total]
+            rows[:] = 0
+            if len(lens_nz) > 1:
+                rows[np.cumsum(lens_nz[:-1])] = 1
+                np.cumsum(rows, out=rows)
+            np.take(ids_nz, rows, out=self._ids_buf[p : p + total])
+            np.take(
+                dls_nz.astype(np.int32, copy=False),
+                rows,
+                out=self._dls_buf[p : p + total],
+            )
+            self.pending += total
         if self.pending >= self.flush_postings:
             self._emit()
+
+    def _ensure_capacity(self, need: int) -> None:
+        import numpy as np
+
+        if need <= self._cap:
+            return
+        cap = max(need, self.flush_postings + (self.flush_postings >> 2))
+        for name, dt in (
+            ("_codes_buf", np.int32),
+            ("_ids_buf", np.int64),
+            ("_dls_buf", np.int32),
+            ("_rows_scratch", np.int64),
+        ):
+            buf = np.empty(cap, dtype=dt)
+            old = getattr(self, name)
+            if old is not None and self.pending:
+                buf[: self.pending] = old[: self.pending]
+            setattr(self, name, buf)
+        self._cap = cap
 
     def _emit(self) -> None:
         batch, buckets = self._flush()
@@ -688,10 +742,12 @@ class _PartialAcc:
     def _flush(self) -> "tuple[pa.RecordBatch, object]":
         import numpy as np
 
-        codes = np.concatenate(self.code_chunks)
-        ids = np.concatenate(self.id_chunks)
-        dls = np.concatenate(self.dl_chunks)
-        self.code_chunks, self.id_chunks, self.dl_chunks = [], [], []
+        # slab views, not copies: every downstream step gathers through an
+        # argsort order (fresh arrays), so nothing retains these views and
+        # the slab is free for reuse the moment this returns
+        codes = self._codes_buf[: self.pending]
+        ids = self._ids_buf[: self.pending]
+        dls = self._dls_buf[: self.pending]
         self.pending = 0
         # The chunked path needs doc ids non-decreasing ACROSS sort units
         # (its per-term byte pieces concatenate as continued delta
@@ -1007,7 +1063,7 @@ class _PartialAcc:
         """Flush the tail, then emit the per-partition corpus stats row
         (kind=@stats, df_part=n_docs, min_doc=total_dl): the stats phase
         aggregates partials METADATA instead of re-scanning docs dl."""
-        if self.code_chunks:
+        if self.pending:
             self._emit()
         self.sink(
             pa.RecordBatch.from_arrays(
@@ -1206,6 +1262,10 @@ class _FusedCore:
             return
         tt = self.tt  # sub-phase timers, populated only under TASK_TRACE
         t0 = time.time() if tt is not None else 0.0
+        if tt is not None:
+            import resource as _res
+
+            f0 = _res.getrusage(_res.RUSAGE_SELF).ru_minflt
         texts = batch.column("text").to_pylist()
         if self.blank_lines_over is not None:
             lim = self.blank_lines_over
@@ -1217,6 +1277,9 @@ class _FusedCore:
         raws = [rw for _, rw in both]
         if tt is not None:
             tt["tok"] = tt.get("tok", 0.0) + time.time() - t0
+            f1 = _res.getrusage(_res.RUSAGE_SELF).ru_minflt
+            tt["tokflt"] = tt.get("tokflt", 0.0) + (f1 - f0)
+            f0 = f1
             t0 = time.time()
         ids = np.arange(self.next_id, self.next_id + n, dtype=np.int64)
         dls = np.array([len(ts) for ts in tokens], dtype=np.int32)
@@ -1225,6 +1288,9 @@ class _FusedCore:
         self.acc.add(ids, dls, [("tok", tok_arr), ("raw", raw_arr)])
         if tt is not None:
             tt["pack"] = tt.get("pack", 0.0) + time.time() - t0
+            f1 = _res.getrusage(_res.RUSAGE_SELF).ru_minflt
+            tt["packflt"] = tt.get("packflt", 0.0) + (f1 - f0)
+            f0 = f1
             t0 = time.time()
         ts_col = batch.column("ts")
         if pa.types.is_timestamp(ts_col.type) and ts_col.type.unit == "ns":
@@ -1409,8 +1475,23 @@ def _make_rg_prober(cap_threads: bool = True):
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         if cap_threads:
             _single_threaded_arrow()
-        import numpy as np
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
+
+        def _lex_min_max(conv, turn):
+            """Exact lexicographic (conv, turn) min and max via Arrow
+            kernels only.  Arrow string comparison is bytewise over the
+            UTF-8 buffer — identical order to Python str comparison (code
+            points) and to the memcmp key encode, nulls excluded by the
+            caller."""
+            cmin_max = pc.min_max(conv)
+            cmin, cmax = cmin_max["min"], cmin_max["max"]
+            tmin = pc.min(pc.filter(turn, pc.equal(conv, cmin)))
+            tmax = pc.max(pc.filter(turn, pc.equal(conv, cmax)))
+            return (
+                cmin.as_py(), int(tmin.as_py()),
+                cmax.as_py(), int(tmax.as_py()),
+            )
 
         out: list[tuple] = []
         for batch in batches:
@@ -1435,18 +1516,27 @@ def _make_rg_prober(cap_threads: bool = True):
                          0, 1)
                     )
                     continue
-                keys, _ = _encode_keys_arrow(conv, turn, 1)
-                srt = bool(np.all(keys[:-1] <= keys[1:]))
-                if srt:
-                    imin, imax = 0, n - 1
+                # sortedness check entirely in C++ kernels (the previous
+                # numpy key-encode held the GIL ~95ms per 50k-row group,
+                # serializing the driver-side threaded probe into a
+                # constant Amdahl term that flattened N->4N build scaling)
+                if n == 1:
+                    srt = True
                 else:
-                    order = np.argsort(keys, kind="stable")
-                    imin, imax = int(order[0]), int(order[-1])
+                    c1, c2 = conv.slice(0, n - 1), conv.slice(1)
+                    t1, t2 = turn.slice(0, n - 1), turn.slice(1)
+                    lt = pc.less(c1, c2)
+                    tie_le = pc.and_(pc.equal(c1, c2), pc.less_equal(t1, t2))
+                    srt = bool(pc.all(pc.or_(lt, tie_le)).as_py())
+                if srt:
+                    mn_c, mn_t = conv[0].as_py(), int(turn[0].as_py())
+                    mx_c, mx_t = conv[n - 1].as_py(), int(turn[n - 1].as_py())
+                else:
+                    mn_c, mn_t, mx_c, mx_t = _lex_min_max(conv, turn)
                 out.append(
                     (
                         row["file"], row["rg"], n,
-                        conv[imin].as_py(), int(turn[imin].as_py()),
-                        conv[imax].as_py(), int(turn[imax].as_py()),
+                        mn_c, mn_t, mx_c, mx_t,
                         int(srt), 0,
                     )
                 )
@@ -1527,7 +1617,8 @@ def _sorted_source_plan(
             out = list(prober(iter([batch])))
             return out[0].to_pylist()[0]
 
-        with ThreadPoolExecutor(max_workers=min(16, len(units))) as ex:
+        n_workers = min(os.cpu_count() or 16, len(units))
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
             probe_rows = list(ex.map(one, units))
     else:
         probe_rows = (
@@ -1629,6 +1720,15 @@ def _make_bucket_builder_src(
 
         trace = os.environ.get("PROBE_SPARK_TASK_TRACE")
         gen_t0 = time.time()
+        _ru0 = None
+        if trace:
+            import resource as _res
+
+            def _ru():
+                r = _res.getrusage(_res.RUSAGE_SELF)
+                return r.ru_minflt, r.ru_utime, r.ru_stime
+
+            _ru0 = _ru()
         task_id = TaskContext.get().partitionId()
         rows = [row for batch in batches for row in batch.to_pylist()]
         if not rows:
@@ -1690,10 +1790,14 @@ def _make_bucket_builder_src(
         if trace:
             if core.tt:
                 tt.update({f"c_{k}": v for k, v in core.tt.items()})
+            _ru1 = _ru()
             with open(trace, "a") as f:
                 f.write(
                     f"task={task_id} rows={n_docs} "
                     f"t0={gen_t0:.2f} t1={time.time():.2f} "
+                    f"minflt={_ru1[0] - _ru0[0]} "
+                    f"rutime={_ru1[1] - _ru0[1]:.2f} "
+                    f"rstime={_ru1[2] - _ru0[2]:.2f} "
                     + " ".join(f"{k}={v:.2f}" for k, v in tt.items())
                     + "\n"
                 )
@@ -2014,6 +2118,15 @@ def _make_bucket_builder(
 
         trace = os.environ.get("PROBE_SPARK_TASK_TRACE")
         gen_t0 = time.time()
+        _ru0 = None
+        if trace:
+            import resource as _res
+
+            def _ru():
+                r = _res.getrusage(_res.RUSAGE_SELF)
+                return r.ru_minflt, r.ru_utime, r.ru_stime
+
+            _ru0 = _ru()
         task_id = TaskContext.get().partitionId()
         rows = [row for batch in batches for row in batch.to_pylist()]
         if not rows:
@@ -2053,10 +2166,14 @@ def _make_bucket_builder(
         if trace:
             if core.tt:
                 tt.update({f"c_{k}": v for k, v in core.tt.items()})
+            _ru1 = _ru()
             with open(trace, "a") as f:
                 f.write(
                     f"task={task_id} rows={n_docs} "
                     f"t0={gen_t0:.2f} t1={time.time():.2f} "
+                    f"minflt={_ru1[0] - _ru0[0]} "
+                    f"rutime={_ru1[1] - _ru0[1]:.2f} "
+                    f"rstime={_ru1[2] - _ru0[2]:.2f} "
                     + " ".join(f"{k}={v:.2f}" for k, v in tt.items())
                     + "\n"
                 )
@@ -3008,25 +3125,29 @@ class IndexBuilder:
                             # merge's per-term chunk disjointness invariant
                             contiguous=True,
                         )
-                        stat_rows = plan_df.mapInArrow(
-                            builder_fn, PARTIALS_SCHEMA
-                        ).collect()
+                        with _timed("passB_job"):
+                            stat_rows = plan_df.mapInArrow(
+                                builder_fn, PARTIALS_SCHEMA
+                            ).collect()
                     else:
                         stat_rows = []
-                    self._delete_dir(exchange_path)
-                    self._finalize_side_dir(partials_path)
-                    self._ensure_docs_nonempty(docs_path, transcripts)
-                    self._finalize_side_dir(docs_path)
+                    with _timed("finalize_dirs"):
+                        self._delete_dir(exchange_path)
+                        self._finalize_side_dir(partials_path)
+                        self._ensure_docs_nonempty(docs_path, transcripts)
+                        self._finalize_side_dir(docs_path)
                     n_docs_known = sum(int(r["df_part"]) for r in stat_rows)
                     total_dl = sum(int(r["min_doc"]) for r in stat_rows)
                 if not stats_done:
-                    self._write_stats_values(
-                        n_docs_known, total_dl, index_path, build_id
-                    )
+                    with _timed("stats_write"):
+                        self._write_stats_values(
+                            n_docs_known, total_dl, index_path, build_id
+                        )
                     stats_done = True
                     phases_run.append("stats")
-                self._simple_manifest(index_path, build_id, "docs")
-                self._simple_manifest(index_path, build_id, "partials")
+                with _timed("manifests_docs"):
+                    self._simple_manifest(index_path, build_id, "docs")
+                    self._simple_manifest(index_path, build_id, "partials")
                 phases_run.append("docs")
         elif not docs_done:
             with _timed("docs"):
@@ -3098,7 +3219,8 @@ class IndexBuilder:
                         spark, f"{index_path}/postings", build_id
                     ),
                 )
-            self._delete_dir(partials_path)
+            with _timed("delete_partials"):
+                self._delete_dir(partials_path)
             phases_run.append("postings")
 
         # phase 3 fallback (resume path: postings already done but stats

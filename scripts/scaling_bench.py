@@ -106,6 +106,14 @@ def pregen_corpus(n_convs: int) -> str:
 
 def run_once(cpus: int) -> dict:
     env = dict(os.environ)
+    # allocator tuning must be present at the bench DRIVER's process start
+    # (glibc reads GLIBC_TUNABLES/MALLOC_* exactly once, at startup; the
+    # probe_spark.__init__ setdefaults only reach the Spark WORKERS, which
+    # start later) — inject here so the subprocess gets the full set
+    env.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    env.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+    env.setdefault("GLIBC_TUNABLES", "glibc.malloc.hugetlb=1")
+    env.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     # the scaling criterion is BUILD throughput (north rule: index-build
     # turns/sec at N vs 4N); the query suite is measured by the per-round

@@ -331,3 +331,58 @@ class TestSortedSourceFastPath:
         idx_b = str(tmp_path / "idx_df2")
         IndexBuilder(spark, BuildConfig(n_buckets=4)).build(df, idx_b)
         assert _segments(spark, idx_a) == _segments(spark, idx_b)
+
+
+class TestProberKernelParity:
+    """The Arrow-kernel prober (sortedness + lexicographic min/max in C++
+    compute, no key encode) must agree with the memcmp key encoding's
+    order on adversarial keys: prefix pairs ('c1' < 'c10'), ties broken by
+    turn_idx, unsorted groups, and single-row groups."""
+
+    def _probe(self, tmp_path, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from probe_spark.index.build import _make_rg_prober
+
+        t = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            }
+        )
+        path = str(tmp_path / "probe.parquet")
+        pq.write_table(t, path, row_group_size=len(rows))
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array([path], pa.string()), pa.array([0], pa.int32())],
+            names=["file", "rg"],
+        )
+        out = list(_make_rg_prober(cap_threads=False)(iter([batch])))
+        return out[0].to_pylist()[0]
+
+    def test_prefix_and_tie_cases(self, tmp_path):
+        import numpy as np
+
+        from probe_spark.index.build import _encode_keys
+
+        cases = [
+            [("c1", 0), ("c10", 0), ("c2", 0)],          # prefix order
+            [("c10", 0), ("c1", 0)],                      # unsorted prefix
+            [("a", 5), ("a", 5), ("a", 6)],               # ties + equal rows
+            [("a", 6), ("a", 5)],                         # tie broken desc
+            [("z", 1)],                                   # single row
+            [("b", 2), ("a", 9), ("c", 0), ("a", 1)],     # unsorted
+        ]
+        for rows in cases:
+            got = self._probe(tmp_path, rows)
+            keys = _encode_keys(
+                [r[0] for r in rows], [r[1] for r in rows],
+                max(len(r[0]) for r in rows),
+            )
+            exp_sorted = bool(np.all(keys[:-1] <= keys[1:]))
+            order = np.argsort(keys, kind="stable")
+            imin, imax = int(order[0]), int(order[-1])
+            assert bool(got["sorted"]) == exp_sorted, rows
+            assert (got["min_conv"], got["min_turn"]) == rows[imin], rows
+            assert (got["max_conv"], got["max_turn"]) == rows[imax], rows
+            assert got["has_null"] == 0 and got["n_rows"] == len(rows)
