@@ -121,6 +121,7 @@ def cmd_search(args) -> int:
                 ("--max-bytes", args.max_bytes),
                 ("--max-tokens", args.max_tokens),
                 ("--merge-turns", args.merge_turns is not None),
+                ("--files-only", args.files_only),
             )
             if on
         ]
@@ -158,6 +159,21 @@ def cmd_search(args) -> int:
 
     spark = _build_session("probe-spark-search")
     eng = SearchEngine(spark, args.index)
+    if args.files_only:
+        # reference files-only mode: matched conversations only, no
+        # ranking/content, and "No caching for files-only mode"
+        # (search_runner.rs:699-740) — --session is deliberately ignored
+        rows = eng.search_files(
+            args.query, max_results=args.max_results, exact=args.exact
+        ).collect()
+        if args.format == "json":
+            print(json.dumps([r["conv_id"] for r in rows]))
+        else:
+            for r in rows:
+                print(r["conv_id"])
+        if timer:
+            timer.cancel()
+        return 0
     seen = None
     if args.session:
         # early session filtering (cache.rs:392-541): the seen set is
@@ -293,6 +309,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--exact", action="store_true",
                    help="whole query as one unsplit exact term")
     s.add_argument("--ids-only", action="store_true")
+    s.add_argument("-f", "--files-only", action="store_true",
+                   help="one row per matched conversation (the reference's "
+                        "files-only mode, search_runner.rs:699-740): no "
+                        "ranking, no content, no session caching; "
+                        "-k limits the conversation count")
+    s.add_argument("-s", "--frequency", action="store_true", default=True,
+                   help="accepted for reference CLI parity and ignored — "
+                        "the reference itself destructures frequency_search "
+                        "away (search_runner.rs:226)")
     s.add_argument("--match-metadata", action="store_true",
                    help="also credit keywords to turns whose tokenized "
                         "tool metadata shares a token (the reference's "

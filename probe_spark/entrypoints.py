@@ -319,6 +319,14 @@ def _q_bm25_grouped(spark, sf_dir):
     return _search(spark, sf_dir, "(hash OR join) AND (scan OR merge)")
 
 
+def _q_files_only(spark, sf_dir):
+    """Files-only mode (reference -f, search_runner.rs:699-740): distinct
+    matched conversations, no ranking/content, max_results applied after
+    the conv_id-ascending determinization."""
+    eng = get_engine(spark, sf_dir)
+    return eng.search_files("hash OR join", max_results=200)
+
+
 def _q_bm25_exact_term(spark, sf_dir):
     return _search(spark, sf_dir, '"filter"')
 
@@ -787,6 +795,7 @@ QUERIES = {
     "lang_scan": _q_lang_scan,
     "metadata_match": _q_metadata_match,
     "bm25_matched_terms": _q_bm25_matched_terms,
+    "files_only": _q_files_only,
 }
 
 
@@ -1514,6 +1523,14 @@ FROM events GROUP BY 1, 2
     "bm25_matched_terms": _BM25_MATCHED_TERMS_ORACLE.format(
         c_hash=_contrib("hash"), c_join=_contrib("join")
     ),
+    # files-only mode: distinct matched conversations (conv_id = zero-padded
+    # doc_id per _docs_as_transcripts), determinized ascending, limit 200.
+    "files_only": f"""{_BM25_PRELUDE}
+SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS conv_id
+FROM (SELECT DISTINCT doc_id FROM tok WHERE t IN ('hash', 'join')) m
+ORDER BY conv_id
+LIMIT 200
+""",
 }
 
 # queries with no SQL oracle (the driver records a rows-only check).

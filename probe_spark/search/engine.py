@@ -1732,3 +1732,32 @@ class SearchEngine:
                     "doc_id",
                 )
         return result
+
+    def search_files(
+        self,
+        query: str,
+        max_results: int | None = None,
+        exact: bool = False,
+    ) -> DataFrame:
+        """Files-only mode (reference ``-f/--files-only``,
+        search_runner.rs:699-740): one row per matched CONVERSATION (the
+        file analog), no ranking, no content, no session caching — the
+        candidate set that would otherwise be scored, collapsed to
+        distinct ``conv_id``.  The reference emits its ``all_files``
+        HashSet in unspecified order and then applies ``max_results``;
+        here the order is determinized to ``conv_id`` ascending so the
+        limit is stable.  Columns stay narrow (doc_id -> conv_id join is
+        column-pruned; text is never read)."""
+        res = self.search(
+            query, k=None, exact=exact, with_metadata=False, prune=False
+        )
+        out = (
+            res.select("doc_id")
+            .join(self.docs.select("doc_id", "conv_id"), "doc_id")
+            .select("conv_id")
+            .distinct()
+            .orderBy("conv_id")
+        )
+        if max_results is not None:
+            out = out.limit(max_results)
+        return out

@@ -67,6 +67,41 @@ class TestCli:
                for x in capsys.readouterr().out.strip().splitlines()]
         assert two == one and two
 
+    def test_files_only_mode(self, spark, built_index, capsys):
+        # reference -f/--files-only (search_runner.rs:699-740): one row per
+        # matched conversation, no ranking/content, -k caps the conv count
+        from probe_spark import cli
+        from probe_spark.search.engine import SearchEngine
+
+        rc = cli.main(["search", "error OR handling", "--index", built_index,
+                       "--files-only", "-k", "100000", "--format", "json"])
+        assert rc == 0
+        convs = json.loads(capsys.readouterr().out.strip())
+        assert convs == sorted(set(convs)) and convs
+
+        # equals the conv_ids of the full (unlimited) ranked result set
+        eng = SearchEngine(spark, built_index)
+        full = eng.search("error OR handling", k=None, with_metadata=True)
+        expect = sorted({r["conv_id"] for r in full.select("conv_id").collect()})
+        assert convs == expect
+
+        # -k limits conversations (not turns), text-format path too
+        rc = cli.main(["search", "error OR handling", "--index", built_index,
+                       "--files-only", "-k", "3"])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert lines == expect[:3]
+
+    def test_frequency_flag_accepted(self, built_index, capsys):
+        # reference accepts -s/--frequency and destructures it away
+        # (search_runner.rs:226) — parity: accepted, ignored
+        from probe_spark import cli
+
+        rc = cli.main(["search", "error", "--index", built_index,
+                       "-s", "-k", "3", "--format", "json"])
+        assert rc == 0
+        assert capsys.readouterr().out.strip()
+
     def test_reranker_aliases_and_bert_error(self, built_index, capsys):
         # non-BERT reranker values all rank with BM25 (the reference's
         # result_ranking.rs dispatch ignores them); ms-marco-* errors out
