@@ -122,6 +122,7 @@ def cmd_search(args) -> int:
                 ("--max-tokens", args.max_tokens),
                 ("--merge-turns", args.merge_turns is not None),
                 ("--files-only", args.files_only),
+                ("--where", args.where is not None),
             )
             if on
         ]
@@ -164,7 +165,8 @@ def cmd_search(args) -> int:
         # ranking/content, and "No caching for files-only mode"
         # (search_runner.rs:699-740) — --session is deliberately ignored
         rows = eng.search_files(
-            args.query, max_results=args.max_results, exact=args.exact
+            args.query, max_results=args.max_results, exact=args.exact,
+            where=args.where,
         ).collect()
         if args.format == "json":
             print(json.dumps([r["conv_id"] for r in rows]))
@@ -190,6 +192,7 @@ def cmd_search(args) -> int:
         prune=not args.no_prune,
         exclude=seen,
         match_metadata=args.match_metadata,
+        where=args.where,
     )
     if (args.max_bytes or args.max_tokens) and not args.ids_only:
         from probe_spark.search.limiter import apply_limits
@@ -318,6 +321,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="accepted for reference CLI parity and ignored — "
                         "the reference itself destructures frequency_search "
                         "away (search_runner.rs:226)")
+    s.add_argument("--where", default=None, metavar="PRED",
+                   help="metadata-scoped search: a Spark SQL boolean "
+                        "expression over (conv_id, turn_idx, role, tool, "
+                        "ts); only matching turns may qualify, filtered "
+                        "before top-k (filter context — scores stay "
+                        "corpus-global).  e.g. --where \"role = 'user' "
+                        "AND ts >= timestamp'2026-01-01'\"")
     s.add_argument("--match-metadata", action="store_true",
                    help="also credit keywords to turns whose tokenized "
                         "tool metadata shares a token (the reference's "

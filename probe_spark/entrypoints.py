@@ -327,6 +327,24 @@ def _q_files_only(spark, sf_dir):
     return eng.search_files("hash OR join", max_results=200)
 
 
+def _q_scoped_search(spark, sf_dir):
+    """Metadata-scoped search (engine ``where=``): only docs matching a
+    SQL predicate over the metadata columns may qualify, filtered BEFORE
+    top-k while idf/avgdl stay corpus-global (filter context).  The
+    predicate resolves to a driver-resident allowed-id set and rides the
+    doc-range path with whole-range pruning (engine._allowed_ids /
+    search/ranged.py allow_ids).  In the docs-as-transcripts mapping,
+    role carries lang and tool carries source."""
+    eng = get_engine(spark, sf_dir)
+    res = eng.search(
+        "hash OR join",
+        k=40,
+        with_metadata=False,
+        where="role IN ('en', 'de') AND tool <> 'src7'",
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_bm25_exact_term(spark, sf_dir):
     return _search(spark, sf_dir, '"filter"')
 
@@ -796,6 +814,7 @@ QUERIES = {
     "metadata_match": _q_metadata_match,
     "bm25_matched_terms": _q_bm25_matched_terms,
     "files_only": _q_files_only,
+    "scoped_search": _q_scoped_search,
 }
 
 
@@ -1531,6 +1550,17 @@ FROM (SELECT DISTINCT doc_id FROM tok WHERE t IN ('hash', 'join')) m
 ORDER BY conv_id
 LIMIT 200
 """,
+    # scoped search: same BM25 math (corpus-global stats), candidates cut
+    # to the predicate (role=lang, tool=source in docs-as-transcripts)
+    # BEFORE the top-k ordering
+    "scoped_search": _bm25_sql(
+        ["hash", "join"],
+        "(p.p_hash = 1 OR p.p_join = 1) AND p.doc_id IN "
+        "(SELECT doc_id FROM documents "
+        "WHERE lang IN ('en', 'de') AND source <> 'src7')",
+        [_contrib("hash"), _contrib("join")],
+        limit=40,
+    ),
 }
 
 # queries with no SQL oracle (the driver records a rows-only check).

@@ -118,6 +118,17 @@ REPAIR_OVERLAY_CAP = 500_000
 # pages, so k-scale by construction); a larger exclude DataFrame falls
 # back to the full path's left_anti join
 EXCLUDE_COLLECT_CAP = 100_000
+# metadata-scoped search (where=): allowed-id sets at or below this ride
+# the doc-range path as a driver-resident sorted array (int64, so ~16MB at
+# the cap) with whole-range pruning; a broader predicate falls back to the
+# full path's distributed semi-join.  The column-pruned + pushed-down
+# docs scan that resolves the set reads only doc_id + the predicate's
+# columns — never text — so resolution is cheap even when it overflows.
+ALLOW_COLLECT_CAP = 2_000_000
+# driver-side range pruning: isin() literal list cap for the exploded
+# range_id filter (past this the mask inside the range workers still cuts
+# candidates; only the whole-range skip is lost)
+ALLOW_RANGE_PRUNE_CAP = 8_192
 
 _DECODED_SCHEMA = StructType(
     [
@@ -337,6 +348,11 @@ class SearchEngine:
         # use the full path).  ~10 B/affected doc; capped per bundle by
         # REPAIR_OVERLAY_CAP and FIFO-bounded across bundles.
         self._overlay_cache: dict[tuple, "tuple | None"] = {}
+        # scoped-search allowed-id sets keyed by the where string
+        # (None = overflowed ALLOW_COLLECT_CAP -> distributed semi-join);
+        # query services repeat scopes (dashboards pin a time window),
+        # FIFO-bounded like the repair cache
+        self._allow_cache: dict[str, "object"] = {}
         segments = spark.read.parquet(f"{index_path}/postings")
         # kind is a partition directory -> these filters prune at the source
         self.postings = segments.filter(F.col("kind") == "tok")
@@ -898,6 +914,7 @@ class SearchEngine:
         avgdl: "float | None" = None,
         overlay: "tuple | None" = None,
         seen_ids=None,
+        allow_ids=None,
     ) -> DataFrame:
         """Doc-range-partitioned evaluation (probe_spark.search.ranged):
         ship the query terms' COMPRESSED varint segments to fixed-width
@@ -916,7 +933,14 @@ class SearchEngine:
         ``seen_ids`` (sorted int64 array): session-seen docs dropped
         BEFORE the per-range top-k — the reference's early session
         filtering (cache.rs:392-541), so a repeated --session query fills
-        its page with the NEXT k unseen results."""
+        its page with the NEXT k unseen results.
+
+        ``allow_ids`` (sorted int64 array): metadata-scoped search — only
+        these docs may qualify (filter context, see search(where=...)).
+        Ranges containing no allowed id are PRUNED from the exchange
+        driver-side (the scale move: a time window over a time-clustered
+        corpus decodes only its own ranges' postings); the range workers
+        apply the exact within-range cut."""
         from probe_spark.search import ranged
 
         lookups = sorted({v for v in kw_to_match.values() if v is not None})
@@ -966,6 +990,17 @@ class SearchEngine:
                 ),
             )
         )
+        if allow_ids is not None:
+            import numpy as np  # noqa: PLC0415
+
+            # whole-range pruning: segments overlapping only rangeless
+            # ranges never enter the exchange, so a narrow scope decodes
+            # only its own ranges' postings
+            allow_rids = np.unique(allow_ids // width)
+            if allow_rids.size <= ALLOW_RANGE_PRUNE_CAP:
+                src = src.filter(
+                    F.col("range_id").isin([int(r) for r in allow_rids])
+                )
         exclude_ids = None
         if overlay_ids is not None and overlay_ids.size:
             exclude_ids = overlay_ids
@@ -985,6 +1020,7 @@ class SearchEngine:
             k,
             with_metadata,
             exclude_ids=exclude_ids,
+            allow_ids=allow_ids,
         )
         fields = [
             StructField("doc_id", LongType(), False),
@@ -1029,6 +1065,9 @@ class SearchEngine:
             if seen_ids is not None and seen_ids.size and len(sel):
                 # seen filter BEFORE the top-k cut, so the page fills
                 sel = sel[~np.isin(overlay_ids[sel], seen_ids)]
+            if allow_ids is not None and len(sel):
+                # scoped search applies to repaired docs too
+                sel = sel[np.isin(overlay_ids[sel], allow_ids)]
             if len(sel) > k:
                 order = np.lexsort((overlay_ids[sel], -score[sel]))[:k]
                 sel = sel[order]
@@ -1100,6 +1139,48 @@ class SearchEngine:
                 ranges = None
         self._docs_ranges = ranges
         return ranges
+
+    def _allowed_ids(self, where: str):
+        """Resolve a scoped-search predicate to a sorted int64 doc_id
+        array, or None when it matches more than ALLOW_COLLECT_CAP docs
+        (the caller then semi-joins distributedly instead).
+
+        The resolving scan is column-pruned to doc_id + the predicate's
+        columns and the predicate is pushed down to the parquet footers
+        (docs/ is bucket-partitioned on doc ranges; a time-clustered
+        corpus — any transcripts table ingested in rough arrival order —
+        prunes to the touched row groups).  An unparseable or unresolvable
+        predicate raises ValueError — user error must surface, not return
+        an empty page."""
+        import numpy as np  # noqa: PLC0415
+
+        cached = self._allow_cache.get(where, _UNSET)
+        if cached is not _UNSET:
+            return cached
+        from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+        try:
+            rows = (
+                self.docs.filter(F.expr(where))
+                .select("doc_id")
+                .limit(ALLOW_COLLECT_CAP + 1)
+                .collect()
+            )
+        except AnalysisException as e:
+            raise ValueError(f"invalid where predicate {where!r}: {e}") from e
+        ids = (
+            None
+            if len(rows) > ALLOW_COLLECT_CAP
+            else np.sort(
+                np.fromiter(
+                    (r["doc_id"] for r in rows), np.int64, len(rows)
+                )
+            )
+        )
+        if len(self._allow_cache) >= 8:
+            self._allow_cache.pop(next(iter(self._allow_cache)))
+        self._allow_cache[where] = ids
+        return ids
 
     def _meta_rows(self, ids: list[int]) -> DataFrame:
         """Doc metadata for ``ids`` reading ONLY the touched docs/ files
@@ -1215,6 +1296,7 @@ class SearchEngine:
         prune: bool = True,
         exclude: DataFrame | None = None,
         match_metadata: bool = False,
+        where: str | None = None,
     ) -> DataFrame:
         """Top-k BM25 results: (doc_id, score [, conv_id, turn_idx, role,
         tool, ts, text]), rank-identical to the oracle.  k=None returns the
@@ -1222,6 +1304,20 @@ class SearchEngine:
         export / oracle comparison.  ``prune=True`` enables block-max WAND
         for eligible (pure disjunctive) top-k queries — identical results,
         fewer decoded postings; ``prune=False`` forces the full path.
+
+        ``where``: metadata-scoped search — a Spark SQL boolean expression
+        over the doc metadata columns (conv_id, turn_idx, role, tool, ts);
+        only matching docs may qualify, filtered BEFORE top-k.  FILTER
+        context (the Lucene/ES sense): idf/avgdl/n_docs stay corpus-global,
+        so a doc's score is identical inside and outside the scope — a
+        time-window dashboard pages stably as the window moves.  Plans:
+        the predicate resolves to a driver-resident sorted id array via a
+        column-pruned pushed-down docs scan (cached per where string) and
+        rides the doc-range path with whole-range pruning — a
+        time-clustered corpus touches only the window's ranges; past
+        ALLOW_COLLECT_CAP matching docs it falls back to a distributed
+        semi-join on the full path.  Raises ValueError on an invalid
+        predicate.
 
         ``exclude``: a (doc_id) DataFrame of results to drop BEFORE top-k —
         the reference's early session-cache filtering (cache.rs:392-541):
@@ -1238,6 +1334,21 @@ class SearchEngine:
         credit (documented narrowing).  Off by default (rank identity)."""
         spark = self.spark
         empty = self._empty(with_metadata)
+        if where is not None:
+            # eager analysis (schema resolution, no job): an invalid
+            # predicate must raise on EVERY dispatch path, not surface as
+            # a deferred AnalysisException from whichever plan ran first
+            from pyspark.errors import (  # noqa: PLC0415
+                AnalysisException,
+                ParseException,
+            )
+
+            try:
+                _ = self.docs.filter(F.expr(where)).schema
+            except (AnalysisException, ParseException) as e:
+                raise ValueError(
+                    f"invalid where predicate {where!r}: {e}"
+                ) from e
         try:
             expr, _special = parse_query(query, exact=exact)
         except ParseError:
@@ -1262,6 +1373,7 @@ class SearchEngine:
             prune
             and k is not None
             and exclude is None
+            and where is None
             and not match_metadata
             and not special_kws
             and token_terms
@@ -1280,6 +1392,7 @@ class SearchEngine:
         if (
             prune
             and k is not None
+            and where is None
             and not match_metadata
             and not special_kws
             and isinstance(expr, ast.Term)
@@ -1334,6 +1447,11 @@ class SearchEngine:
         # Session-exclude sets ride it as collected exclude_ids (filtered
         # BEFORE the per-range top-k, so pages fill with unseen results).
         if prune and k is not None and not match_metadata:
+            allow_ids = None
+            if where is not None:
+                allow_ids = self._allowed_ids(where)
+                if allow_ids is not None and not allow_ids.size:
+                    return empty  # predicate matches no doc at all
             seen_ids = None
             if exclude is not None:
                 import numpy as np  # noqa: PLC0415
@@ -1362,14 +1480,19 @@ class SearchEngine:
             zero_inc = ast.evaluate(expr, lambda kw: False) and (
                 ast.score(expr, lambda kw: 0.0) is not None
             )
-            if not zero_inc and (exclude is None or seen_ids is not None):
+            if (
+                not zero_inc
+                and (exclude is None or seen_ids is not None)
+                and (where is None or allow_ids is not None)
+            ):
                 ktm = {kw: kw for kw in normal_kws}
                 for kw, p in plans.items():
                     if p.matchable:
                         ktm[kw] = p.lookup
                 if not affecting0:
                     return self._search_ranged(
-                        expr, ktm, k, with_metadata, seen_ids=seen_ids
+                        expr, ktm, k, with_metadata, seen_ids=seen_ids,
+                        allow_ids=allow_ids,
                     )
                 bundle = self._repair_overlay(
                     g_set0, affecting0, sorted(set(ktm.values()))
@@ -1390,6 +1513,7 @@ class SearchEngine:
                         avgdl=adj_avgdl,
                         overlay=(o_ids, o_presence, o_dls),
                         seen_ids=seen_ids,
+                        allow_ids=allow_ids,
                     )
 
         # Special terms whose registration changes doc tokenization
@@ -1710,6 +1834,16 @@ class SearchEngine:
         result = scored.withColumn("score", score_col).filter(
             eval_col & F.col("score").isNotNull()
         ).select(*out_cols)
+        if where is not None:
+            # scoped search past ALLOW_COLLECT_CAP (or on the k=None /
+            # zero-included / metadata-credit paths): distributed semi-join
+            # against the predicate-filtered docs scan — column-pruned to
+            # doc_id + the predicate's columns, filter pushed to parquet
+            result = result.join(
+                self.docs.filter(F.expr(where)).select("doc_id"),
+                "doc_id",
+                "semi",
+            )
         if exclude is not None:
             # early session filtering: drop seen docs BEFORE the top-k so
             # the page fills with the next k unseen results
@@ -1738,6 +1872,7 @@ class SearchEngine:
         query: str,
         max_results: int | None = None,
         exact: bool = False,
+        where: str | None = None,
     ) -> DataFrame:
         """Files-only mode (reference ``-f/--files-only``,
         search_runner.rs:699-740): one row per matched CONVERSATION (the
@@ -1749,7 +1884,8 @@ class SearchEngine:
         limit is stable.  Columns stay narrow (doc_id -> conv_id join is
         column-pruned; text is never read)."""
         res = self.search(
-            query, k=None, exact=exact, with_metadata=False, prune=False
+            query, k=None, exact=exact, with_metadata=False, prune=False,
+            where=where,
         )
         out = (
             res.select("doc_id")

@@ -148,6 +148,7 @@ def make_range_eval(
     k: int,
     with_matched: bool,
     exclude_ids=None,
+    allow_ids=None,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
     """Build the mapInArrow generator: decode blocks overlapping each
     range, evaluate, emit the per-range top-k (score desc, doc_id asc).
@@ -157,7 +158,14 @@ def make_range_eval(
     docs on the driver with their REPAIRED presence/dl, so the ranges must
     not emit them with stale token-index state.  The array rides the
     pickled task closure (PySpark auto-broadcasts large commands); it is
-    capped driver-side (engine.REPAIR_OVERLAY_CAP)."""
+    capped driver-side (engine.REPAIR_OVERLAY_CAP).
+
+    ``allow_ids`` (sorted int64 numpy array): metadata-scoped search
+    (engine ``where=``) — ONLY these doc_ids may qualify.  Filter context:
+    candidacy is restricted BEFORE the per-range top-k, scores/idf/avgdl
+    stay corpus-global.  The driver additionally prunes whole ranges that
+    contain no allowed id (see engine._search_ranged), so this mask is
+    the within-range cut."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -242,6 +250,14 @@ def make_range_eval(
                 hi = np.searchsorted(exclude_ids, a + width)
                 if hi > lo:
                     ok = ok & ~np.isin(uids, exclude_ids[lo:hi])
+            if allow_ids is not None:
+                a = rid * width
+                lo = np.searchsorted(allow_ids, a)
+                hi = np.searchsorted(allow_ids, a + width)
+                if hi > lo:
+                    ok = ok & np.isin(uids, allow_ids[lo:hi])
+                else:  # no allowed doc in this range at all
+                    continue
             sel = np.nonzero(ok & ~isnull)[0]
             if not len(sel):
                 continue

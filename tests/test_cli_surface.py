@@ -92,6 +92,24 @@ class TestCli:
         lines = capsys.readouterr().out.strip().splitlines()
         assert lines == expect[:3]
 
+    def test_where_flag_scopes_results(self, spark, built_index, capsys):
+        # --where: metadata-scoped search; every returned turn satisfies
+        # the predicate, and --local refuses the flag loudly
+        from probe_spark import cli
+
+        rc = cli.main(["search", "error OR handling", "--index", built_index,
+                       "--where", "role = 'user'", "-k", "5",
+                       "--format", "json"])
+        assert rc == 0
+        rows = [json.loads(x)
+                for x in capsys.readouterr().out.strip().splitlines()]
+        assert rows and all(r["role"] == "user" for r in rows)
+
+        rc = cli.main(["search", "error", "--index", built_index,
+                       "--where", "role = 'user'", "--local"])
+        assert rc == 2
+        assert "--where" in capsys.readouterr().err
+
     def test_frequency_flag_accepted(self, built_index, capsys):
         # reference accepts -s/--frequency and destructures it away
         # (search_runner.rs:226) — parity: accepted, ignored
