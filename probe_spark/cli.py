@@ -265,6 +265,34 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone docs matching --where (index/maintenance.delete_where):
+    a metadata write, no index rewrite; deleted docs stop surfacing
+    immediately, bytes are reclaimed by `vacuum`."""
+    from probe_spark.index.maintenance import delete_where
+
+    spark = _build_session("probe-spark-delete")
+    try:
+        n = delete_where(spark, args.index, args.where)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps({"deleted": n}))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    """Fold tombstones into the index (index/maintenance.vacuum):
+    segments re-encoded without deleted postings, docs shards rewritten
+    file-for-file, stats recomputed — rank-identical to a fresh build
+    over the surviving corpus."""
+    from probe_spark.index.maintenance import vacuum
+
+    spark = _build_session("probe-spark-vacuum")
+    print(json.dumps(vacuum(spark, args.index), default=str))
+    return 0
+
+
 def _jsonable(v):
     try:
         json.dumps(v)
@@ -376,6 +404,26 @@ def main(argv: list[str] | None = None) -> int:
                          "structure, manifest lineage totals, doc_id "
                          "density (exit 1 on any failure)")
     st.set_defaults(fn=cmd_stats)
+
+    d = sub.add_parser(
+        "delete",
+        help="tombstone docs matching a metadata predicate (no rewrite; "
+             "masked from every query path until vacuum folds them)",
+    )
+    d.add_argument("--index", required=True)
+    d.add_argument("--where", required=True, metavar="PRED",
+                   help="Spark SQL predicate over (conv_id, turn_idx, "
+                        "role, tool, ts, text) selecting docs to delete")
+    d.set_defaults(fn=cmd_delete)
+
+    v = sub.add_parser(
+        "vacuum",
+        help="fold tombstones: re-encode segments, rewrite docs shards, "
+             "recompute stats (rank-identical to a fresh build over the "
+             "surviving corpus)",
+    )
+    v.add_argument("--index", required=True)
+    v.set_defaults(fn=cmd_vacuum)
 
     args = p.parse_args(argv)
     try:

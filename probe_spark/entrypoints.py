@@ -319,6 +319,59 @@ def _q_bm25_grouped(spark, sf_dir):
     return _search(spark, sf_dir, "(hash OR join) AND (scan OR merge)")
 
 
+def _tomb_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Own index dir (deletes mutate it): build, then tombstone every
+    source='src7' doc (index/maintenance.delete_where — a metadata write,
+    no rewrite).  Idempotent across driver runs: the build resumes and
+    re-deletes dedupe at read time."""
+    from probe_spark.index.maintenance import delete_where
+
+    path = index_path_for(sf_dir) + "_tomb"
+    if path not in _ENGINES:
+        builder = IndexBuilder(spark, BuildConfig(n_buckets=8))
+        builder.build(_docs_as_transcripts(spark, sf_dir), path)
+        delete_where(spark, path, "tool = 'src7'")
+        _ENGINES[path] = SearchEngine(spark, path)
+    return _ENGINES[path]
+
+
+def _vac_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Own index dir: build, tombstone source='src7', then VACUUM — the
+    folded index must be rank-identical to a fresh build over the
+    surviving corpus, which is exactly what the oracle computes.
+    Idempotent: on an already-vacuumed dir the delete matches nothing
+    and the vacuum no-ops."""
+    from probe_spark.index.maintenance import delete_where, vacuum
+
+    path = index_path_for(sf_dir) + "_vac"
+    if path not in _ENGINES:
+        builder = IndexBuilder(spark, BuildConfig(n_buckets=8))
+        builder.build(_docs_as_transcripts(spark, sf_dir), path)
+        if delete_where(spark, path, "tool = 'src7'"):
+            vacuum(spark, path)
+        _ENGINES[path] = SearchEngine(spark, path)
+    return _ENGINES[path]
+
+
+def _q_deleted_masked(spark, sf_dir):
+    """Tombstoned index, pre-vacuum: deleted docs never surface while
+    survivor scores keep CORPUS-AS-BUILT statistics (Lucene deleted-docs
+    semantics) — the oracle scores with full-corpus df/avgdl and cuts the
+    deleted docs from the candidate set only."""
+    eng = _tomb_engine(spark, sf_dir)
+    res = eng.search("hash OR join", k=None, with_metadata=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_vacuumed_index(spark, sf_dir):
+    """Post-vacuum: stats recomputed over survivors, segments re-encoded
+    — rank- and score-identical to a fresh build over the surviving
+    corpus (the oracle computes BM25 wholly over the kept docs)."""
+    eng = _vac_engine(spark, sf_dir)
+    res = eng.search("hash OR join", k=None, with_metadata=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_files_only(spark, sf_dir):
     """Files-only mode (reference -f, search_runner.rs:699-740): distinct
     matched conversations, no ranking/content, max_results applied after
@@ -815,6 +868,8 @@ QUERIES = {
     "bm25_matched_terms": _q_bm25_matched_terms,
     "files_only": _q_files_only,
     "scoped_search": _q_scoped_search,
+    "deleted_masked": _q_deleted_masked,
+    "vacuumed_index": _q_vacuumed_index,
 }
 
 
@@ -1550,6 +1605,27 @@ FROM (SELECT DISTINCT doc_id FROM tok WHERE t IN ('hash', 'join')) m
 ORDER BY conv_id
 LIMIT 200
 """,
+    # tombstoned (pre-vacuum): full-corpus stats, deleted docs cut from
+    # the candidate set only — Lucene deleted-docs semantics
+    "deleted_masked": _bm25_sql(
+        ["hash", "join"],
+        "(p.p_hash = 1 OR p.p_join = 1) AND p.doc_id NOT IN "
+        "(SELECT doc_id FROM documents WHERE source = 'src7')",
+        [_contrib("hash"), _contrib("join")],
+    ),
+    # vacuumed: BM25 computed wholly over the surviving corpus — the
+    # folded index must equal a fresh build over it
+    "vacuumed_index": _bm25_sql(
+        ["hash", "join"],
+        "(p.p_hash = 1 OR p.p_join = 1)",
+        [_contrib("hash"), _contrib("join")],
+        prelude=(
+            "WITH kept AS (SELECT * FROM documents WHERE source <> 'src7')"
+            + _BM25_PRELUDE.replace("WITH words AS", ", words AS").replace(
+                "FROM documents", "FROM kept"
+            )
+        ),
+    ),
     # scoped search: same BM25 math (corpus-global stats), candidates cut
     # to the predicate (role=lang, tool=source in docs-as-transcripts)
     # BEFORE the top-k ordering

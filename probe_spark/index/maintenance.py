@@ -1,0 +1,343 @@
+"""Index maintenance: document deletion (tombstones) and vacuum.
+
+At 10^12-turn scale deletion is inevitable (takedowns, retention windows,
+privacy erasure), and rebuilding the index per delete is disqualifying.
+This module takes the Lucene/Iceberg shape:
+
+  DELETE is a metadata write.  ``delete_where`` resolves a Spark SQL
+  predicate over the doc metadata columns to (doc_id, dl) rows and appends
+  them to ``<index>/tombstones/`` — one column-pruned, pushed-down scan of
+  docs/, no index rewrite.  Query paths mask tombstoned docs BEFORE top-k;
+  corpus statistics (df/avgdl/n_docs) stay as built until vacuum, exactly
+  Lucene's deleted-docs semantics: a surviving doc's score is unchanged by
+  a delete, and the oracle for a tombstoned index is "full-corpus stats,
+  candidates minus deleted".
+
+  VACUUM rewrites the index in place to fold the tombstones: every
+  posting segment is decoded, masked, and re-encoded (block metadata,
+  df_seg, CRC recomputed) in one embarrassingly parallel Arrow pass over
+  the segment files — postings move once, no shuffle; docs/ shards are
+  rewritten file-for-file (layout and doc order preserved, so footer
+  pruning keeps working); stats are recomputed from the surviving docs.
+  The result is rank-identical to a fresh build over the surviving corpus
+  (same postings, same stats; doc_ids keep their original values, gaps
+  are fine for BM25).  New directories are written complete, then swapped
+  by rename — a crash mid-swap leaves the ``.vold-*`` originals on disk
+  for manual recovery.
+
+The reference has no deletes (it re-scans files per query, so deletion is
+`rm`); this is the index-maintenance analog that role demands.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import SparkSession, functions as F
+
+from probe_spark.runtime import ensure_package_on_executors
+
+# tombstone sets at or below this ride query paths as a driver-resident
+# sorted int64 array (~40MB at the cap); a larger backlog of deletes makes
+# every query pay a distributed anti-join instead — at that point run
+# vacuum (which is also the only path that frees the bytes)
+TOMBSTONE_COLLECT_CAP = 5_000_000
+
+
+def _posix(index_path: str) -> str:
+    return index_path.removeprefix("file://")
+
+
+def delete_where(spark: SparkSession, index_path: str, where: str) -> int:
+    """Tombstone every doc matching ``where`` (a Spark SQL predicate over
+    conv_id, turn_idx, role, tool, ts, text).  Returns the number of docs
+    tombstoned by THIS call (docs already deleted tombstone again
+    harmlessly — readers dedupe).  One column-pruned scan; no index
+    rewrite."""
+    docs = spark.read.parquet(f"{index_path}/docs")
+    from pyspark.errors import AnalysisException, ParseException
+
+    try:
+        sel = docs.filter(F.expr(where)).select("doc_id", "dl")
+        _ = sel.schema  # eager analysis: bad predicates must raise here
+    except (AnalysisException, ParseException) as e:
+        raise ValueError(f"invalid where predicate {where!r}: {e}") from e
+    n = sel.count()
+    if n:
+        sel.write.mode("append").parquet(f"{index_path}/tombstones")
+    return int(n)
+
+
+def tombstone_ids(index_path: str):
+    """Sorted unique tombstoned doc_ids as int64, or None when there are
+    none, or the string ``"overflow"`` past TOMBSTONE_COLLECT_CAP (the
+    engine then anti-joins distributedly).  Driver-side pyarrow read —
+    tombstones are (doc_id, dl) only, so even the cap is ~80MB of IO."""
+    d = os.path.join(_posix(index_path), "tombstones")
+    if not os.path.isdir(d):
+        return None
+    import pyarrow.dataset as pds
+
+    ds = pds.dataset(d, format="parquet")
+    if ds.count_rows() > TOMBSTONE_COLLECT_CAP:
+        return "overflow"
+    col = ds.to_table(columns=["doc_id"]).column("doc_id")
+    if col.num_chunks == 0:
+        return None
+    ids = np.unique(col.to_numpy(zero_copy_only=False).astype(np.int64))
+    return ids if ids.size else None
+
+
+def _mask_sorted(values: np.ndarray, tomb: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask for ``values`` (any order) against sorted
+    ``tomb``."""
+    pos = np.searchsorted(tomb, values)
+    pos[pos == tomb.size] = tomb.size - 1
+    return tomb[pos] != values
+
+
+def vacuum(spark: SparkSession, index_path: str) -> dict:
+    """Fold tombstones into the index (posix paths; remote stores would
+    swap via their own atomic-rename/commit primitive).  Returns the
+    maintenance stats dict; no-op when there are no tombstones."""
+    base = _posix(index_path)
+    if not os.path.isdir(os.path.join(base, "tombstones")):
+        return {"vacuumed": 0, "skipped": "no tombstones"}
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    ensure_package_on_executors(spark)
+    tomb_tbl = pds.dataset(
+        os.path.join(base, "tombstones"), format="parquet"
+    ).to_table(columns=["doc_id"])
+    tomb = np.unique(
+        tomb_tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    if not tomb.size:
+        shutil.rmtree(os.path.join(base, "tombstones"))
+        return {"vacuumed": 0, "skipped": "empty tombstones"}
+
+    stats = pq.read_table(os.path.join(base, "stats")).to_pylist()[0]
+    block_size = int(stats["block_size"])
+    stamp = str(int(time.time() * 1000))
+
+    # -- postings rewrite: one Arrow pass, segments move file -> file -----
+    seg_df = spark.read.parquet(f"{index_path}/postings")
+    out_schema = seg_df.schema  # includes kind/bucket partition columns
+
+    def rewrite(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from probe_spark.index.codec import decode_postings, encode_postings
+
+        for batch in batches:
+            cols = {name: batch.column(name) for name in batch.schema.names}
+            rows = batch.num_rows
+            keep_rows = []
+            repl: dict[int, dict] = {}
+            for i in range(rows):
+                ids, dls = decode_postings(
+                    cols["docs_bin"][i].as_py(), cols["dl_bin"][i].as_py()
+                )
+                keep = _mask_sorted(ids, tomb)
+                if keep.all():
+                    keep_rows.append(i)
+                    continue
+                ids, dls = ids[keep], dls[keep]
+                if not ids.size:
+                    continue  # segment fully deleted
+                (db, lb, bl, bm, bo, lo) = encode_postings(
+                    ids, dls, block=block_size
+                )
+                keep_rows.append(i)
+                repl[i] = {
+                    "df_seg": int(ids.size),
+                    "min_doc": int(ids[0]),
+                    "max_doc": int(ids[-1]),
+                    "docs_bin": db,
+                    "dl_bin": lb,
+                    "block_last_doc": bl.tolist(),
+                    "block_min_dl": bm.tolist(),
+                    "block_doc_off": bo.tolist(),
+                    "block_dl_off": lo.tolist(),
+                    "seg_bytes": len(db) + len(lb),
+                    "seg_crc": zlib.crc32(db),
+                }
+            if not keep_rows:
+                continue
+            out = {n: [] for n in batch.schema.names}
+            for i in keep_rows:
+                r = repl.get(i)
+                for n in batch.schema.names:
+                    if r is not None and n in r:
+                        out[n].append(r[n])
+                    else:
+                        out[n].append(cols[n][i].as_py())
+            yield pa.RecordBatch.from_pydict(out, schema=batch.schema)
+
+    tmp_post = os.path.join(base, f".vtmp-postings-{stamp}")
+    (
+        seg_df.mapInArrow(rewrite, out_schema)
+        .write.partitionBy("kind", "bucket")
+        .mode("overwrite")
+        .parquet(tmp_post)
+    )
+    # fresh per-bucket lineage totals for the rewritten segments (verify
+    # compares the LATEST done row per (phase, bucket) against the scan;
+    # metadata-only aggregation — binary columns are pruned)
+    new_lineage = (
+        spark.read.parquet(tmp_post)
+        .groupBy("kind", "bucket")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df_seg").alias("n_postings"),
+            F.sum("seg_bytes").alias("bytes"),
+            F.sum("seg_crc").alias("checksum"),
+        )
+        .collect()
+    )
+
+    # -- docs rewrite: file-for-file, layout and doc order preserved ------
+    docs_dir = os.path.join(base, "docs")
+    files = sorted(
+        fn for fn in os.listdir(docs_dir) if fn.endswith(".parquet")
+    )
+    tmp_docs = os.path.join(base, f".vtmp-docs-{stamp}")
+    os.makedirs(tmp_docs, exist_ok=True)
+    src_dir, dst_dir = docs_dir, tmp_docs
+
+    def rewrite_docs(pdfs):
+        import pandas as pd
+        import pyarrow.parquet as pqw
+
+        for pdf in pdfs:
+            kept = []
+            dl_sum = []
+            for fn in pdf["fn"]:
+                t = pqw.read_table(os.path.join(src_dir, fn))
+                keep = _mask_sorted(
+                    t.column("doc_id").to_numpy().astype(np.int64), tomb
+                )
+                t2 = t.filter(pa.array(keep))
+                if t2.num_rows:  # drop fully-deleted shards: an empty
+                    # footer has no doc_id stats and would disable the
+                    # engine's footer-range pruning wholesale
+                    pqw.write_table(t2, os.path.join(dst_dir, fn))
+                kept.append(t2.num_rows)
+                dl_sum.append(
+                    int(t2.column("dl").to_numpy().sum()) if t2.num_rows else 0
+                )
+            yield pd.DataFrame({"fn": pdf["fn"], "kept": kept, "dl": dl_sum})
+
+    fdf = spark.createDataFrame([(f,) for f in files], "fn string")
+    agg = (
+        fdf.repartition(min(len(files), 64))
+        .mapInPandas(rewrite_docs, "fn string, kept long, dl long")
+        .agg(F.sum("kept").alias("n"), F.sum("dl").alias("dl"))
+        .collect()[0]
+    )
+    n_docs, total_dl = int(agg["n"]), int(agg["dl"])
+    with open(os.path.join(tmp_docs, "_SUCCESS"), "w"):
+        pass
+
+    # -- stats + swap ------------------------------------------------------
+    new_stats = dict(stats)
+    new_stats.update(
+        n_docs=n_docs,
+        total_dl=total_dl,
+        avgdl=(total_dl / n_docs) if n_docs else 0.0,
+        build_id=f"{stats['build_id']}+vacuum{stamp}",
+    )
+    tmp_stats = os.path.join(base, f".vtmp-stats-{stamp}")
+    os.makedirs(tmp_stats, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist([new_stats]),
+        os.path.join(tmp_stats, "part-0.parquet"),
+    )
+
+    volds = []
+    for name, tmp in (
+        ("postings", tmp_post),
+        ("docs", tmp_docs),
+        ("stats", tmp_stats),
+    ):
+        live = os.path.join(base, name)
+        old = os.path.join(base, f".vold-{name}-{stamp}")
+        os.rename(live, old)
+        os.rename(tmp, live)
+        volds.append(old)
+    for old in volds:
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(os.path.join(base, "tombstones"), ignore_errors=True)
+
+    # lineage: refreshed per-bucket totals + one vacuum phase row, so
+    # `stats --verify` keeps passing (it checks the LATEST done row per
+    # (phase, bucket)).  Buckets fully emptied by the deletes get a zero
+    # row — verify treats "zero lineage, no segments" as consistent.
+    manifest = os.path.join(base, "manifest")
+    if os.path.isdir(manifest):
+        now = time.time()
+        rows = [
+            {
+                "build_id": new_stats["build_id"],
+                "phase": "vacuum",
+                "partition_id": -1,
+                "status": "done",
+                "n_terms": 0,
+                "n_postings": 0,
+                "bytes": 0,
+                "checksum": str(int(tomb.size)),
+                "completed_at": now,
+            }
+        ]
+        covered = set()
+        for r in new_lineage:
+            covered.add((str(r["kind"]), int(r["bucket"])))
+            rows.append(
+                {
+                    "build_id": new_stats["build_id"],
+                    "phase": f"postings_{r['kind']}",
+                    "partition_id": int(r["bucket"]),
+                    "status": "done",
+                    "n_terms": int(r["n_terms"]),
+                    "n_postings": int(r["n_postings"]),
+                    "bytes": int(r["bytes"]),
+                    "checksum": str(int(r["checksum"])),
+                    "completed_at": now,
+                }
+            )
+        old = pq.read_table(manifest).to_pylist()
+        for m in old:
+            ph = str(m["phase"])
+            if not ph.startswith("postings_") or m["status"] != "done":
+                continue
+            key = (ph.removeprefix("postings_"), int(m["partition_id"]))
+            if key not in covered:
+                covered.add(key)
+                rows.append(
+                    {
+                        "build_id": new_stats["build_id"],
+                        "phase": ph,
+                        "partition_id": int(m["partition_id"]),
+                        "status": "done",
+                        "n_terms": 0,
+                        "n_postings": 0,
+                        "bytes": 0,
+                        "checksum": "0",
+                        "completed_at": now,
+                    }
+                )
+        pq.write_table(
+            pa.Table.from_pylist(rows),
+            os.path.join(manifest, f"vacuum-{stamp}.parquet"),
+        )
+
+    return {
+        "vacuumed": int(tomb.size),
+        "n_docs": n_docs,
+        "avgdl": new_stats["avgdl"],
+    }

@@ -90,6 +90,11 @@ def verify_index(spark: SparkSession, path: str) -> dict:
 
     # manifest comparison: latest done lineage row per (phase, bucket)
     manifest = spark.read.parquet(f"{path}/manifest").collect()
+    # a vacuum rewrites doc ids out of the index, so the docID-density
+    # invariant relaxes from "dense 0..n-1" to "distinct, non-negative"
+    has_vacuum = any(
+        r["phase"] == "vacuum" and r["status"] == "done" for r in manifest
+    )
     latest: dict[tuple, dict] = {}
     for m in (r.asDict() for r in manifest):
         if not m["phase"].startswith("postings_") or m["status"] != "done":
@@ -121,8 +126,10 @@ def verify_index(spark: SparkSession, path: str) -> dict:
                         "reason": f"{field}: manifest {m[field]} != scan {got}",
                     }
                 )
-    for key in latest:
-        if key not in seen:
+    for key, m in latest.items():
+        if key not in seen and int(m["n_postings"]) != 0:
+            # a zero lineage row with no segments = a bucket a vacuum
+            # emptied, which is consistent; a NON-zero row is a real loss
             manifest_mismatches.append(
                 {"bucket": key, "reason": "lineage row has no segments on disk"}
             )
@@ -140,8 +147,14 @@ def verify_index(spark: SparkSession, path: str) -> dict:
     docs_ok = (
         int(docs_agg["n"]) == n_docs
         and int(docs_agg["n_distinct"]) == n_docs
-        and int(docs_agg["lo"]) == 0
-        and int(docs_agg["hi"]) == n_docs - 1
+        and int(docs_agg["lo"]) >= 0
+        and (
+            has_vacuum  # gaps are the point of a vacuum
+            or (
+                int(docs_agg["lo"]) == 0
+                and int(docs_agg["hi"]) == n_docs - 1
+            )
+        )
     )
 
     ok = (

@@ -353,6 +353,9 @@ class SearchEngine:
         # query services repeat scopes (dashboards pin a time window),
         # FIFO-bounded like the repair cache
         self._allow_cache: dict[str, "object"] = {}
+        # tombstoned doc_ids (index/maintenance.delete_where): lazily
+        # loaded (ids array | None, overflow bool); refresh() re-reads
+        self._tomb_state: "object" = _UNSET
         segments = spark.read.parquet(f"{index_path}/postings")
         # kind is a partition directory -> these filters prune at the source
         self.postings = segments.filter(F.col("kind") == "tok")
@@ -1140,6 +1143,58 @@ class SearchEngine:
         self._docs_ranges = ranges
         return ranges
 
+    def _tombstones(self) -> "tuple":
+        """(sorted tombstoned ids | None, overflow: bool), lazily loaded.
+
+        Deleted docs are masked BEFORE top-k on every path; stats stay as
+        built until vacuum (Lucene deleted-docs semantics — see
+        index/maintenance.py).  Posix indexes read the tombstone files
+        driver-side; remote stores fall back to one Spark collect.  Past
+        TOMBSTONE_COLLECT_CAP every query pays a distributed anti-join —
+        the signal to run vacuum."""
+        if self._tomb_state is not _UNSET:
+            return self._tomb_state
+        import numpy as np  # noqa: PLC0415
+
+        from probe_spark.index.maintenance import (  # noqa: PLC0415
+            TOMBSTONE_COLLECT_CAP,
+            tombstone_ids,
+        )
+
+        base = self.index_path.removeprefix("file://")
+        if os.path.isdir(base):
+            t = tombstone_ids(self.index_path)
+            state = (None, True) if isinstance(t, str) else (t, False)
+        else:
+            from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+            try:
+                rows = (
+                    self.spark.read.parquet(f"{self.index_path}/tombstones")
+                    .select("doc_id")
+                    .limit(TOMBSTONE_COLLECT_CAP + 1)
+                    .collect()
+                )
+            except AnalysisException:
+                rows = []
+            if len(rows) > TOMBSTONE_COLLECT_CAP:
+                state = (None, True)
+            elif rows:
+                state = (
+                    np.unique(
+                        np.fromiter(
+                            (r["doc_id"] for r in rows),
+                            np.int64,
+                            len(rows),
+                        )
+                    ),
+                    False,
+                )
+            else:
+                state = (None, False)
+        self._tomb_state = state
+        return state
+
     def _allowed_ids(self, where: str):
         """Resolve a scoped-search predicate to a sorted int64 doc_id
         array, or None when it matches more than ALLOW_COLLECT_CAP docs
@@ -1369,11 +1424,17 @@ class SearchEngine:
         plans = {kw: special_plan(kw) for kw in sorted(special_kws)}
         special_lookups = [p.lookup for p in plans.values() if p.matchable]
 
+        # tombstoned docs are masked BEFORE top-k on every path (stats
+        # stay as built until vacuum — index/maintenance.py)
+        tomb, tomb_over = self._tombstones()
+        no_tomb = tomb is None and not tomb_over
+
         if (
             prune
             and k is not None
             and exclude is None
             and where is None
+            and no_tomb
             and not match_metadata
             and not special_kws
             and token_terms
@@ -1393,6 +1454,7 @@ class SearchEngine:
             prune
             and k is not None
             and where is None
+            and no_tomb
             and not match_metadata
             and not special_kws
             and isinstance(expr, ast.Term)
@@ -1453,6 +1515,7 @@ class SearchEngine:
                 if allow_ids is not None and not allow_ids.size:
                     return empty  # predicate matches no doc at all
             seen_ids = None
+            exclude_overflow = False
             if exclude is not None:
                 import numpy as np  # noqa: PLC0415
 
@@ -1469,6 +1532,17 @@ class SearchEngine:
                             len(seen_rows),
                         )
                     )
+                else:
+                    exclude_overflow = True
+            if tomb is not None:
+                import numpy as np  # noqa: PLC0415
+
+                # tombstones ride the same pre-top-k exclusion mask
+                seen_ids = (
+                    tomb
+                    if seen_ids is None
+                    else np.union1d(seen_ids, tomb)
+                )
             g_set0 = frozenset(
                 p.lookup
                 for p in plans.values()
@@ -1482,7 +1556,8 @@ class SearchEngine:
             )
             if (
                 not zero_inc
-                and (exclude is None or seen_ids is not None)
+                and not exclude_overflow
+                and not tomb_over
                 and (where is None or allow_ids is not None)
             ):
                 ktm = {kw: kw for kw in normal_kws}
@@ -1834,6 +1909,17 @@ class SearchEngine:
         result = scored.withColumn("score", score_col).filter(
             eval_col & F.col("score").isNotNull()
         ).select(*out_cols)
+        if tomb is not None or tomb_over:
+            # deleted docs never surface; broadcast when the set is known
+            # small (under the collect cap), shuffle anti-join otherwise
+            tdf = (
+                self.spark.read.parquet(f"{self.index_path}/tombstones")
+                .select("doc_id")
+                .distinct()
+            )
+            if tomb is not None:
+                tdf = F.broadcast(tdf)
+            result = result.join(tdf, "doc_id", "left_anti")
         if where is not None:
             # scoped search past ALLOW_COLLECT_CAP (or on the k=None /
             # zero-included / metadata-credit paths): distributed semi-join

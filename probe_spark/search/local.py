@@ -76,6 +76,18 @@ class LocalSearcher:
         self._postings_cache_cap = 512
         self._repair_cache: dict[frozenset, tuple] = {}
         self._docs_ds = None
+        # tombstoned docs (index/maintenance.delete_where) are masked
+        # before top-k; stats stay as built until vacuum — same
+        # deleted-docs semantics as the Spark engine
+        from probe_spark.index.maintenance import tombstone_ids
+
+        t = tombstone_ids(self.index_path)
+        if isinstance(t, str):
+            raise RuntimeError(
+                "tombstone backlog exceeds the local front-end cap — "
+                "run probe_spark.index.maintenance.vacuum first"
+            )
+        self._tomb = t
 
     # -- index access --------------------------------------------------------
     def _bucket_files(self, kind: str, bucket: int) -> list[str]:
@@ -361,6 +373,12 @@ class LocalSearcher:
         )
         score, ok = self._score_eval(expr, present, idfs, tf_norm, n)
         keep = ok & ~np.isnan(score)
+        if self._tomb is not None and n:
+            # deleted docs never surface (covers the repair-widened and
+            # zero-included candidate sets too — all ride cand_ids)
+            pos = np.searchsorted(self._tomb, cand_ids)
+            pos[pos == self._tomb.size] = self._tomb.size - 1
+            keep &= self._tomb[pos] != cand_ids
         ids_k = cand_ids[keep]
         sc_k = score[keep]
         if k is not None:
