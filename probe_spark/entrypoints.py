@@ -372,6 +372,30 @@ def _q_vacuumed_index(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_percolate(spark, sf_dir):
+    """Standing queries (streaming/percolate.py): every (query, matching
+    turn) pair with the engine's sorted matched_terms — the percolator /
+    alerting primitive, exact boolean semantics, no corpus stats.
+    matched_terms is emitted comma-joined (the driver's canonicalizer
+    sorts columns in pandas, where raw lists are unhashable)."""
+    from probe_spark.streaming.percolate import percolate
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    m = percolate(
+        t,
+        {
+            "pq1": "hash AND join",
+            "pq2": "scan -merge",
+            "pq3": "+filter group",
+        },
+    )
+    return m.select(
+        "query_id",
+        "conv_id",
+        F.array_join("matched_terms", ",").alias("matched"),
+    )
+
+
 def _q_files_only(spark, sf_dir):
     """Files-only mode (reference -f, search_runner.rs:699-740): distinct
     matched conversations, no ranking/content, max_results applied after
@@ -870,6 +894,7 @@ QUERIES = {
     "scoped_search": _q_scoped_search,
     "deleted_masked": _q_deleted_masked,
     "vacuumed_index": _q_vacuumed_index,
+    "percolate": _q_percolate,
 }
 
 
@@ -1604,6 +1629,35 @@ SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS conv_id
 FROM (SELECT DISTINCT doc_id FROM tok WHERE t IN ('hash', 'join')) m
 ORDER BY conv_id
 LIMIT 200
+""",
+    # percolation: per-doc boolean evaluation of each standing query over
+    # the tokenized turn — presence flags mirror the engine's AST gates
+    # (pq1 conjunction, pq2 exclusion, pq3 required+optional), matched
+    # terms in sorted keyword order
+    "percolate": f"""{_BM25_PRELUDE}
+, pres AS (
+  SELECT dls.doc_id,
+         MAX(CASE WHEN tok.t = 'hash' THEN 1 ELSE 0 END) AS p_hash,
+         MAX(CASE WHEN tok.t = 'join' THEN 1 ELSE 0 END) AS p_join,
+         MAX(CASE WHEN tok.t = 'scan' THEN 1 ELSE 0 END) AS p_scan,
+         MAX(CASE WHEN tok.t = 'merge' THEN 1 ELSE 0 END) AS p_merge,
+         MAX(CASE WHEN tok.t = 'filter' THEN 1 ELSE 0 END) AS p_filter,
+         MAX(CASE WHEN tok.t = 'group' THEN 1 ELSE 0 END) AS p_group
+  FROM dls LEFT JOIN tok ON dls.doc_id = tok.doc_id
+  GROUP BY dls.doc_id
+)
+SELECT 'pq1' AS query_id,
+       lpad(CAST(doc_id AS VARCHAR), 12, '0') AS conv_id,
+       'hash,join' AS matched
+FROM pres WHERE p_hash = 1 AND p_join = 1
+UNION ALL
+SELECT 'pq2', lpad(CAST(doc_id AS VARCHAR), 12, '0'), 'scan'
+FROM pres WHERE p_scan = 1 AND p_merge = 0
+UNION ALL
+SELECT 'pq3', lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+       concat_ws(',', 'filter',
+                 CASE WHEN p_group = 1 THEN 'group' END)
+FROM pres WHERE p_filter = 1
 """,
     # tombstoned (pre-vacuum): full-corpus stats, deleted docs cut from
     # the candidate set only — Lucene deleted-docs semantics
