@@ -73,8 +73,28 @@ def format_xml(rows: list[dict]) -> str:
     return "\n".join(parts)
 
 
+def _highlight(text: str, terms: list[str]) -> str:
+    """Bold every case-insensitive occurrence of a matched term inside the
+    text (the reference's color output highlights matched keywords,
+    search_output.rs).  Matched terms are stems, so substring occurrences
+    inside surface forms ('handl' in 'handling') highlight too — same
+    visual effect the reference's per-keyword line marking gives."""
+    import re
+
+    if not terms:
+        return text
+    pat = re.compile(
+        "|".join(re.escape(t) for t in sorted(terms, key=len, reverse=True)),
+        re.IGNORECASE,
+    )
+    return pat.sub(
+        lambda m: f"{_ANSI_BOLD}{_ANSI_CYAN}{m.group(0)}{_ANSI_RESET}", text
+    )
+
+
 def format_color(rows: list[dict]) -> str:
-    """search_output.rs color/terminal format analog (ANSI)."""
+    """search_output.rs color/terminal format analog (ANSI), matched
+    keywords highlighted in the body."""
     parts = []
     for d in rows:
         parts.append(
@@ -86,7 +106,9 @@ def format_color(rows: list[dict]) -> str:
                 _ANSI_DIM + "matched: "
                 + ", ".join(d["matched_terms"]) + _ANSI_RESET
             )
-        parts.append(d.get("text") or "")
+        parts.append(
+            _highlight(d.get("text") or "", d.get("matched_terms") or [])
+        )
         parts.append("")
     return "\n".join(parts).rstrip("\n")
 

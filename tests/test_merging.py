@@ -116,6 +116,10 @@ class TestFormatters:
         assert xml.count("<result>") == 2
         color = FORMATTERS["color"](rows)
         assert "\x1b[1m" in color and "c1:3" in color
+        # matched keywords are highlighted inside the body, stem-substring
+        # included ('handl' inside 'handler'), case-insensitive
+        assert "\x1b[1m\x1b[36merror\x1b[0m" in color
+        assert '\x1b[1m\x1b[36mhandl\x1b[0mer' in color
         assert FORMATTERS["terminal"] is FORMATTERS["color"]
 
     def test_merged_span_location(self):
