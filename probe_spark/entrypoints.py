@@ -573,6 +573,26 @@ def _q_bm25_topk_wand(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_batch(spark, sf_dir):
+    """Batched multi-query retrieval (engine.search_batch): three query
+    shapes (disjunctive, required, conjunctive) share ONE postings
+    exchange + Arrow stage — the offline bulk-retrieval amortization
+    (training-data mining at 10^12 turns decodes each segment once for
+    thousands of queries, not once per query).  Per-query results are
+    rank/score-identical to search(), so comparing against three
+    independent top-k oracles checks the sharing didn't leak state
+    between queries."""
+    eng = get_engine(spark, sf_dir)
+    res = eng.search_batch(
+        ["hash OR join", "+hash join", "hash AND scan"],
+        k=25,
+        with_metadata=False,
+    )
+    return res.select(
+        "query_idx", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def _q_streaming_index(spark, sf_dir):
     """Streaming ingest (§2.10, beyond-reference): the corpus arrives as
     two Structured Streaming micro-batches (foreachBatch delta builds into
@@ -872,6 +892,7 @@ QUERIES = {
     "sessionize": _q_sessionize,
     "windowed_counts": _q_windowed_counts,
     "bm25_topk_wand": _q_bm25_topk_wand,
+    "bm25_batch": _q_bm25_batch,
     "streaming_index": _q_streaming_index,
     "compacted_index": _q_compacted_index,
     "degenerate_lines": _q_degenerate_lines,
@@ -1011,6 +1032,38 @@ _BM25_TOPK_WAND_ORACLE = f"""{_BM25_PRELUDE}
   LIMIT 50
 )
 SELECT doc_id, ROUND(score, 6) AS score FROM scored
+"""
+
+# three independent top-k oracles over one shared presence table — the SQL
+# mirror of search_batch's query set ("hash OR join", "+hash join",
+# "hash AND scan" at k=25)
+_BM25_BATCH_ORACLE = f"""{_BM25_PRELUDE}
+, pres AS (
+  SELECT dls.doc_id, dls.dl,
+         MAX(CASE WHEN tok.t = 'hash' THEN 1 ELSE 0 END) AS p_hash,
+         MAX(CASE WHEN tok.t = 'join' THEN 1 ELSE 0 END) AS p_join,
+         MAX(CASE WHEN tok.t = 'scan' THEN 1 ELSE 0 END) AS p_scan
+  FROM dls LEFT JOIN tok ON dls.doc_id = tok.doc_id
+  GROUP BY dls.doc_id, dls.dl
+), dfs AS (
+  SELECT SUM(p_hash) AS df_hash, SUM(p_join) AS df_join,
+         SUM(p_scan) AS df_scan FROM pres
+), s0 AS (
+  SELECT 0 AS query_idx, p.doc_id, {{c_hash}} + {{c_join}} AS score
+  FROM pres p, stats s, dfs d WHERE p.p_hash = 1 OR p.p_join = 1
+  ORDER BY score DESC, p.doc_id ASC LIMIT 25
+), s1 AS (
+  SELECT 1 AS query_idx, p.doc_id, {{c_hash}} + {{c_join}} AS score
+  FROM pres p, stats s, dfs d WHERE p.p_hash = 1
+  ORDER BY score DESC, p.doc_id ASC LIMIT 25
+), s2 AS (
+  SELECT 2 AS query_idx, p.doc_id, {{c_hash}} + {{c_scan}} AS score
+  FROM pres p, stats s, dfs d WHERE p.p_hash = 1 AND p.p_scan = 1
+  ORDER BY score DESC, p.doc_id ASC LIMIT 25
+)
+SELECT query_idx, doc_id, ROUND(score, 6) AS score
+FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+      UNION ALL SELECT * FROM s2)
 """
 
 _LIMITED_SEARCH_ORACLE = f"""{_BM25_PRELUDE}
@@ -1602,6 +1655,11 @@ FROM events GROUP BY 1, 2
     ),
     "bm25_topk_local": _BM25_TOPK_WAND_ORACLE.format(
         c_hash=_contrib("hash"), c_join=_contrib("join")
+    ),
+    "bm25_batch": _BM25_BATCH_ORACLE.format(
+        c_hash=_contrib("hash"),
+        c_join=_contrib("join"),
+        c_scan=_contrib("scan"),
     ),
     "limited_search": _LIMITED_SEARCH_ORACLE.format(c_hash=_contrib("hash")),
     "simhash": _simhash_oracle(),

@@ -1953,6 +1953,250 @@ class SearchEngine:
                 )
         return result
 
+    def search_batch(
+        self,
+        queries: "list[str]",
+        k: int = 10,
+        exact: bool = False,
+        with_metadata: bool = False,
+    ) -> DataFrame:
+        """Evaluate MANY queries over ONE shared index scan — the offline
+        bulk-retrieval shape (hard-negative mining for training data,
+        nightly eval suites, percolation backfills) where the dominant
+        cost at cluster scale is reading and decoding postings segments,
+        not scoring.  Per-query results are rank- and score-identical to
+        ``search(q, k=k)`` (pinned by tests/test_batch_search.py).
+
+        Plan: the union of all queries' lookup terms rides one
+        bucket+term-pruned postings fetch and ONE doc-range exchange
+        (search/ranged.make_batch_range_eval); each range decodes every
+        term once, builds one presence mask per term, scores all queries
+        over those shared arrays, and emits per-(query, range) top-k.
+        The global merge is one window over n_ranges*k*n_queries rows.
+        Amortization is the point: 1000 queries sharing hot terms decode
+        each segment once instead of 1000 times.
+
+        Queries the shared job can't take (zero-included — e.g. a lone
+        excluded term, so every doc qualifies; or special terms whose
+        registration changes tokenization and thus need the repair
+        overlay, which is per-query state) fall back to ``search()``
+        per query and union in — correctness never narrows, the batch
+        just stops amortizing those.
+
+        Returns (query_idx int, query string, doc_id, score
+        [, matched_terms, conv_id, turn_idx, role, tool, ts, text]),
+        ordered by (query_idx, score desc, doc_id asc).  ``query_idx``
+        is the position in ``queries`` (duplicates stay distinct)."""
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        from probe_spark.search import ranged  # noqa: PLC0415
+
+        spark = self.spark
+        tomb, tomb_over = self._tombstones()
+
+        compiled: list = []  # (query_idx, expr, ktm)
+        fallback: list[int] = []
+        for qi, query in enumerate(queries):
+            try:
+                expr, _special = parse_query(query, exact=exact)
+            except ParseError:
+                continue  # empty contribution, same as search()
+            query_terms = ast.extract_query_terms(expr)
+            if len(query_terms) > MAX_QUERY_TERMS or not query_terms:
+                continue
+            special_kws: set[str] = set()
+            for t in ast.walk_terms(expr):
+                if t.exact or t.excluded:
+                    special_kws.update(t.keywords)
+            plans = {kw: special_plan(kw) for kw in sorted(special_kws)}
+            zero_inc = ast.evaluate(expr, lambda kw: False) and (
+                ast.score(expr, lambda kw: 0.0) is not None
+            )
+            g_set0 = frozenset(
+                p.lookup
+                for p in plans.values()
+                if p.lookup and all(c.isalnum() for c in p.lookup)
+            )
+            affecting0 = sorted(
+                w
+                for w in g_set0
+                if tok.tokenize(w) != tok.tokenize(w, g_set0)
+            )
+            if zero_inc or affecting0 or tomb_over:
+                fallback.append(qi)
+                continue
+            ktm = {kw: kw for kw in query_terms - special_kws}
+            for kw, p in plans.items():
+                if p.matchable:
+                    ktm[kw] = p.lookup
+            compiled.append((qi, expr, ktm))
+
+        out_parts: list[DataFrame] = []
+        if compiled:
+            lookups = sorted(
+                {v for _qi, _e, ktm in compiled for v in ktm.values()}
+            )
+            dfs = self._term_dfs(lookups)
+            payload = []
+            for _qi, expr, ktm in compiled:
+                idfs = {}
+                for kw in ast.extract_query_terms(expr):
+                    match = ktm.get(kw)
+                    df = dfs.get(match, 0) if match else 0
+                    if df > 0:
+                        idfs[kw] = math.log(
+                            1.0 + (self.n_docs - df + 0.5) / (df + 0.5)
+                        )
+                payload.append((expr, idfs, ktm))
+            sum_df = sum(dfs.get(t, 0) for t in lookups)
+            if sum_df > 0 and self.n_docs:
+                n_ranges = max(
+                    2 * spark.sparkContext.defaultParallelism,
+                    -(-sum_df // ranged.TARGET_POSTINGS_PER_RANGE),
+                )
+                width = max(1, -(-self.n_docs // n_ranges))
+                buckets = sorted(
+                    {spark_bucket(t, self.n_buckets) for t in lookups}
+                )
+                src = (
+                    self.postings.filter(
+                        F.col("bucket").isin(buckets)
+                        & F.col("term").isin(lookups)
+                    )
+                    .select(
+                        "term", "min_doc", "max_doc", "docs_bin", "dl_bin",
+                        "block_last_doc", "block_doc_off", "block_dl_off",
+                    )
+                    .withColumn(
+                        "range_id",
+                        F.explode(
+                            F.sequence(
+                                F.floor(F.col("min_doc") / width).cast(
+                                    "int"
+                                ),
+                                F.floor(F.col("max_doc") / width).cast(
+                                    "int"
+                                ),
+                            )
+                        ),
+                    )
+                )
+                gen = ranged.make_batch_range_eval(
+                    payload,
+                    self.avgdl,
+                    width,
+                    k,
+                    with_metadata,
+                    exclude_ids=tomb,
+                )
+                fields = [
+                    StructField("query_idx", IntegerType(), False),
+                    StructField("doc_id", LongType(), False),
+                    StructField("score", DoubleType(), False),
+                ]
+                if with_metadata:
+                    fields.append(
+                        StructField(
+                            "matched_terms",
+                            ArrayType(StringType(), True),
+                            False,
+                        )
+                    )
+                ranged_out = (
+                    src.repartition("range_id")
+                    .mapInArrow(gen, StructType(fields))
+                    .withColumn(
+                        "_rn",
+                        F.row_number().over(
+                            Window.partitionBy("query_idx").orderBy(
+                                F.desc("score"), F.asc("doc_id")
+                            )
+                        ),
+                    )
+                    .filter(F.col("_rn") <= k)
+                    .drop("_rn")
+                )
+                # local batch index -> caller's queries position
+                qidx_map = spark.createDataFrame(
+                    [(i, int(qi)) for i, (qi, _e, _m) in enumerate(compiled)],
+                    "query_idx int, orig_idx int",
+                )
+                out_parts.append(
+                    ranged_out.join(F.broadcast(qidx_map), "query_idx")
+                    .drop("query_idx")
+                    .withColumnRenamed("orig_idx", "query_idx")
+                )
+
+        meta_cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+        for qi in fallback:
+            res = self.search(
+                queries[qi], k=k, exact=exact, with_metadata=with_metadata
+            ).withColumn("query_idx", F.lit(qi))
+            cols = ["query_idx", "doc_id", "score"]
+            if with_metadata:
+                cols += ["matched_terms"] + meta_cols
+            out_parts.append(res.select(*cols))
+
+        qtext = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(queries)],
+            "query_idx int, query string",
+        )
+        if not out_parts:
+            base = [
+                StructField("query_idx", IntegerType(), False),
+                StructField("doc_id", LongType(), False),
+                StructField("score", DoubleType(), False),
+            ]
+            empty = spark.createDataFrame([], StructType(base))
+            if with_metadata:
+                empty = self._empty(True).withColumn(
+                    "query_idx", F.lit(0).cast("int")
+                )
+            return (
+                empty.join(F.broadcast(qtext), "query_idx")
+                .select(
+                    "query_idx", "query", "doc_id", "score",
+                    *(
+                        ["matched_terms", *meta_cols]
+                        if with_metadata
+                        else []
+                    ),
+                )
+                .limit(0)
+            )
+
+        merged = out_parts[0]
+        for part in out_parts[1:]:
+            merged = merged.unionByName(part, allowMissingColumns=True)
+        if with_metadata and compiled:
+            # ranged rows lack doc metadata -> normalize all parts to the
+            # bare winner columns (fallback parts already carried meta;
+            # re-attaching once for everything beats patching null rows),
+            # materialize the driver-scale winner set (<= Q*k rows), and
+            # fetch metadata in one footer-pruned read
+            merged = merged.select(
+                "query_idx", "doc_id", "score", "matched_terms"
+            )
+            rows = merged.collect()
+            winners = spark.createDataFrame(rows, merged.schema)
+            ids = sorted({int(r["doc_id"]) for r in rows})
+            if ids:
+                merged = F.broadcast(winners).join(
+                    self._meta_rows(ids), "doc_id"
+                )
+            else:
+                merged = winners
+                for fname in meta_cols:
+                    merged = merged.withColumn(fname, F.lit(None))
+        out_cols = ["query_idx", "query", "doc_id", "score"]
+        if with_metadata:
+            out_cols += ["matched_terms"] + meta_cols
+        return (
+            merged.join(F.broadcast(qtext), "query_idx")
+            .select(*out_cols)
+            .orderBy("query_idx", F.desc("score"), F.asc("doc_id"))
+        )
+
     def search_files(
         self,
         query: str,

@@ -298,6 +298,11 @@ class LocalSearcher:
                     ],
                     sum(r["dl"] for r in rows),
                 )
+                # retokenized bundles hold full doc texts — FIFO-bound
+                # like SearchEngine._repair_cache so a service cycling
+                # many special vocabularies can't grow without limit
+                while len(self._repair_cache) >= 4:
+                    self._repair_cache.pop(next(iter(self._repair_cache)))
                 self._repair_cache[g_set] = repair
             re_ids, re_toks, old_dl_sum = repair
             delta = sum(len(ts) for ts in re_toks) - old_dl_sum

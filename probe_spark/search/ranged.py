@@ -139,6 +139,51 @@ def _score_eval_numpy(
     return score, isnull, ok
 
 
+def _collect_range_postings(
+    batches: Iterator[pa.RecordBatch], width: int, np
+) -> dict:
+    """Accumulate a range worker's input batches into
+    ``range_id -> term -> list[(ids, dls)]``, decoding ONLY the varint
+    blocks that overlap each range (the block-max offsets double as the
+    range index) and clipping decoded ids to the range."""
+    from probe_spark.index.codec import decode_blocks
+
+    acc: dict[int, dict[str, list]] = {}
+    for batch in batches:
+        rids = batch.column("range_id").to_pylist()
+        terms = batch.column("term").to_pylist()
+        min_docs = batch.column("min_doc").to_pylist()
+        docs_bins = batch.column("docs_bin").to_pylist()
+        dl_bins = batch.column("dl_bin").to_pylist()
+        lasts = batch.column("block_last_doc").to_pylist()
+        doc_offs = batch.column("block_doc_off").to_pylist()
+        dl_offs = batch.column("block_dl_off").to_pylist()
+        for rid, t, md, db, lb, bl, boff, loff in zip(
+            rids, terms, min_docs, docs_bins, dl_bins, lasts, doc_offs,
+            dl_offs,
+        ):
+            a = rid * width
+            b = a + width
+            last = np.asarray(bl, dtype=np.int64)
+            if not len(last):
+                continue
+            starts = np.empty_like(last)
+            starts[0] = md
+            starts[1:] = last[:-1] + 1
+            keep = np.nonzero((last >= a) & (starts < b))[0]
+            if len(keep) == 0:
+                continue
+            ids, dls = decode_blocks(db, lb, bl, boff, loff, keep)
+            m = (ids >= a) & (ids < b)
+            if not m.all():
+                ids, dls = ids[m], dls[m]
+            if len(ids):
+                acc.setdefault(rid, {}).setdefault(t, []).append(
+                    (ids, dls)
+                )
+    return acc
+
+
 def make_range_eval(
     expr: ast.Expr,
     idfs: dict[str, float],
@@ -170,42 +215,7 @@ def make_range_eval(
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
-        from probe_spark.index.codec import decode_blocks
-
-        # range_id -> term -> list[(ids, dls)]
-        acc: dict[int, dict[str, list]] = {}
-        for batch in batches:
-            rids = batch.column("range_id").to_pylist()
-            terms = batch.column("term").to_pylist()
-            min_docs = batch.column("min_doc").to_pylist()
-            docs_bins = batch.column("docs_bin").to_pylist()
-            dl_bins = batch.column("dl_bin").to_pylist()
-            lasts = batch.column("block_last_doc").to_pylist()
-            doc_offs = batch.column("block_doc_off").to_pylist()
-            dl_offs = batch.column("block_dl_off").to_pylist()
-            for rid, t, md, db, lb, bl, boff, loff in zip(
-                rids, terms, min_docs, docs_bins, dl_bins, lasts, doc_offs,
-                dl_offs,
-            ):
-                a = rid * width
-                b = a + width
-                last = np.asarray(bl, dtype=np.int64)
-                if not len(last):
-                    continue
-                starts = np.empty_like(last)
-                starts[0] = md
-                starts[1:] = last[:-1] + 1
-                keep = np.nonzero((last >= a) & (starts < b))[0]
-                if len(keep) == 0:
-                    continue
-                ids, dls = decode_blocks(db, lb, bl, boff, loff, keep)
-                m = (ids >= a) & (ids < b)
-                if not m.all():
-                    ids, dls = ids[m], dls[m]
-                if len(ids):
-                    acc.setdefault(rid, {}).setdefault(t, []).append(
-                        (ids, dls)
-                    )
+        acc = _collect_range_postings(batches, width, np)
 
         sorted_kws = sorted(
             {kw for t in ast.walk_terms(expr) for kw in t.keywords}
@@ -278,6 +288,141 @@ def make_range_eval(
             pa.array(out_scores, pa.float64()),
         ]
         names = ["doc_id", "score"]
+        if with_matched:
+            arrays.append(pa.array(out_matched, pa.list_(pa.string())))
+            names.append("matched_terms")
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return gen
+
+
+def make_batch_range_eval(
+    queries: "list[tuple[ast.Expr, dict[str, float], dict[str, str]]]",
+    avgdl: float,
+    width: int,
+    k: int,
+    with_matched: bool,
+    exclude_ids=None,
+) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
+    """Batched variant of ``make_range_eval``: evaluate MANY compiled
+    queries over ONE shared postings exchange — the offline bulk-retrieval
+    shape (training-data mining, nightly eval suites, percolation
+    backfills) where thousands of queries hit the same index and the
+    dominant cost is reading/decoding segments, not scoring.
+
+    ``queries`` is ``[(expr, idfs, kw_to_match), ...]``; the exchange
+    carries the UNION of all queries' lookup terms, each range decodes a
+    term's blocks ONCE, builds the candidate (uids, dls) arrays and one
+    presence mask per lookup term ONCE, and then scores every query over
+    those shared arrays with the same numpy recursion as the single-query
+    path — so per-query scores are bit-identical to ``engine.search``.
+    Candidates are the union over ALL queries' terms: a doc carrying none
+    of query i's terms simply evaluates to ok=False for i (the dispatch
+    precondition — no zero-included queries — makes the superset exact).
+
+    Emits per-(query, range) top-k rows ``(query_idx, doc_id, score
+    [, matched_terms])``; the driver takes the global per-query top-k with
+    one small window over n_ranges*k*n_queries rows.
+
+    ``exclude_ids`` applies to every query (tombstones — deleted docs are
+    masked index-wide)."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        acc = _collect_range_postings(batches, width, np)
+
+        # every lookup term any query needs a presence mask for
+        kws_by_query = [
+            sorted({kw for t in ast.walk_terms(expr) for kw in t.keywords})
+            for expr, _idfs, _ktm in queries
+        ]
+        out_qidx: list = []
+        out_ids: list = []
+        out_scores: list = []
+        out_matched: list[list[str]] = []
+        for rid, by_term in acc.items():
+            term_ids: dict[str, "np.ndarray"] = {}
+            chunks_i: list = []
+            chunks_d: list = []
+            for t, parts in by_term.items():
+                tid = np.concatenate([p[0] for p in parts])
+                order = np.argsort(tid, kind="stable")
+                term_ids[t] = tid[order]
+                chunks_i.append(tid)
+                chunks_d.append(np.concatenate([p[1] for p in parts]))
+            all_ids = np.concatenate(chunks_i)
+            all_dls = np.concatenate(chunks_d)
+            uids, first = np.unique(all_ids, return_index=True)
+            udls = all_dls[first]
+            n = len(uids)
+            # presence per LOOKUP term, shared across queries
+            pres_by_lookup: dict[str, "np.ndarray"] = {}
+
+            def lookup_present(lookup: str) -> "np.ndarray":
+                got = pres_by_lookup.get(lookup)
+                if got is not None:
+                    return got
+                tid = term_ids.get(lookup)
+                if tid is None or not len(tid):
+                    got = np.zeros(n, dtype=bool)
+                else:
+                    pos = np.searchsorted(tid, uids)
+                    pos[pos == len(tid)] = len(tid) - 1
+                    got = tid[pos] == uids
+                pres_by_lookup[lookup] = got
+                return got
+
+            tf_norm = (K1 + 1.0) / (
+                1.0 + K1 * ((1.0 - B) + B * (udls.astype(np.float64) / avgdl))
+            )
+            excl_mask = None
+            if exclude_ids is not None and len(exclude_ids):
+                a = rid * width
+                lo = np.searchsorted(exclude_ids, a)
+                hi = np.searchsorted(exclude_ids, a + width)
+                if hi > lo:
+                    excl_mask = ~np.isin(uids, exclude_ids[lo:hi])
+            zeros_b = np.zeros(n, dtype=bool)
+            for qi, (expr, idfs, ktm) in enumerate(queries):
+                present = {}
+                for kw in kws_by_query[qi]:
+                    lookup = ktm.get(kw)
+                    present[kw] = (
+                        lookup_present(lookup)
+                        if lookup is not None
+                        else zeros_b
+                    )
+                score, isnull, ok = _score_eval_numpy(
+                    expr, idfs, present, tf_norm, np
+                )
+                if excl_mask is not None:
+                    ok = ok & excl_mask
+                sel = np.nonzero(ok & ~isnull)[0]
+                if not len(sel):
+                    continue
+                if len(sel) > k:
+                    order = np.lexsort((uids[sel], -score[sel]))[:k]
+                    sel = sel[order]
+                for i in sel.tolist():
+                    out_qidx.append(qi)
+                    out_ids.append(int(uids[i]))
+                    out_scores.append(float(score[i]))
+                    if with_matched:
+                        out_matched.append(
+                            [
+                                kw
+                                for kw in kws_by_query[qi]
+                                if present[kw][i]
+                            ]
+                        )
+
+        arrays = [
+            pa.array(out_qidx, pa.int32()),
+            pa.array(out_ids, pa.int64()),
+            pa.array(out_scores, pa.float64()),
+        ]
+        names = ["query_idx", "doc_id", "score"]
         if with_matched:
             arrays.append(pa.array(out_matched, pa.list_(pa.string())))
             names.append("matched_terms")

@@ -1,0 +1,120 @@
+"""Batched multi-query retrieval (`SearchEngine.search_batch`): many
+queries over ONE shared postings exchange — the offline bulk-retrieval
+shape (training-data mining, eval suites).  The contract is per-query
+rank- AND score-identity to `search(q, k)` across every query shape in
+the reference suite, with fallback queries (zero-included, repair-
+affecting specials) unioned in transparently."""
+
+from __future__ import annotations
+
+import pytest
+
+from probe_spark.fixtures import REFERENCE_QUERIES, transcripts_df
+
+N_CONVS = 60
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_index_root):
+    from probe_spark.index.build import BuildConfig, IndexBuilder
+    from probe_spark.search.engine import SearchEngine
+
+    path = f"{tmp_index_root}/idx_batch"
+    df = transcripts_df(spark, N_CONVS, SEED)
+    IndexBuilder(spark, BuildConfig(n_buckets=8)).build(df, path)
+    return SearchEngine(spark, path)
+
+
+def _by_query(rows):
+    out: dict[int, list] = {}
+    for r in rows:
+        out.setdefault(r["query_idx"], []).append(r)
+    return out
+
+
+class TestBatchRankIdentity:
+    def test_whole_reference_suite_in_one_batch(self, engine):
+        """Every reference query, one batch, k=10: per-query rows equal
+        search() exactly (same doc_ids, bit-identical scores, same
+        order)."""
+        queries = [q for _i, q, _k in REFERENCE_QUERIES]
+        batch = _by_query(
+            engine.search_batch(queries, k=10).collect()
+        )
+        for qi, q in enumerate(queries):
+            solo = engine.search(q, k=10, with_metadata=False).collect()
+            got = [
+                (r["doc_id"], r["score"]) for r in batch.get(qi, [])
+            ]
+            want = [(r["doc_id"], r["score"]) for r in solo]
+            assert got == want, f"q{qi} {q!r}: {got} != {want}"
+            for r in batch.get(qi, []):
+                assert r["query"] == q
+
+    def test_with_metadata_matches_solo(self, engine):
+        queries = ["error AND handling", "ip whitelist", "+handler -blackmail"]
+        batch = _by_query(
+            engine.search_batch(queries, k=5, with_metadata=True).collect()
+        )
+        for qi, q in enumerate(queries):
+            solo = engine.search(q, k=5, with_metadata=True).collect()
+            got = batch.get(qi, [])
+            assert len(got) == len(solo)
+            for g, s in zip(got, solo):
+                assert g["doc_id"] == s["doc_id"]
+                assert g["score"] == s["score"]
+                assert sorted(g["matched_terms"]) == sorted(
+                    s["matched_terms"]
+                )
+                assert g["text"] == s["text"]
+                assert (g["conv_id"], g["turn_idx"]) == (
+                    s["conv_id"],
+                    s["turn_idx"],
+                )
+
+    def test_duplicate_queries_stay_distinct(self, engine):
+        batch = _by_query(
+            engine.search_batch(["error", "error"], k=3).collect()
+        )
+        assert set(batch) == {0, 1}
+        a = [(r["doc_id"], r["score"]) for r in batch[0]]
+        b = [(r["doc_id"], r["score"]) for r in batch[1]]
+        assert a == b and len(a) == 3
+
+    def test_unparseable_and_unknown_terms_contribute_nothing(self, engine):
+        batch = _by_query(
+            engine.search_batch(
+                ["error", "zzzznotaword", "(((("], k=5
+            ).collect()
+        )
+        assert 0 in batch
+        assert 1 not in batch
+        assert 2 not in batch
+
+    def test_empty_batch(self, engine):
+        out = engine.search_batch([], k=5)
+        assert out.count() == 0
+        assert out.columns[:4] == ["query_idx", "query", "doc_id", "score"]
+
+
+class TestBatchPlanShape:
+    def test_one_shared_arrow_stage_for_eligible_queries(self, engine):
+        """An all-eligible batch rides ONE mapInArrow over one exchange —
+        the amortization that makes batching worth it at cluster scale."""
+        df = engine.search_batch(
+            ["error AND handling", "ip whitelist", "cache OR queue"], k=5
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInArrow") == 1, plan
+
+    def test_fallback_queries_union_in(self, engine):
+        """-onlyexcluded is zero-included (every doc qualifies) -> cannot
+        ride the range path; it falls back to search() and unions in."""
+        df = engine.search_batch(["error", "-onlyexcluded"], k=5)
+        rows = _by_query(df.collect())
+        solo = engine.search(
+            "-onlyexcluded", k=5, with_metadata=False
+        ).collect()
+        got = [(r["doc_id"], r["score"]) for r in rows.get(1, [])]
+        assert got == [(r["doc_id"], r["score"]) for r in solo]
