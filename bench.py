@@ -255,6 +255,20 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
         )
         result["query_p50_repeat_sec"] = round(lat2[len(lat2) // 2], 3)
 
+        # batched retrieval: the SAME 23 queries as ONE search_batch call
+        # (k=25 for all — at or above every suite k) vs the sequential
+        # warm pass above.  The ratio is the offline bulk-retrieval
+        # amortization: shared postings fetch + one exchange + one Arrow
+        # stage instead of 23 jobs.
+        t0 = time.time()
+        eng.search_batch(
+            [qtext for _qid, qtext, _k in REFERENCE_QUERIES],
+            k=25,
+            with_metadata=False,
+        ).collect()
+        result["batch_suite_sec"] = round(time.time() - t0, 3)
+        result["repeat_suite_sum_sec"] = round(sum(lat2), 3)
+
         # -- phase 4: the driver-local low-latency front-end over the SAME
         # index (search/local.py; rank-identity pinned by tests) — the
         # apples-to-apples number against the reference's in-process

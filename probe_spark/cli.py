@@ -246,6 +246,47 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Bulk retrieval: a file of queries (one per line) runs as ONE Spark
+    job (engine.search_batch — shared postings fetch + one exchange);
+    results land in a parquet sink (``--output``) for downstream pipeline
+    stages, or stream to stdout as JSON lines for small batches.  The
+    offline mining surface: spark-submit a 100k-query file against a
+    cluster index and write (query_idx, query, doc_id, score[, text...])."""
+    from probe_spark.search.engine import SearchEngine
+
+    with open(args.queries_file) as f:
+        queries = [
+            ln.strip()
+            for ln in f
+            if ln.strip() and not ln.lstrip().startswith("#")
+        ]
+    if not queries:
+        print("error: no queries in file", file=sys.stderr)
+        return 2
+    spark = _build_session("probe-spark-batch")
+    eng = SearchEngine(spark, args.index)
+    res = eng.search_batch(
+        queries,
+        k=args.max_results,
+        exact=args.exact,
+        with_metadata=args.with_text,
+    )
+    if args.output:
+        res.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "queries": len(queries), "k": args.max_results,
+            "rows": n, "output": args.output,
+        }))
+    else:
+        for r in res.collect():
+            print(json.dumps(
+                {k: _jsonable(v) for k, v in r.asDict().items()}
+            ))
+    return 0
+
+
 def cmd_stats(args) -> int:
     spark = _build_session("probe-spark-stats")
     stats = spark.read.parquet(f"{args.index}/stats").collect()[0].asDict()
@@ -396,6 +437,24 @@ def main(argv: list[str] | None = None) -> int:
                    help="driver-local low-latency path (no Spark jobs; "
                         "posix index paths; no --session/--max-bytes)")
     s.set_defaults(fn=cmd_search)
+
+    bt = sub.add_parser(
+        "batch",
+        help="bulk retrieval: run a FILE of queries as one shared-scan "
+             "Spark job (offline mining); write parquet or JSON lines",
+    )
+    bt.add_argument("--index", required=True)
+    bt.add_argument("--queries-file", required=True,
+                    help="one query per line; blank lines and # comments "
+                         "skipped; line number = query_idx in the output")
+    bt.add_argument("-k", "--max-results", type=int, default=10)
+    bt.add_argument("--exact", action="store_true")
+    bt.add_argument("--with-text", action="store_true",
+                    help="attach matched_terms + doc metadata/text (large "
+                         "batches switch to one distributed docs join)")
+    bt.add_argument("--output", default=None,
+                    help="parquet sink directory (omit to print JSON lines)")
+    bt.set_defaults(fn=cmd_batch)
 
     st = sub.add_parser("stats", help="print index stats + manifest lineage")
     st.add_argument("--index", required=True)

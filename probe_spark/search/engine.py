@@ -2177,6 +2177,22 @@ class SearchEngine:
             merged = merged.select(
                 "query_idx", "doc_id", "score", "matched_terms"
             )
+            if len(queries) * k > ISIN_PUSHDOWN_CAP:
+                # bulk-mining scale: winners don't fit the driver fetch —
+                # ONE distributed docs join for the whole batch (the scan
+                # amortizes across all queries; per-query it would be Q
+                # scans)
+                merged = F.broadcast(merged).join(
+                    self.docs.select("doc_id", *meta_cols), "doc_id"
+                )
+                return (
+                    merged.join(F.broadcast(qtext), "query_idx")
+                    .select(
+                        "query_idx", "query", "doc_id", "score",
+                        "matched_terms", *meta_cols,
+                    )
+                    .orderBy("query_idx", F.desc("score"), F.asc("doc_id"))
+                )
             rows = merged.collect()
             winners = spark.createDataFrame(rows, merged.schema)
             ids = sorted({int(r["doc_id"]) for r in rows})

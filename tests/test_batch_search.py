@@ -73,6 +73,24 @@ class TestBatchRankIdentity:
                     s["turn_idx"],
                 )
 
+    def test_large_batch_metadata_uses_distributed_join(
+        self, engine, monkeypatch
+    ):
+        """Past ISIN_PUSHDOWN_CAP winners the metadata attach switches to
+        one distributed docs join for the whole batch — same rows."""
+        from probe_spark.search import engine as eng_mod
+
+        monkeypatch.setattr(eng_mod, "ISIN_PUSHDOWN_CAP", 1)
+        queries = ["error AND handling", "ip whitelist"]
+        batch = _by_query(
+            engine.search_batch(queries, k=4, with_metadata=True).collect()
+        )
+        for qi, q in enumerate(queries):
+            solo = engine.search(q, k=4, with_metadata=True).collect()
+            got = [(r["doc_id"], r["score"], r["text"]) for r in batch[qi]]
+            want = [(r["doc_id"], r["score"], r["text"]) for r in solo]
+            assert got == want
+
     def test_duplicate_queries_stay_distinct(self, engine):
         batch = _by_query(
             engine.search_batch(["error", "error"], k=3).collect()

@@ -168,6 +168,40 @@ class TestCli:
             conv, turn = ln.rsplit(":", 1)
             assert conv.startswith("conv") and turn.isdigit()
 
+    def test_batch_command(self, spark, built_index, tmp_path, capsys):
+        """`batch --queries-file` runs the file as one shared-scan job;
+        JSON-lines rows match per-query search, parquet sink round-trips."""
+        from probe_spark import cli
+        from probe_spark.search.engine import SearchEngine
+
+        qf = tmp_path / "queries.txt"
+        qf.write_text("# mining set\nerror AND handling\n\ncache OR queue\n")
+        rc = cli.main(["batch", "--index", built_index,
+                       "--queries-file", str(qf), "-k", "3"])
+        assert rc == 0
+        rows = [
+            json.loads(ln)
+            for ln in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert {r["query_idx"] for r in rows} == {0, 1}
+        eng = SearchEngine(spark, built_index)
+        solo = eng.search(
+            "error AND handling", k=3, with_metadata=False
+        ).collect()
+        got = [r["doc_id"] for r in rows if r["query_idx"] == 0]
+        assert got == [r["doc_id"] for r in solo]
+
+        sink = str(tmp_path / "res")
+        rc = cli.main(["batch", "--index", built_index,
+                       "--queries-file", str(qf), "-k", "3",
+                       "--output", sink])
+        assert rc == 0
+        summary = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert summary["queries"] == 2
+        assert spark.read.parquet(sink).count() == summary["rows"]
+
     def test_search_session_dedup(self, built_index, capsys):
         from probe_spark import cli
 
