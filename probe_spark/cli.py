@@ -271,6 +271,7 @@ def cmd_batch(args) -> int:
         k=args.max_results,
         exact=args.exact,
         with_metadata=args.with_text,
+        where=args.where,
     )
     if args.output:
         res.write.mode("overwrite").parquet(args.output)
@@ -452,6 +453,10 @@ def main(argv: list[str] | None = None) -> int:
     bt.add_argument("--with-text", action="store_true",
                     help="attach matched_terms + doc metadata/text (large "
                          "batches switch to one distributed docs join)")
+    bt.add_argument("--where", default=None, metavar="PRED",
+                    help="one metadata scope for the whole batch (Spark "
+                         "SQL over conv_id/turn_idx/role/tool/ts); filter "
+                         "context — scores stay corpus-global")
     bt.add_argument("--output", default=None,
                     help="parquet sink directory (omit to print JSON lines)")
     bt.set_defaults(fn=cmd_batch)

@@ -1959,6 +1959,7 @@ class SearchEngine:
         k: int = 10,
         exact: bool = False,
         with_metadata: bool = False,
+        where: "str | None" = None,
     ) -> DataFrame:
         """Evaluate MANY queries over ONE shared index scan — the offline
         bulk-retrieval shape (hard-negative mining for training data,
@@ -1986,13 +1987,37 @@ class SearchEngine:
         Returns (query_idx int, query string, doc_id, score
         [, matched_terms, conv_id, turn_idx, role, tool, ts, text]),
         ordered by (query_idx, score desc, doc_id asc).  ``query_idx``
-        is the position in ``queries`` (duplicates stay distinct)."""
+        is the position in ``queries`` (duplicates stay distinct).
+
+        ``where``: one metadata scope for the WHOLE batch (the mining-job
+        shape: "these queries, last 30 days") — same filter-context
+        semantics as ``search(where=...)`` (scores stay corpus-global),
+        resolved to a driver-resident id array once and applied inside
+        the shared ranges with whole-range pruning; past
+        ALLOW_COLLECT_CAP matching docs every query falls back to
+        ``search(where=...)``."""
         from pyspark.sql.window import Window  # noqa: PLC0415
 
         from probe_spark.search import ranged  # noqa: PLC0415
 
         spark = self.spark
         tomb, tomb_over = self._tombstones()
+        allow_ids = None
+        allow_overflow = False
+        if where is not None:
+            from pyspark.errors import (  # noqa: PLC0415
+                AnalysisException,
+                ParseException,
+            )
+
+            try:
+                _ = self.docs.filter(F.expr(where)).schema
+            except (AnalysisException, ParseException) as e:
+                raise ValueError(
+                    f"invalid where predicate {where!r}: {e}"
+                ) from e
+            allow_ids = self._allowed_ids(where)
+            allow_overflow = allow_ids is None
 
         compiled: list = []  # (query_idx, expr, ktm)
         fallback: list[int] = []
@@ -2022,9 +2047,11 @@ class SearchEngine:
                 for w in g_set0
                 if tok.tokenize(w) != tok.tokenize(w, g_set0)
             )
-            if zero_inc or affecting0 or tomb_over:
+            if zero_inc or affecting0 or tomb_over or allow_overflow:
                 fallback.append(qi)
                 continue
+            if allow_ids is not None and not allow_ids.size:
+                continue  # scope matches no doc at all -> empty, as search()
             ktm = {kw: kw for kw in query_terms - special_kws}
             for kw, p in plans.items():
                 if p.matchable:
@@ -2081,6 +2108,19 @@ class SearchEngine:
                         ),
                     )
                 )
+                if allow_ids is not None:
+                    import numpy as np  # noqa: PLC0415
+
+                    # whole-range pruning, as in _search_ranged: segments
+                    # overlapping only out-of-scope ranges never enter
+                    # the exchange
+                    allow_rids = np.unique(allow_ids // width)
+                    if allow_rids.size <= ALLOW_RANGE_PRUNE_CAP:
+                        src = src.filter(
+                            F.col("range_id").isin(
+                                [int(r) for r in allow_rids]
+                            )
+                        )
                 gen = ranged.make_batch_range_eval(
                     payload,
                     self.avgdl,
@@ -2088,6 +2128,7 @@ class SearchEngine:
                     k,
                     with_metadata,
                     exclude_ids=tomb,
+                    allow_ids=allow_ids,
                 )
                 fields = [
                     StructField("query_idx", IntegerType(), False),
@@ -2130,7 +2171,8 @@ class SearchEngine:
         meta_cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
         for qi in fallback:
             res = self.search(
-                queries[qi], k=k, exact=exact, with_metadata=with_metadata
+                queries[qi], k=k, exact=exact,
+                with_metadata=with_metadata, where=where,
             ).withColumn("query_idx", F.lit(qi))
             cols = ["query_idx", "doc_id", "score"]
             if with_metadata:

@@ -303,6 +303,7 @@ def make_batch_range_eval(
     k: int,
     with_matched: bool,
     exclude_ids=None,
+    allow_ids=None,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
     """Batched variant of ``make_range_eval``: evaluate MANY compiled
     queries over ONE shared postings exchange — the offline bulk-retrieval
@@ -325,7 +326,11 @@ def make_batch_range_eval(
     one small window over n_ranges*k*n_queries rows.
 
     ``exclude_ids`` applies to every query (tombstones — deleted docs are
-    masked index-wide)."""
+    masked index-wide).  ``allow_ids`` (sorted int64 array) scopes the
+    whole batch to a metadata predicate (engine ``where=``): one scope,
+    all queries — the mining-job shape ("these 100k queries, last 30
+    days").  Filter context, same as the single-query path: candidacy is
+    cut before the per-range top-k, scores stay corpus-global."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -383,6 +388,18 @@ def make_batch_range_eval(
                 hi = np.searchsorted(exclude_ids, a + width)
                 if hi > lo:
                     excl_mask = ~np.isin(uids, exclude_ids[lo:hi])
+            if allow_ids is not None:
+                a = rid * width
+                lo = np.searchsorted(allow_ids, a)
+                hi = np.searchsorted(allow_ids, a + width)
+                if hi <= lo:
+                    continue  # no allowed doc in this range at all
+                allow_mask = np.isin(uids, allow_ids[lo:hi])
+                excl_mask = (
+                    allow_mask
+                    if excl_mask is None
+                    else excl_mask & allow_mask
+                )
             zeros_b = np.zeros(n, dtype=bool)
             for qi, (expr, idfs, ktm) in enumerate(queries):
                 present = {}

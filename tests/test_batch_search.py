@@ -91,6 +91,30 @@ class TestBatchRankIdentity:
             want = [(r["doc_id"], r["score"], r["text"]) for r in solo]
             assert got == want
 
+    def test_where_scopes_whole_batch(self, engine):
+        """One metadata scope for all queries (the mining-job shape):
+        per-query rows equal search(q, where=...) exactly; an impossible
+        scope empties every query; an invalid predicate raises."""
+        pred = "role = 'assistant'"
+        queries = ["error AND handling", "cache OR queue", "-onlyexcluded"]
+        batch = _by_query(
+            engine.search_batch(queries, k=5, where=pred).collect()
+        )
+        for qi, q in enumerate(queries):
+            solo = engine.search(
+                q, k=5, with_metadata=False, where=pred
+            ).collect()
+            got = [(r["doc_id"], r["score"]) for r in batch.get(qi, [])]
+            assert got == [(r["doc_id"], r["score"]) for r in solo]
+
+        empty = engine.search_batch(
+            ["error"], k=5, where="role = 'nosuchrole'"
+        ).collect()
+        assert empty == []
+
+        with pytest.raises(ValueError):
+            engine.search_batch(["error"], k=5, where="no_such_col = 1")
+
     def test_duplicate_queries_stay_distinct(self, engine):
         batch = _by_query(
             engine.search_batch(["error", "error"], k=3).collect()
