@@ -134,6 +134,32 @@ class TestBatchRankIdentity:
         assert 1 not in batch
         assert 2 not in batch
 
+    def test_tombstones_masked_in_batch(self, spark, tmp_path):
+        """Deleted docs vanish from batch results exactly as from solo
+        search (tombstones ride the shared exclude mask)."""
+        from probe_spark.index.build import BuildConfig, IndexBuilder
+        from probe_spark.index.maintenance import delete_where
+        from probe_spark.search.engine import SearchEngine
+
+        path = str(tmp_path / "idx_tomb")
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(
+            transcripts_df(spark, 30, 11), path
+        )
+        pre = SearchEngine(spark, path)
+        top = pre.search("error", k=1, with_metadata=True).collect()
+        victim_conv = top[0]["conv_id"]
+        n = delete_where(spark, path, f"conv_id = '{victim_conv}'")
+        assert n > 0
+        eng = SearchEngine(spark, path)  # fresh (tombstones load lazily)
+        batch = _by_query(
+            eng.search_batch(["error", "cache OR queue"], k=10).collect()
+        )
+        assert top[0]["doc_id"] not in {r["doc_id"] for r in batch.get(0, [])}
+        for qi, q in enumerate(["error", "cache OR queue"]):
+            solo = eng.search(q, k=10, with_metadata=False).collect()
+            got = [(r["doc_id"], r["score"]) for r in batch.get(qi, [])]
+            assert got == [(r["doc_id"], r["score"]) for r in solo]
+
     def test_empty_batch(self, engine):
         out = engine.search_batch([], k=5)
         assert out.count() == 0
