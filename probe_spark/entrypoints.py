@@ -493,6 +493,17 @@ def _q_token_counts(spark, sf_dir):
     return text.with_token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens")
 
 
+def _q_chunked_docs(spark, sf_dir):
+    """Context-window chunking (training-data prep): documents split into
+    overlapping whitespace-token windows, one training example per row —
+    a map-only row-expanding projection (posexplode(sequence) + slice),
+    no shuffle, no UDF."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.chunk_documents(
+        docs.select("doc_id", "text"), window=16, stride=8
+    )
+
+
 def _q_quality(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.with_quality(docs).select(
@@ -884,6 +895,7 @@ QUERIES = {
     "dup_clusters": _q_dup_clusters,
     "dedup_survivors": _q_dedup_survivors,
     "token_counts": _q_token_counts,
+    "chunked_docs": _q_chunked_docs,
     "quality": _q_quality,
     "fingerprint": _q_fingerprint,
     "ann_cosine": _q_ann_cosine,
@@ -1556,6 +1568,20 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::INT
          AS bpe_tokens
 FROM documents
+""",
+    # window=16 stride=8; DuckDB list slicing ws[i+1:i+16] is 1-based
+    # inclusive (length 16), mirroring Spark slice(ws, i+1, 16)
+    "chunked_docs": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       (i // 8)::INT AS chunk_idx,
+       i::INT AS chunk_start,
+       len(ws[i+1:i+16])::INT AS n_words,
+       array_to_string(ws[i+1:i+16], ' ') AS chunk_text
+FROM w, UNNEST(range(0, len(ws), 8)) AS t(i)
 """,
     "quality": """
 WITH base AS (

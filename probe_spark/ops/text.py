@@ -132,3 +132,54 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_pred",
         F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und")),
     ).withColumn("lang_score", -best["neg"])
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping whitespace-token windows — the
+    context-window preparation step of an LLM training pipeline (long
+    transcripts/documents become fixed-size training examples with
+    ``window - stride`` tokens of overlap).
+
+    Semantics: a chunk starts at every ``stride`` token offset below the
+    document's token count (null documents produce no chunks; "" splits
+    to one empty token -> one empty chunk, matching SQL string_split);
+    the last chunk may be shorter than ``window``.  Output one row per
+    chunk: (id, chunk_idx, chunk_start, n_words, chunk_text).
+
+    Scale shape: pure Column expressions (split -> posexplode(sequence)
+    -> slice/array_join) — one row-expanding projection over the scan,
+    whole-stage codegen, no shuffle, no UDF; expansion factor is
+    ~n_tokens/stride, exactly the output size, so there is nothing to
+    prune.  At 10^12 turns this runs as a map-only stage writing straight
+    to the training-shard sink.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    words = F.split(F.col(text_col), " ")
+    # sequence is inclusive; size-1 keeps every start < n_tokens
+    starts = F.sequence(
+        F.lit(0), F.size(F.col("_ws")) - 1, F.lit(stride)
+    )
+    exploded = (
+        df.select(F.col(id_col), words.alias("_ws"))
+        .filter(F.size(F.col("_ws")) > 0)
+        .select(
+            id_col,
+            F.col("_ws"),
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
+    )
+    sliced = F.slice(F.col("_ws"), F.col("chunk_start") + 1, window)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.col("chunk_start"),
+        F.size(sliced).alias("n_words"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )

@@ -221,6 +221,40 @@ class TestText:
         assert got[3] == "zh"
         assert got[4] == "und"
 
+    def test_chunk_documents(self, spark):
+        """Overlapping window chunking vs a hand-rolled Python mirror:
+        every stride offset below n_tokens starts a chunk; last chunk may
+        be short; null text drops; '' yields one empty chunk."""
+        rows = [
+            (0, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),  # 10 words
+            (1, "a b c"),                           # shorter than window
+            (2, ""),                                # one empty token
+            (3, None),                              # no chunks
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (
+                (r["doc_id"], r["chunk_idx"], r["chunk_start"],
+                 r["n_words"], r["chunk_text"])
+                for r in text.chunk_documents(
+                    df, window=4, stride=3
+                ).collect()
+            )
+        )
+        want = []
+        for did, t in rows:
+            if t is None:
+                continue
+            ws = t.split(" ")
+            for ci, start in enumerate(range(0, len(ws), 3)):
+                sl = ws[start:start + 4]
+                want.append((did, ci, start, len(sl), " ".join(sl)))
+        assert got == sorted(want)
+        # 10 words / stride 3 -> starts 0,3,6,9 (last chunk length 1)
+        assert [g for g in got if g[0] == 0][-1] == (0, 3, 9, 1, "w9")
+        with pytest.raises(ValueError):
+            text.chunk_documents(df, window=0)
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
