@@ -1956,7 +1956,7 @@ class SearchEngine:
     def search_batch(
         self,
         queries: "list[str]",
-        k: int = 10,
+        k: "int | list[int]" = 10,
         exact: bool = False,
         with_metadata: bool = False,
         where: "str | None" = None,
@@ -1988,6 +1988,8 @@ class SearchEngine:
         [, matched_terms, conv_id, turn_idx, role, tool, ts, text]),
         ordered by (query_idx, score desc, doc_id asc).  ``query_idx``
         is the position in ``queries`` (duplicates stay distinct).
+        ``k`` is one page size for every query or a per-query list
+        aligned with ``queries``.
 
         ``where``: one metadata scope for the WHOLE batch (the mining-job
         shape: "these queries, last 30 days") — same filter-context
@@ -2001,6 +2003,16 @@ class SearchEngine:
         from probe_spark.search import ranged  # noqa: PLC0415
 
         spark = self.spark
+        if isinstance(k, int):
+            ks = [k] * len(queries)
+        else:
+            ks = [int(x) for x in k]
+            if len(ks) != len(queries):
+                raise ValueError(
+                    f"k list length {len(ks)} != {len(queries)} queries"
+                )
+        if any(x < 1 for x in ks):
+            raise ValueError("every k must be >= 1")
         tomb, tomb_over = self._tombstones()
         allow_ids = None
         allow_overflow = False
@@ -2125,10 +2137,11 @@ class SearchEngine:
                     payload,
                     self.avgdl,
                     width,
-                    k,
+                    max(ks[qi] for qi, _e, _m in compiled),
                     with_metadata,
                     exclude_ids=tomb,
                     allow_ids=allow_ids,
+                    ks=[ks[qi] for qi, _e, _m in compiled],
                 )
                 fields = [
                     StructField("query_idx", IntegerType(), False),
@@ -2143,6 +2156,15 @@ class SearchEngine:
                             False,
                         )
                     )
+                # local batch index -> caller's queries position + that
+                # query's own k (the window cut is per-query)
+                qidx_map = spark.createDataFrame(
+                    [
+                        (i, int(qi), int(ks[qi]))
+                        for i, (qi, _e, _m) in enumerate(compiled)
+                    ],
+                    "query_idx int, orig_idx int, _kq int",
+                )
                 ranged_out = (
                     src.repartition("range_id")
                     .mapInArrow(gen, StructType(fields))
@@ -2154,24 +2176,17 @@ class SearchEngine:
                             )
                         ),
                     )
-                    .filter(F.col("_rn") <= k)
-                    .drop("_rn")
-                )
-                # local batch index -> caller's queries position
-                qidx_map = spark.createDataFrame(
-                    [(i, int(qi)) for i, (qi, _e, _m) in enumerate(compiled)],
-                    "query_idx int, orig_idx int",
-                )
-                out_parts.append(
-                    ranged_out.join(F.broadcast(qidx_map), "query_idx")
-                    .drop("query_idx")
+                    .join(F.broadcast(qidx_map), "query_idx")
+                    .filter(F.col("_rn") <= F.col("_kq"))
+                    .drop("_rn", "_kq", "query_idx")
                     .withColumnRenamed("orig_idx", "query_idx")
                 )
+                out_parts.append(ranged_out)
 
         meta_cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
         for qi in fallback:
             res = self.search(
-                queries[qi], k=k, exact=exact,
+                queries[qi], k=ks[qi], exact=exact,
                 with_metadata=with_metadata, where=where,
             ).withColumn("query_idx", F.lit(qi))
             cols = ["query_idx", "doc_id", "score"]
@@ -2219,7 +2234,7 @@ class SearchEngine:
             merged = merged.select(
                 "query_idx", "doc_id", "score", "matched_terms"
             )
-            if len(queries) * k > ISIN_PUSHDOWN_CAP:
+            if sum(ks) > ISIN_PUSHDOWN_CAP:
                 # bulk-mining scale: winners don't fit the driver fetch —
                 # ONE distributed docs join for the whole batch (the scan
                 # amortizes across all queries; per-query it would be Q

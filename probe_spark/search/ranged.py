@@ -304,6 +304,7 @@ def make_batch_range_eval(
     with_matched: bool,
     exclude_ids=None,
     allow_ids=None,
+    ks: "list[int] | None" = None,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
     """Batched variant of ``make_range_eval``: evaluate MANY compiled
     queries over ONE shared postings exchange — the offline bulk-retrieval
@@ -330,7 +331,10 @@ def make_batch_range_eval(
     whole batch to a metadata predicate (engine ``where=``): one scope,
     all queries — the mining-job shape ("these 100k queries, last 30
     days").  Filter context, same as the single-query path: candidacy is
-    cut before the per-range top-k, scores stay corpus-global."""
+    cut before the per-range top-k, scores stay corpus-global.  ``ks``
+    gives each query its own per-range emission cap (defaults to ``k``
+    for all)."""
+    per_k = ks if ks is not None else [k] * len(queries)
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -418,8 +422,9 @@ def make_batch_range_eval(
                 sel = np.nonzero(ok & ~isnull)[0]
                 if not len(sel):
                     continue
-                if len(sel) > k:
-                    order = np.lexsort((uids[sel], -score[sel]))[:k]
+                kq = per_k[qi]
+                if len(sel) > kq:
+                    order = np.lexsort((uids[sel], -score[sel]))[:kq]
                     sel = sel[order]
                 for i in sel.tolist():
                     out_qidx.append(qi)

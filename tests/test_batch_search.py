@@ -35,15 +35,16 @@ def _by_query(rows):
 
 class TestBatchRankIdentity:
     def test_whole_reference_suite_in_one_batch(self, engine):
-        """Every reference query, one batch, k=10: per-query rows equal
-        search() exactly (same doc_ids, bit-identical scores, same
-        order)."""
+        """Every reference query, one batch, each at its NATIVE k:
+        per-query rows equal search() exactly (same doc_ids,
+        bit-identical scores, same order)."""
         queries = [q for _i, q, _k in REFERENCE_QUERIES]
+        ks = [k for _i, _q, k in REFERENCE_QUERIES]
         batch = _by_query(
-            engine.search_batch(queries, k=10).collect()
+            engine.search_batch(queries, k=ks).collect()
         )
-        for qi, q in enumerate(queries):
-            solo = engine.search(q, k=10, with_metadata=False).collect()
+        for qi, (q, kq) in enumerate(zip(queries, ks)):
+            solo = engine.search(q, k=kq, with_metadata=False).collect()
             got = [
                 (r["doc_id"], r["score"]) for r in batch.get(qi, [])
             ]
