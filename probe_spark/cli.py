@@ -447,7 +447,9 @@ def main(argv: list[str] | None = None) -> int:
     bt.add_argument("--index", required=True)
     bt.add_argument("--queries-file", required=True,
                     help="one query per line; blank lines and # comments "
-                         "skipped; line number = query_idx in the output")
+                         "skipped; query_idx in the output = position "
+                         "among the surviving queries (0-based), and the "
+                         "full query string rides every row")
     bt.add_argument("-k", "--max-results", type=int, default=10)
     bt.add_argument("--exact", action="store_true")
     bt.add_argument("--with-text", action="store_true",

@@ -295,6 +295,42 @@ class SpecialPlan:
     lookup: str  # term string to fetch
 
 
+def special_keywords(expr: "ast.Expr") -> set[str]:
+    """Keywords of exact/excluded terms — they use special resolution
+    (raw-token lookup / G-set registration) instead of plain stemming."""
+    out: set[str] = set()
+    for t in ast.walk_terms(expr):
+        if t.exact or t.excluded:
+            out.update(t.keywords)
+    return out
+
+
+def zero_included(expr: "ast.Expr") -> bool:
+    """True when a doc holding NO query keyword still qualifies (e.g. a
+    lone excluded term) — such queries must score the whole corpus and
+    can never ride a postings-driven candidate path."""
+    return ast.evaluate(expr, lambda kw: False) and (
+        ast.score(expr, lambda kw: 0.0) is not None
+    )
+
+
+def affecting_specials(
+    plans: "dict[str, SpecialPlan]",
+) -> "tuple[frozenset, list[str]]":
+    """(G set, registration-affecting words): special lookups whose G-set
+    registration CHANGES how their own raw word tokenizes — those docs
+    need the retokenization repair before scoring."""
+    g_set0 = frozenset(
+        p.lookup
+        for p in plans.values()
+        if p.lookup and all(c.isalnum() for c in p.lookup)
+    )
+    affecting0 = sorted(
+        w for w in g_set0 if tok.tokenize(w) != tok.tokenize(w, g_set0)
+    )
+    return g_set0, affecting0
+
+
 def special_plan(keyword: str) -> SpecialPlan:
     """Resolve how an exact/excluded keyword matches docs (see module doc).
 
@@ -907,6 +943,53 @@ class SearchEngine:
         self._overlay_cache[key] = bundle
         return bundle
 
+    def _ranged_src(
+        self, lookups: "list[str]", sum_df: int, allow_ids=None
+    ) -> "tuple[DataFrame, int]":
+        """(postings rows exploded to doc ranges, range width) — the
+        shared plan front of every doc-range path (single-query and
+        batch): bucket+term-pruned scan, range count sized by compressed
+        postings volume (TARGET_POSTINGS_PER_RANGE), and whole-range
+        pruning when a driver-resident allow set covers few ranges."""
+        from probe_spark.search import ranged  # noqa: PLC0415
+
+        n_ranges = max(
+            2 * self.spark.sparkContext.defaultParallelism,
+            -(-sum_df // ranged.TARGET_POSTINGS_PER_RANGE),
+        )
+        width = max(1, -(-self.n_docs // n_ranges))
+        buckets = sorted({spark_bucket(t, self.n_buckets) for t in lookups})
+        src = (
+            self.postings.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(lookups)
+            )
+            .select(
+                "term", "min_doc", "max_doc", "docs_bin", "dl_bin",
+                "block_last_doc", "block_doc_off", "block_dl_off",
+            )
+            .withColumn(
+                "range_id",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("min_doc") / width).cast("int"),
+                        F.floor(F.col("max_doc") / width).cast("int"),
+                    )
+                ),
+            )
+        )
+        if allow_ids is not None:
+            import numpy as np  # noqa: PLC0415
+
+            # segments overlapping only out-of-scope ranges never enter
+            # the exchange, so a narrow scope decodes only its own
+            # ranges' postings
+            allow_rids = np.unique(allow_ids // width)
+            if allow_rids.size <= ALLOW_RANGE_PRUNE_CAP:
+                src = src.filter(
+                    F.col("range_id").isin([int(r) for r in allow_rids])
+                )
+        return src, width
+
     def _search_ranged(
         self,
         expr: ast.Expr,
@@ -969,41 +1052,7 @@ class SearchEngine:
             # no postings anywhere, no repaired docs, and zero-hit docs
             # don't qualify (dispatch precondition) -> empty
             return empty
-        n_ranges = max(
-            2 * self.spark.sparkContext.defaultParallelism,
-            -(-sum_df // ranged.TARGET_POSTINGS_PER_RANGE),
-        )
-        width = max(1, -(-self.n_docs // n_ranges))
-        buckets = sorted({spark_bucket(t, self.n_buckets) for t in lookups})
-        src = (
-            self.postings.filter(
-                F.col("bucket").isin(buckets) & F.col("term").isin(lookups)
-            )
-            .select(
-                "term", "min_doc", "max_doc", "docs_bin", "dl_bin",
-                "block_last_doc", "block_doc_off", "block_dl_off",
-            )
-            .withColumn(
-                "range_id",
-                F.explode(
-                    F.sequence(
-                        F.floor(F.col("min_doc") / width).cast("int"),
-                        F.floor(F.col("max_doc") / width).cast("int"),
-                    )
-                ),
-            )
-        )
-        if allow_ids is not None:
-            import numpy as np  # noqa: PLC0415
-
-            # whole-range pruning: segments overlapping only rangeless
-            # ranges never enter the exchange, so a narrow scope decodes
-            # only its own ranges' postings
-            allow_rids = np.unique(allow_ids // width)
-            if allow_rids.size <= ALLOW_RANGE_PRUNE_CAP:
-                src = src.filter(
-                    F.col("range_id").isin([int(r) for r in allow_rids])
-                )
+        src, width = self._ranged_src(lookups, sum_df, allow_ids)
         exclude_ids = None
         if overlay_ids is not None and overlay_ids.size:
             exclude_ids = overlay_ids
@@ -1414,10 +1463,7 @@ class SearchEngine:
             return empty
 
         # classify: keywords of exact/excluded terms use special resolution
-        special_kws: set[str] = set()
-        for t in ast.walk_terms(expr):
-            if t.exact or t.excluded:
-                special_kws.update(t.keywords)
+        special_kws = special_keywords(expr)
         normal_kws = query_terms - special_kws
 
         token_terms = sorted(normal_kws)
@@ -1543,17 +1589,8 @@ class SearchEngine:
                     if seen_ids is None
                     else np.union1d(seen_ids, tomb)
                 )
-            g_set0 = frozenset(
-                p.lookup
-                for p in plans.values()
-                if p.lookup and all(c.isalnum() for c in p.lookup)
-            )
-            affecting0 = sorted(
-                w for w in g_set0 if tok.tokenize(w) != tok.tokenize(w, g_set0)
-            )
-            zero_inc = ast.evaluate(expr, lambda kw: False) and (
-                ast.score(expr, lambda kw: 0.0) is not None
-            )
+            g_set0, affecting0 = affecting_specials(plans)
+            zero_inc = zero_included(expr)
             if (
                 not zero_inc
                 and not exclude_overflow
@@ -1864,10 +1901,7 @@ class SearchEngine:
                 )
 
         # does a doc with zero hits satisfy the query?  (only-excluded etc.)
-        zero_included = ast.evaluate(expr, lambda kw: False) and (
-            ast.score(expr, lambda kw: 0.0) is not None
-        )
-        if zero_included:
+        if zero_included(expr):
             # hits carries the REPAIRED dl for retokenized docs — prefer it
             # over the stale docs/ dl (scores would otherwise diverge from
             # the oracle for affected docs in only-excluded-style queries)
@@ -2041,25 +2075,15 @@ class SearchEngine:
             query_terms = ast.extract_query_terms(expr)
             if len(query_terms) > MAX_QUERY_TERMS or not query_terms:
                 continue
-            special_kws: set[str] = set()
-            for t in ast.walk_terms(expr):
-                if t.exact or t.excluded:
-                    special_kws.update(t.keywords)
+            special_kws = special_keywords(expr)
             plans = {kw: special_plan(kw) for kw in sorted(special_kws)}
-            zero_inc = ast.evaluate(expr, lambda kw: False) and (
-                ast.score(expr, lambda kw: 0.0) is not None
-            )
-            g_set0 = frozenset(
-                p.lookup
-                for p in plans.values()
-                if p.lookup and all(c.isalnum() for c in p.lookup)
-            )
-            affecting0 = sorted(
-                w
-                for w in g_set0
-                if tok.tokenize(w) != tok.tokenize(w, g_set0)
-            )
-            if zero_inc or affecting0 or tomb_over or allow_overflow:
+            _g0, affecting0 = affecting_specials(plans)
+            if (
+                zero_included(expr)
+                or affecting0
+                or tomb_over
+                or allow_overflow
+            ):
                 fallback.append(qi)
                 continue
             if allow_ids is not None and not allow_ids.size:
@@ -2089,50 +2113,7 @@ class SearchEngine:
                 payload.append((expr, idfs, ktm))
             sum_df = sum(dfs.get(t, 0) for t in lookups)
             if sum_df > 0 and self.n_docs:
-                n_ranges = max(
-                    2 * spark.sparkContext.defaultParallelism,
-                    -(-sum_df // ranged.TARGET_POSTINGS_PER_RANGE),
-                )
-                width = max(1, -(-self.n_docs // n_ranges))
-                buckets = sorted(
-                    {spark_bucket(t, self.n_buckets) for t in lookups}
-                )
-                src = (
-                    self.postings.filter(
-                        F.col("bucket").isin(buckets)
-                        & F.col("term").isin(lookups)
-                    )
-                    .select(
-                        "term", "min_doc", "max_doc", "docs_bin", "dl_bin",
-                        "block_last_doc", "block_doc_off", "block_dl_off",
-                    )
-                    .withColumn(
-                        "range_id",
-                        F.explode(
-                            F.sequence(
-                                F.floor(F.col("min_doc") / width).cast(
-                                    "int"
-                                ),
-                                F.floor(F.col("max_doc") / width).cast(
-                                    "int"
-                                ),
-                            )
-                        ),
-                    )
-                )
-                if allow_ids is not None:
-                    import numpy as np  # noqa: PLC0415
-
-                    # whole-range pruning, as in _search_ranged: segments
-                    # overlapping only out-of-scope ranges never enter
-                    # the exchange
-                    allow_rids = np.unique(allow_ids // width)
-                    if allow_rids.size <= ALLOW_RANGE_PRUNE_CAP:
-                        src = src.filter(
-                            F.col("range_id").isin(
-                                [int(r) for r in allow_rids]
-                            )
-                        )
+                src, width = self._ranged_src(lookups, sum_df, allow_ids)
                 gen = ranged.make_batch_range_eval(
                     payload,
                     self.avgdl,
@@ -2234,7 +2215,11 @@ class SearchEngine:
             merged = merged.select(
                 "query_idx", "doc_id", "score", "matched_terms"
             )
-            if sum(ks) > ISIN_PUSHDOWN_CAP:
+            # strategy switches on the ACTUAL winner count (as _with_meta
+            # does), not the requested sum(ks) upper bound — selective
+            # mining batches stay on the footer-pruned driver fetch
+            rows = merged.limit(ISIN_PUSHDOWN_CAP + 1).collect()
+            if len(rows) > ISIN_PUSHDOWN_CAP:
                 # bulk-mining scale: winners don't fit the driver fetch —
                 # ONE distributed docs join for the whole batch (the scan
                 # amortizes across all queries; per-query it would be Q
@@ -2250,7 +2235,6 @@ class SearchEngine:
                     )
                     .orderBy("query_idx", F.desc("score"), F.asc("doc_id"))
                 )
-            rows = merged.collect()
             winners = spark.createDataFrame(rows, merged.schema)
             ids = sorted({int(r["doc_id"]) for r in rows})
             if ids:
@@ -2258,9 +2242,16 @@ class SearchEngine:
                     self._meta_rows(ids), "doc_id"
                 )
             else:
-                merged = winners
-                for fname in meta_cols:
-                    merged = merged.withColumn(fname, F.lit(None))
+                # zero winners: keep the CORPUS column types (NullType
+                # meta columns would crash parquet sinks and unions)
+                by_name = {f.name: f for f in self.docs.schema.fields}
+                merged = spark.createDataFrame(
+                    [],
+                    StructType(
+                        list(winners.schema.fields)
+                        + [by_name[c] for c in meta_cols]
+                    ),
+                )
         out_cols = ["query_idx", "query", "doc_id", "score"]
         if with_metadata:
             out_cols += ["matched_terms"] + meta_cols

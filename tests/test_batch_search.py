@@ -161,6 +161,17 @@ class TestBatchRankIdentity:
             got = [(r["doc_id"], r["score"]) for r in batch.get(qi, [])]
             assert got == [(r["doc_id"], r["score"]) for r in solo]
 
+    def test_zero_winner_metadata_batch_keeps_types(self, engine, tmp_path):
+        """A compiled batch whose queries match nothing must keep the
+        CORPUS metadata column types (NullType columns crash parquet
+        sinks and later unions)."""
+        out = engine.search_batch(
+            ["hash AND zzzznotaword"], k=5, with_metadata=True
+        )
+        assert out.count() == 0
+        assert "void" not in [f.dataType.simpleString() for f in out.schema]
+        out.write.mode("overwrite").parquet(str(tmp_path / "sink"))
+
     def test_empty_batch(self, engine):
         out = engine.search_batch([], k=5)
         assert out.count() == 0
