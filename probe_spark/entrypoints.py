@@ -517,6 +517,21 @@ def _q_training_examples(spark, sf_dir):
     return training_examples(docs, min_quality=0.55, window=16, stride=8)
 
 
+def _q_packed_examples(spark, sf_dir):
+    """Sequence packing on top of the composed pipeline: chunks fold
+    into per-document packs under a token budget via one id-partitioned
+    window cumsum (exclusive-prefix boundary rule — deterministic,
+    embarrassingly parallel, no global ordering)."""
+    from probe_spark.ops.pipeline import pack_examples, training_examples
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = training_examples(docs, min_quality=0.55, window=16, stride=8)
+    return pack_examples(chunks, budget=48).select(
+        "doc_id", "chunk_idx", "bpe_tokens", "pack_tokens_before",
+        "pack_idx",
+    )
+
+
 def _q_quality(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.with_quality(docs).select(
@@ -910,6 +925,7 @@ QUERIES = {
     "token_counts": _q_token_counts,
     "chunked_docs": _q_chunked_docs,
     "training_examples": _q_training_examples,
+    "packed_examples": _q_packed_examples,
     "quality": _q_quality,
     "fingerprint": _q_fingerprint,
     "ann_cosine": _q_ann_cosine,
@@ -1474,6 +1490,44 @@ FROM b
 """
 
 
+_TRAINING_EXAMPLES_ORACLE = """
+WITH kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+), feats AS (
+  SELECT doc_id, text,
+         length(text) AS nc,
+         string_split(text, ' ') AS ws
+  FROM kept
+), scored AS (
+  SELECT doc_id, text,
+         ROUND(
+           least(len(ws)/64.0, 1.0)*0.25
+           + least(((nc - (len(ws) - 1)) / len(ws)::DOUBLE)/8.0, 1.0)*0.25
+           + (len(list_filter(ws, w -> w IN
+               ('a','an','and','are','as','at','be','by','for','from','has',
+                'in','is','it','of','on','or','that','the','to','was','with')))
+              / len(ws)::DOUBLE)*0.25
+           + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              / nc::DOUBLE)*0.25, 6) AS q
+  FROM feats
+), good AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM scored WHERE q >= 0.55
+)
+SELECT doc_id,
+       (i // 8)::INT AS chunk_idx,
+       i::INT AS chunk_start,
+       len(ws[i+1:i+16])::INT AS n_words,
+       array_to_string(ws[i+1:i+16], ' ') AS chunk_text,
+       len(regexp_extract_all(array_to_string(ws[i+1:i+16], ' '),
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::INT AS bpe_tokens
+FROM good, UNNEST(range(0, len(ws), 8)) AS t(i)
+"""
+
+
 ORACLES = {
     "bm25_or": _bm25_sql(
         ["hash", "join"],
@@ -1586,41 +1640,21 @@ FROM documents
     # the composed pipeline: dedup (min-id per md5) -> quality >= 0.55 on
     # the 6-dp-rounded score (the same formula the `quality` entry pins)
     # -> chunk window=16 stride=8 -> BPE-ish count per chunk
-    "training_examples": """
-WITH kept AS (
-  SELECT doc_id, text FROM (
-    SELECT doc_id, text,
-           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-    FROM documents
-  ) WHERE rn = 1
-), feats AS (
-  SELECT doc_id, text,
-         length(text) AS nc,
-         string_split(text, ' ') AS ws
-  FROM kept
-), scored AS (
-  SELECT doc_id, text,
-         ROUND(
-           least(len(ws)/64.0, 1.0)*0.25
-           + least(((nc - (len(ws) - 1)) / len(ws)::DOUBLE)/8.0, 1.0)*0.25
-           + (len(list_filter(ws, w -> w IN
-               ('a','an','and','are','as','at','be','by','for','from','has',
-                'in','is','it','of','on','or','that','the','to','was','with')))
-              / len(ws)::DOUBLE)*0.25
-           + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-              / nc::DOUBLE)*0.25, 6) AS q
-  FROM feats
-), good AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM scored WHERE q >= 0.55
-)
-SELECT doc_id,
-       (i // 8)::INT AS chunk_idx,
-       i::INT AS chunk_start,
-       len(ws[i+1:i+16])::INT AS n_words,
-       array_to_string(ws[i+1:i+16], ' ') AS chunk_text,
-       len(regexp_extract_all(array_to_string(ws[i+1:i+16], ' '),
-           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::INT AS bpe_tokens
-FROM good, UNNEST(range(0, len(ws), 8)) AS t(i)
+    "training_examples": _TRAINING_EXAMPLES_ORACLE,
+    # the packing stage over the same composed pipeline: exclusive-prefix
+    # cumsum per doc, pack_idx = floor(cum_before / 48)
+    "packed_examples": f"""
+WITH tx AS ({_TRAINING_EXAMPLES_ORACLE})
+SELECT doc_id, chunk_idx, bpe_tokens,
+       COALESCE(SUM(bpe_tokens) OVER (
+         PARTITION BY doc_id ORDER BY chunk_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         AS pack_tokens_before,
+       (COALESCE(SUM(bpe_tokens) OVER (
+         PARTITION BY doc_id ORDER BY chunk_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 48)::INT
+         AS pack_idx
+FROM tx
 """,
     # window=16 stride=8; DuckDB list slicing ws[i+1:i+16] is 1-based
     # inclusive (length 16), mirroring Spark slice(ws, i+1, 16)

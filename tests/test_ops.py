@@ -281,6 +281,35 @@ class TestPipeline:
             assert r["n_words"] == len(r["chunk_text"].split(" "))
             assert r["bpe_tokens"] >= r["n_words"]
 
+    def test_pack_examples_boundaries(self, spark):
+        """Exclusive-prefix packing: pack_idx = floor(cum_before/budget)
+        per document; over-budget chunks own a bin and realign after."""
+        from probe_spark.ops.pipeline import pack_examples
+
+        rows = [
+            (0, 0, 10), (0, 1, 10), (0, 2, 10),  # cum_before 0,10,20
+            (0, 3, 50),                           # cum_before 30 -> pack 1
+            (0, 4, 10),                           # cum_before 80 -> pack 2
+            (1, 0, 5),                            # new doc restarts at 0
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, chunk_idx int, bpe_tokens int"
+        )
+        got = {
+            (r["doc_id"], r["chunk_idx"]): (
+                r["pack_tokens_before"], r["pack_idx"]
+            )
+            for r in pack_examples(df, budget=32).collect()
+        }
+        assert got == {
+            (0, 0): (0, 0), (0, 1): (10, 0), (0, 2): (20, 0),
+            (0, 3): (30, 0), (0, 4): (80, 2), (1, 0): (0, 0),
+        }
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            pack_examples(df, budget=0)
+
     def test_training_examples_single_shuffle(self, spark):
         """The composed pipeline costs ONE exchange (the dedup window);
         quality/chunk/count fuse into projections."""
