@@ -119,3 +119,68 @@ def test_numpy_scorer_matches_oracle(docs, query):
     assert [i for i, _ in got] == [i for i, _ in exp]
     for (_, a), (_, b) in zip(got, exp):
         assert math.isclose(a, b, rel_tol=0, abs_tol=1e-9)
+
+
+def _eval_over(docs, query, cand):
+    """Run the numpy recursion over an EXPLICIT candidate id list (the
+    batch path evaluates every query over the union of all queries'
+    terms' candidates — extra docs must fall out as ok=False)."""
+    expr, special = parse_query(query)
+    toks = [tokenize(d, special) if d else [] for d in docs]
+    n_docs = len(docs)
+    lengths = [len(t) for t in toks]
+    avgdl = sum(lengths) / n_docs if n_docs else 0.0
+    assume(avgdl > 0)
+    kws = sorted({kw for t in ast.walk_terms(expr) for kw in t.keywords})
+    sets = [set(t) for t in toks]
+    idfs = {}
+    for kw in kws:
+        df = sum(1 for s in sets if kw in s)
+        if df > 0:
+            idfs[kw] = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    if not cand:
+        return []
+    present = {
+        kw: np.array([kw in sets[i] for i in cand], dtype=bool) for kw in kws
+    }
+    tf_norm = np.array(
+        [
+            (K1 + 1.0)
+            / (1.0 + K1 * ((1.0 - B) + B * (lengths[i] / avgdl)))
+            for i in cand
+        ],
+        dtype=np.float64,
+    )
+    score, isnull, ok = _score_eval_numpy(expr, idfs, present, tf_norm, np)
+    keep = np.nonzero(ok & ~isnull)[0]
+    out = [(cand[int(j)], float(score[j])) for j in keep]
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out
+
+
+@settings(max_examples=100, deadline=None)
+@given(docs=corpora(), q1=query_strings(), q2=query_strings())
+def test_union_candidate_superset_is_exact(docs, q1, q2):
+    """The batch path's core assumption: scoring query q1 over the UNION
+    of q1's and q2's candidate docs yields exactly q1's own results —
+    union-only docs evaluate to ok=False, never to a scored row.  (Holds
+    only for non-zero-included queries, the batch dispatch precondition.)"""
+    for q in (q1, q2):
+        try:
+            expr, _ = parse_query(q)
+        except ParseError:
+            return
+        terms = list(ast.walk_terms(expr))
+        assume(any(not t.excluded for t in terms))
+        assume(not ast.evaluate(expr, lambda kw: False, ignore_negatives=False))
+
+    def cand_of(q):
+        expr, special = parse_query(q)
+        toks = [tokenize(d, special) if d else [] for d in docs]
+        sets = [set(t) for t in toks]
+        kws = {kw for t in ast.walk_terms(expr) for kw in t.keywords}
+        return {i for i in range(len(docs)) if any(k in sets[i] for k in kws)}
+
+    own = sorted(cand_of(q1))
+    union = sorted(cand_of(q1) | cand_of(q2))
+    assert _eval_over(docs, q1, own) == _eval_over(docs, q1, union)
