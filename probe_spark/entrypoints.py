@@ -905,6 +905,93 @@ def _q_video_frames(spark, sf_dir):
     )
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (ops/curation.decontaminate): distinct
+    3-gram overlap between each training doc and a deterministic eval
+    subset (doc_id % 11 == 0); the eval side is broadcast, the corpus side
+    is one groupBy(doc) over matching shingles only."""
+    from probe_spark.ops import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    return curation.decontaminate(docs, ev, k=3)
+
+
+def _q_mixed_sources(spark, sf_dir):
+    """Deterministic weighted source mixing (ops/curation.mix_sources):
+    src0 upsampled 2.5x (epoch column), src1 downsampled to 0.4, src2 kept
+    whole, everything else dropped; the keep/repeat decision is md5-hash
+    based so the oracle replays it bit-for-bit."""
+    from probe_spark.ops import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = curation.mix_sources(
+        docs, {"src0": 2.5, "src1": 0.4, "src2": 1.0}, default_weight=0.0
+    )
+    return mixed.select("doc_id", "source", "epoch")
+
+
+def _q_pii_redacted(spark, sf_dir):
+    """PII scrub (ops/curation.redact_pii) over text with deterministic
+    synthetic PII appended (no external data): per-category counts on the
+    original text + md5 of the redacted text."""
+    from probe_spark.ops import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com ip 10.0.3.7 ssn 123-45-6789 ph 555-123-4567"),
+        ),
+    )
+    out = curation.redact_pii(docs)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
+def _q_source_quota(spark, sf_dir):
+    """Per-source quality quota (ops/curation.select_quota): top 5 docs of
+    every source by the 6-dp-rounded quality score (id-asc tie-break) —
+    one window shuffle."""
+    from probe_spark.ops import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curation.select_quota(docs, n_per_source=5)
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition features (ops/curation.with_repetition):
+    per-row sorted-array run-length folds (codegen, no shuffle); the
+    oracle recomputes the same ratios relationally."""
+    from probe_spark.ops import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curation.with_repetition(docs).select(
+        "doc_id",
+        "distinct_word_ratio",
+        "top_word_fraction",
+        "top_bigram_fraction",
+    )
+
+
+def _q_corpus_profile(spark, sf_dir):
+    """Dataset-card profile (ops/curation.corpus_profile): one
+    groupBy(source) with map-side partials over a four-column pruned
+    scan."""
+    from probe_spark.ops import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curation.corpus_profile(docs)
+
+
 QUERIES = {
     "bm25_or": _q_bm25_or,
     "bm25_and": _q_bm25_and,
@@ -958,6 +1045,12 @@ QUERIES = {
     "deleted_masked": _q_deleted_masked,
     "vacuumed_index": _q_vacuumed_index,
     "percolate": _q_percolate,
+    "decontaminate": _q_decontaminate,
+    "mixed_sources": _q_mixed_sources,
+    "pii_redacted": _q_pii_redacted,
+    "source_quota": _q_source_quota,
+    "repetition": _q_repetition,
+    "corpus_profile": _q_corpus_profile,
 }
 
 
@@ -1028,6 +1121,33 @@ def _simhash_oracle() -> str:
 SELECT doc_id AS id, ({lo63}) AS simhash_lo63,
        (CASE WHEN v63 > 0 THEN 1 ELSE 0 END) AS simhash_top_bit
 FROM votes
+"""
+
+
+def _pii_oracle() -> str:
+    """DuckDB mirror of ops/curation.redact_pii over the synthetic-PII
+    text the `pii_redacted` entry builds — generated from the SAME
+    PII_PATTERNS tuple so the two sides cannot drift."""
+    from probe_spark.ops.curation import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::INT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "t"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' u' || doc_id::VARCHAR ||
+         '@ex.com ip 10.0.3.7 ssn 123-45-6789 ph 555-123-4567' AS t
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       md5({red}) AS redacted_md5
+FROM p
 """
 
 
@@ -1862,6 +1982,101 @@ FROM pres WHERE p_filter = 1
         [_contrib("hash"), _contrib("join")],
         limit=40,
     ),
+    # distinct 3-gram overlap with the eval subset (doc_id % 11 == 0);
+    # the shingle prelude is the SAME one the dedup oracles use
+    "decontaminate": f"""{_SHINGLE_PRELUDE}
+, ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 11 = 0)
+SELECT sh.doc_id, COUNT(*) AS n_contaminated
+FROM sh JOIN ev USING (shingle)
+GROUP BY sh.doc_id
+""",
+    # md5-hash-based weighted mixing: src0 2.5x (upsampled copies carry an
+    # epoch index), src1 0.4, src2 1.0, default 0 — replayed bit-for-bit
+    "mixed_sources": """
+WITH r AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                     WHEN 'src2' THEN 1.0 ELSE 0.0 END AS rate,
+         (('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))::BIGINT)
+           / 4294967296.0 AS frac
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         (floor(rate)::INT +
+          CASE WHEN frac < rate - floor(rate) THEN 1 ELSE 0 END) AS n
+  FROM r
+)
+SELECT doc_id, source, e::INT AS epoch
+FROM c, UNNEST(range(0, n)) AS t(e)
+WHERE n > 0
+""",
+    "pii_redacted": _pii_oracle(),
+    # per-source top-5 by the 6-dp-rounded quality score (id-asc ties) —
+    # the quality formula is the same one the `quality` entry pins
+    "source_quota": """
+WITH base AS (
+  SELECT doc_id, source, length(text) AS nc, string_split(text, ' ') AS ws
+  FROM documents
+), feats AS (
+  SELECT base.doc_id AS doc_id, base.source AS source,
+         len(ws)::INT AS n_words,
+         (nc - (len(ws) - 1)) / len(ws)::DOUBLE AS mwl,
+         len(list_filter(ws, w -> w IN
+           ('a','an','and','are','as','at','be','by','for','from','has','in',
+            'is','it','of','on','or','that','the','to','was','with')))
+           / len(ws)::DOUBLE AS sr,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nc::DOUBLE AS ar
+  FROM base JOIN documents USING (doc_id)
+), q AS (
+  SELECT doc_id, source,
+         ROUND(least(n_words/64.0, 1.0)*0.25 + least(mwl/8.0, 1.0)*0.25
+               + sr*0.25 + ar*0.25, 6) AS qs
+  FROM feats
+), ranked AS (
+  SELECT doc_id, source, qs,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY qs DESC, doc_id ASC) AS rn
+  FROM q
+)
+SELECT doc_id, source, qs AS quality_score, rn::INT AS rank_in_source
+FROM ranked WHERE rn <= 5
+""",
+    # repetition ratios recomputed relationally (unnest + group counts)
+    "repetition": """
+WITH wl AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), w AS (
+  SELECT doc_id, u.w AS w FROM wl, UNNEST(ws) AS u(w)
+), n AS (
+  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS nd FROM w GROUP BY doc_id
+), tw AS (
+  SELECT doc_id, MAX(c) AS mx FROM (
+    SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w
+  ) GROUP BY doc_id
+), bgl AS (
+  SELECT doc_id, array_to_string(ws[i+1:i+2], ' ') AS bg
+  FROM wl, UNNEST(range(0, greatest(len(ws)-2, 0)+1)) AS t(i)
+  WHERE len(ws) >= 2
+), tb AS (
+  SELECT doc_id, MAX(c) AS bmx FROM (
+    SELECT doc_id, bg, COUNT(*) AS c FROM bgl GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT n.doc_id,
+       ROUND(nd / n::DOUBLE, 6) AS distinct_word_ratio,
+       ROUND(mx / n::DOUBLE, 6) AS top_word_fraction,
+       CASE WHEN n < 2 THEN 0.0
+            ELSE ROUND(bmx / (n-1)::DOUBLE, 6) END AS top_bigram_fraction
+FROM n JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+""",
+    "corpus_profile": """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' ')))::BIGINT AS total_words,
+       MIN(length(text)) AS min_chars, MAX(length(text)) AS max_chars,
+       ROUND(AVG(length(text)), 6) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+""",
 }
 
 # queries with no SQL oracle (the driver records a rows-only check).

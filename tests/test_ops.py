@@ -645,3 +645,129 @@ class TestScoreMath:
         assert math.log(1 + (n - df + 0.5) / (df + 0.5)) == pytest.approx(
             1.6064484, abs=1e-6
         )
+
+
+class TestCuration:
+    @pytest.fixture(scope="class")
+    def cur_df(self, spark):
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta", "src0", "en"),
+            (1, "alpha beta gamma other words here", "src0", "en"),
+            (2, "nothing shared with anything else", "src0", "de"),
+            (3, "alpha alpha alpha alpha beta beta", "src1", "en"),
+            (4, "one two three four five six seven", "src1", "fr"),
+            (5, "solo", "src2", "en"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string, lang string"
+        )
+
+    def test_decontaminate_counts_shared_kgrams(self, spark, cur_df):
+        from probe_spark.ops import curation
+
+        ev = cur_df.filter("doc_id = 0")
+        rep = {
+            r["doc_id"]: r["n_contaminated"]
+            for r in curation.decontaminate(cur_df, ev, k=3).collect()
+        }
+        # doc 0 shares all 4 of its own 3-grams; doc 1 shares exactly
+        # "alpha beta gamma"; docs 2-5 share nothing
+        assert rep[0] == 4
+        assert rep[1] == 1
+        assert set(rep) == {0, 1}
+        kept = curation.drop_contaminated(cur_df, curation.decontaminate(cur_df, ev, k=3))
+        assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4, 5]
+
+    def test_mix_sources_rates_and_epochs(self, spark, cur_df):
+        from probe_spark.ops import curation
+
+        out = curation.mix_sources(
+            cur_df, {"src0": 3.0, "src1": 1.0}, default_weight=0.0
+        ).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["doc_id"], []).append(r["epoch"])
+        # integral weights are hash-independent: exactly w copies
+        assert sorted(by_id[0]) == [0, 1, 2]
+        assert sorted(by_id[3]) == [0]
+        assert 5 not in by_id  # src2 weight 0 -> dropped
+        # deterministic: a second run is identical
+        again = curation.mix_sources(
+            cur_df, {"src0": 3.0, "src1": 1.0}, default_weight=0.0
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_mix_sources_fractional_rate_matches_hash(self, spark, cur_df):
+        import hashlib as _h
+
+        from probe_spark.ops import curation
+
+        out = curation.mix_sources(cur_df, {"src0": 0.5}, salt=7).collect()
+        kept = {r["doc_id"] for r in out}
+        for i in (0, 1, 2):
+            frac = (
+                int(_h.md5(f"7|{i}".encode()).hexdigest()[:8], 16) / 2**32
+            )
+            assert (i in kept) == (frac < 0.5)
+
+    def test_redact_pii(self, spark):
+        from probe_spark.ops import curation
+
+        df = spark.createDataFrame(
+            [
+                (0, "mail a@b.io or c.d+x@ex.org, ip 10.0.0.1, ssn "
+                    "123-45-6789, call 555-123-4567 now"),
+                (1, "clean text with no pii at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in curation.redact_pii(df).collect()}
+        assert out[0]["n_email"] == 2
+        assert out[0]["n_ipv4"] == 1
+        assert out[0]["n_ssn"] == 1
+        assert out[0]["n_phone"] == 1
+        red = out[0]["text_redacted"]
+        assert "<EMAIL>" in red and "<IP>" in red
+        assert "<SSN>" in red and "<PHONE>" in red
+        assert "a@b.io" not in red and "123-45-6789" not in red
+        assert out[1]["text_redacted"] == "clean text with no pii at all"
+        assert out[1]["n_email"] == 0
+
+    def test_select_quota(self, spark, cur_df):
+        from probe_spark.ops import curation
+
+        out = curation.select_quota(cur_df, n_per_source=1).collect()
+        # one survivor per source, rank 1
+        assert sorted(r["source"] for r in out) == ["src0", "src1", "src2"]
+        assert all(r["rank_in_source"] == 1 for r in out)
+
+    def test_with_repetition(self, spark):
+        from probe_spark.ops import curation
+
+        df = spark.createDataFrame(
+            [
+                (0, "a a a a"),          # 1 distinct / 4; top word 4/4;
+                                         # top bigram "a a" 3/3
+                (1, "a b c d"),          # all distinct, every count 1
+                (2, "x"),                # single word: bigram fraction 0.0
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in curation.with_repetition(df).collect()}
+        assert out[0]["distinct_word_ratio"] == 0.25
+        assert out[0]["top_word_fraction"] == 1.0
+        assert out[0]["top_bigram_fraction"] == 1.0
+        assert out[1]["distinct_word_ratio"] == 1.0
+        assert out[1]["top_word_fraction"] == 0.25
+        assert out[1]["top_bigram_fraction"] == pytest.approx(1 / 3, abs=1e-6)
+        assert out[2]["top_bigram_fraction"] == 0.0
+        assert out[2]["distinct_word_ratio"] == 1.0
+
+    def test_corpus_profile(self, spark, cur_df):
+        from probe_spark.ops import curation
+
+        prof = {r["source"]: r for r in curation.corpus_profile(cur_df).collect()}
+        assert prof["src0"]["n_docs"] == 3
+        assert prof["src0"]["n_langs"] == 2
+        assert prof["src1"]["total_words"] == 13
+        assert prof["src2"]["min_chars"] == len("solo")
