@@ -65,11 +65,21 @@ def decontaminate(
 
     Scale shape (100 TB corpus, benchmark-scale eval set): the eval
     shingle set is tiny (an eval suite is MBs, not TBs) -> broadcast; the
-    corpus side is a narrow projection + explode, map-side filtered by the
-    broadcast hash join, then ONE groupBy(doc) shuffle whose input is only
-    the *matching* shingles — contamination traffic, not corpus traffic.
+    corpus side is a narrow projection + explode of RAW shingles (no
+    pre-distinct — that would shuffle every corpus shingle), map-side
+    filtered by the broadcast hash join, then a countDistinct groupBy(doc)
+    whose shuffle input is only the *matching* shingles — contamination
+    traffic, not corpus traffic.  Pinned by
+    tests/test_plans.py::TestCurationPlans.
     """
-    doc_sh = word_shingles(docs, text_col, id_col, k)
+    words = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(k), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), k)),
+    )
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
+    ).filter(F.length("shingle") > 0)
     eval_sh = (
         word_shingles(eval_docs, text_col, id_col, k)
         .select("shingle")
@@ -78,7 +88,7 @@ def decontaminate(
     return (
         doc_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy(F.col("id").alias(id_col))
-        .agg(F.count("*").alias("n_contaminated"))
+        .agg(F.countDistinct("shingle").alias("n_contaminated"))
     )
 
 

@@ -229,3 +229,68 @@ class TestMetadataMatch:
             ).collect()
         }
         assert off_ids <= on_ids
+
+
+class TestCurationPlans:
+    """Scale-shape pins for ops/curation: the properties that make each
+    operator viable at 100 TB (broadcast where the small side is small,
+    map-only where no shuffle is needed, partial aggregation where one
+    is)."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (i, f"alpha beta w{i} gamma delta", f"src{i % 3}", "en")
+            for i in range(30)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string, lang string"
+        )
+
+    def test_decontaminate_broadcasts_eval_side(self, docs):
+        from probe_spark.ops import curation
+
+        rep = curation.decontaminate(docs, docs.filter("doc_id % 7 = 0"))
+        plan = _plan(rep)
+        assert "BroadcastHashJoin" in plan, plan
+        # the property that matters at 100 TB: NO exchange between the
+        # corpus scan and the broadcast filter — raw corpus shingles are
+        # never shuffled, only the matching ones (the groupBy above the
+        # join).  In the printed tree the stream (corpus) subtree sits
+        # between the BroadcastHashJoin line and its BroadcastExchange
+        # build side.
+        lines = plan.splitlines()
+        j = next(i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln)
+        b = next(
+            i
+            for i, ln in enumerate(lines)
+            if i > j and "BroadcastExchange" in ln
+        )
+        corpus_side = "\n".join(lines[j + 1 : b])
+        assert "Exchange" not in corpus_side, plan
+
+    def test_mix_and_redact_are_map_only(self, docs):
+        from probe_spark.ops import curation
+
+        for df in (
+            curation.mix_sources(docs, {"src0": 2.5, "src1": 0.4}),
+            curation.redact_pii(docs),
+            curation.with_repetition(docs),
+        ):
+            plan = _plan(df)
+            assert "Exchange" not in plan, plan
+            assert "BatchEvalPython" not in plan
+            assert "ArrowEvalPython" not in plan
+
+    def test_profile_has_partial_aggregation(self, docs):
+        from probe_spark.ops import curation
+
+        plan = _plan(curation.corpus_profile(docs))
+        # map-side partials before the single source exchange
+        assert "partial_" in plan, plan
+        n_exchange = sum(
+            1
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        )
+        assert n_exchange <= 2, plan  # count-distinct expand adds one
