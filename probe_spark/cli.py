@@ -335,6 +335,22 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Shard-merge two indexes (index/maintenance.merge_indexes): B's doc
+    space is appended after A's, postings move once as encoded bytes (one
+    leading varint + numeric doc metadata rewritten per segment)."""
+    from probe_spark.index.maintenance import merge_indexes
+
+    spark = _build_session("probe-spark-merge")
+    print(
+        json.dumps(
+            merge_indexes(spark, args.index_a, args.index_b, args.output),
+            default=str,
+        )
+    )
+    return 0
+
+
 def _jsonable(v):
     try:
         json.dumps(v)
@@ -490,6 +506,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     v.add_argument("--index", required=True)
     v.set_defaults(fn=cmd_vacuum)
+
+    m = sub.add_parser(
+        "merge",
+        help="concatenate two indexes into one without re-tokenizing "
+             "(shard-merge: B's doc space appended after A's; "
+             "rank-identical to a fresh build when A-then-B is the "
+             "global corpus order)",
+    )
+    m.add_argument("--index-a", required=True)
+    m.add_argument("--index-b", required=True)
+    m.add_argument("--output", required=True)
+    m.set_defaults(fn=cmd_merge)
 
     args = p.parse_args(argv)
     try:

@@ -905,6 +905,40 @@ def _q_video_frames(spark, sf_dir):
     )
 
 
+def _q_merged_index(spark, sf_dir):
+    """Shard-merge (index/maintenance.merge_indexes — the Lucene
+    addIndexes analog a 10^12-turn store runs daily): the corpus split
+    into two conv-ordered halves, indexed separately, merged WITHOUT
+    re-tokenizing (postings move once as encoded bytes; one leading
+    varint + numeric doc metadata rewritten per segment).  BM25 over the
+    merged index must equal the standard full-corpus oracle
+    bit-for-bit."""
+    import shutil
+
+    from probe_spark.index.maintenance import merge_indexes
+
+    base = index_path_for(sf_dir)
+    pm = base + "_merged"
+    if pm not in _ENGINES:
+        marker = os.path.join(pm, "_MERGE_DONE")
+        if not os.path.exists(marker):
+            t = _docs_as_transcripts(spark, sf_dir)
+            n = t.count()
+            cut = F.lpad(F.lit(str(n // 2)), 12, "0")
+            pa_, pb = base + "_half_a", base + "_half_b"
+            for d in (pa_, pb, pm):
+                shutil.rmtree(d, ignore_errors=True)
+            builder = IndexBuilder(spark, BuildConfig(n_buckets=8))
+            builder.build(t.filter(F.col("conv_id") < cut), pa_)
+            builder.build(t.filter(F.col("conv_id") >= cut), pb)
+            merge_indexes(spark, pa_, pb, pm)
+            with open(marker, "w") as fh:
+                fh.write("done")
+        _ENGINES[pm] = SearchEngine(spark, pm)
+    res = _ENGINES[pm].search("scan OR merge", k=None, with_metadata=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_decontaminate(spark, sf_dir):
     """Eval-set decontamination (ops/curation.decontaminate): distinct
     3-gram overlap between each training doc and a deterministic eval
@@ -1045,6 +1079,7 @@ QUERIES = {
     "deleted_masked": _q_deleted_masked,
     "vacuumed_index": _q_vacuumed_index,
     "percolate": _q_percolate,
+    "merged_index": _q_merged_index,
     "decontaminate": _q_decontaminate,
     "mixed_sources": _q_mixed_sources,
     "pii_redacted": _q_pii_redacted,
@@ -1981,6 +2016,13 @@ FROM pres WHERE p_filter = 1
         "WHERE lang IN ('en', 'de') AND source <> 'src7')",
         [_contrib("hash"), _contrib("join")],
         limit=40,
+    ),
+    # the merged (half+half) index must reproduce the FULL-corpus BM25
+    # oracle exactly — same SQL as any single-index entry
+    "merged_index": _bm25_sql(
+        ["scan", "merg"],
+        "(p.p_scan = 1 OR p.p_merg = 1)",
+        [_contrib("scan"), _contrib("merg")],
     ),
     # distinct 3-gram overlap with the eval subset (doc_id % 11 == 0);
     # the shingle prelude is the SAME one the dedup oracles use

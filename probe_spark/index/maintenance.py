@@ -341,3 +341,287 @@ def vacuum(spark: SparkSession, index_path: str) -> dict:
         "n_docs": n_docs,
         "avgdl": new_stats["avgdl"],
     }
+
+
+def merge_indexes(
+    spark: SparkSession, src_a: str, src_b: str, out_path: str
+) -> dict:
+    """Concatenate two indexes into one searchable index WITHOUT
+    re-tokenizing — the shard-merge lifecycle op of a 10^12-turn store
+    (build per-day/per-shard indexes in parallel, fold them into the
+    serving index; Lucene's addIndexes / segment-merge analog, which the
+    reference never needs because it has no index at all).
+
+    ``src_b``'s doc space is appended after ``src_a``'s: every doc id in B
+    shifts by ``offset = 1 + max(doc_id in A)``.  Because postings are
+    delta-encoded, shifting ALL ids of a segment by a constant changes
+    only its LEADING varint (the absolute first doc id) — so the merge
+    rewrites one varint + the numeric doc metadata per segment and moves
+    the posting bytes exactly once, no decode, no sort, no shuffle
+    (the same invariant splice_chunks exploits, codec.py).  Segment
+    addresses (term, salt, seg_seq) may collide between A and B; every
+    query path already disambiguates by min_doc (delta builds created the
+    same situation — see wand.py BlockMeta note), and doc ranges are
+    disjoint by construction.
+
+    The merged index is rank- and score-IDENTICAL to a fresh build over
+    the concatenated corpus when A-then-B is the (conv_id, turn_idx)
+    global order (the time-sharded deployment case); BM25 stats merge
+    exactly (df adds, n_docs/total_dl add, avgdl recomputed).  Tombstones
+    carry over (B's shifted), lineage is re-aggregated per bucket so
+    ``stats --verify`` holds on the result.
+
+    Both inputs must share n_buckets and block_size (same term-hash
+    layout); posix paths, like vacuum.
+    """
+    import pyarrow.parquet as pq
+
+    base_a, base_b = _posix(src_a), _posix(src_b)
+    base_o = _posix(out_path)
+    stats_a = pq.read_table(os.path.join(base_a, "stats")).to_pylist()[0]
+    stats_b = pq.read_table(os.path.join(base_b, "stats")).to_pylist()[0]
+    for k in ("n_buckets", "block_size"):
+        if int(stats_a[k]) != int(stats_b[k]):
+            raise ValueError(
+                f"incompatible indexes: {k} {stats_a[k]} != {stats_b[k]}"
+            )
+    ensure_package_on_executors(spark)
+    off = (
+        int(
+            spark.read.parquet(f"{src_a}/docs")
+            .agg(F.max("doc_id"))
+            .collect()[0][0]
+        )
+        + 1
+    )
+    os.makedirs(base_o, exist_ok=True)
+
+    # -- postings: A verbatim, B's doc metadata + leading varint shifted --
+    posts_a = spark.read.parquet(f"{src_a}/postings")
+    (
+        posts_a.write.partitionBy("kind", "bucket")
+        .mode("overwrite")
+        .parquet(f"{out_path}/postings")
+    )
+    posts_b = spark.read.parquet(f"{src_b}/postings")
+
+    def shift(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from probe_spark.index.codec import (
+            varint_encode_one,
+            varint_read_first,
+        )
+
+        for batch in batches:
+            cols = {n: batch.column(n) for n in batch.schema.names}
+            out: dict[str, list] = {n: [] for n in batch.schema.names}
+            for i in range(batch.num_rows):
+                mv = memoryview(cols["docs_bin"][i].as_py())
+                first, flen = varint_read_first(mv)
+                enc = varint_encode_one(first + off)
+                docs_bin = bytes(enc) + bytes(mv[flen:])
+                delta = len(enc) - flen
+                doc_off = [
+                    o + delta if o else 0
+                    for o in cols["block_doc_off"][i].as_py()
+                ]
+                for n in batch.schema.names:
+                    if n == "docs_bin":
+                        out[n].append(docs_bin)
+                    elif n == "min_doc" or n == "max_doc":
+                        out[n].append(cols[n][i].as_py() + off)
+                    elif n == "block_last_doc":
+                        out[n].append(
+                            [v + off for v in cols[n][i].as_py()]
+                        )
+                    elif n == "block_doc_off":
+                        out[n].append(doc_off)
+                    elif n == "seg_bytes":
+                        out[n].append(
+                            len(docs_bin) + len(cols["dl_bin"][i].as_py())
+                        )
+                    elif n == "seg_crc":
+                        out[n].append(zlib.crc32(docs_bin))
+                    else:
+                        out[n].append(cols[n][i].as_py())
+            yield pa.RecordBatch.from_pydict(out, schema=batch.schema)
+
+    (
+        posts_b.mapInArrow(shift, posts_b.schema)
+        .write.partitionBy("kind", "bucket")
+        .mode("append")
+        .parquet(f"{out_path}/postings")
+    )
+
+    # -- docs: A shards copied byte-for-byte, B shards id-shifted ---------
+    docs_out = os.path.join(base_o, "docs")
+    os.makedirs(docs_out, exist_ok=True)
+    tasks = [
+        (os.path.join(base_a, "docs"), fn, 0, f"a-{fn}")
+        for fn in sorted(os.listdir(os.path.join(base_a, "docs")))
+        if fn.endswith(".parquet")
+    ] + [
+        (os.path.join(base_b, "docs"), fn, off, f"b-{fn}")
+        for fn in sorted(os.listdir(os.path.join(base_b, "docs")))
+        if fn.endswith(".parquet")
+    ]
+
+    def move_docs(pdfs):
+        import pandas as pd
+        import pyarrow.parquet as pqw
+
+        for pdf in pdfs:
+            for src_dir, fn, o, out_fn in zip(
+                pdf["src_dir"], pdf["fn"], pdf["off"], pdf["out_fn"]
+            ):
+                src = os.path.join(src_dir, fn)
+                dst = os.path.join(docs_out, out_fn)
+                if int(o) == 0:
+                    shutil.copyfile(src, dst)
+                else:
+                    t = pqw.read_table(src)
+                    idx = t.schema.get_field_index("doc_id")
+                    ids = t.column("doc_id").to_numpy().astype(np.int64)
+                    t = t.set_column(
+                        idx,
+                        t.schema.field(idx),
+                        pa.array(ids + int(o), pa.int64()),
+                    )
+                    pqw.write_table(t, dst)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    (
+        spark.createDataFrame(
+            tasks, "src_dir string, fn string, off long, out_fn string"
+        )
+        .repartition(min(len(tasks), 64))
+        .mapInPandas(move_docs, "n long")
+        .agg(F.sum("n"))
+        .collect()
+    )
+    with open(os.path.join(docs_out, "_SUCCESS"), "w"):
+        pass
+
+    # -- tombstones carry over (B's shifted) ------------------------------
+    tomb_rows = []
+    for base, o in ((base_a, 0), (base_b, off)):
+        tdir = os.path.join(base, "tombstones")
+        if os.path.isdir(tdir):
+            import pyarrow.dataset as pds
+
+            t = pds.dataset(tdir, format="parquet").to_table()
+            if t.num_rows:
+                idx = t.schema.get_field_index("doc_id")
+                ids = t.column("doc_id").to_numpy().astype(np.int64) + o
+                tomb_rows.append(
+                    t.set_column(
+                        idx, t.schema.field(idx), pa.array(ids, pa.int64())
+                    )
+                )
+    if tomb_rows:
+        tdir = os.path.join(base_o, "tombstones")
+        os.makedirs(tdir, exist_ok=True)
+        pq.write_table(
+            pa.concat_tables(tomb_rows),
+            os.path.join(tdir, "merged-0.parquet"),
+        )
+
+    # -- stats ------------------------------------------------------------
+    n_docs = int(stats_a["n_docs"]) + int(stats_b["n_docs"])
+    total_dl = int(stats_a["total_dl"]) + int(stats_b["total_dl"])
+    new_stats = dict(stats_a)
+    new_stats.update(
+        n_docs=n_docs,
+        total_dl=total_dl,
+        avgdl=(total_dl / n_docs) if n_docs else 0.0,
+        build_id=f"merge({stats_a['build_id']}+{stats_b['build_id']})",
+    )
+    stats_dir = os.path.join(base_o, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist([new_stats]),
+        os.path.join(stats_dir, "part-0.parquet"),
+    )
+
+    # -- lineage: fresh per-bucket totals over the merged postings --------
+    now = time.time()
+    rows = [
+        {
+            "build_id": new_stats["build_id"],
+            "phase": "merge",
+            "partition_id": -1,
+            "status": "done",
+            "n_terms": 0,
+            "n_postings": 0,
+            "bytes": 0,
+            "checksum": str(off),
+            "completed_at": now,
+        }
+    ]
+
+    def _has_vacuum(base: str) -> bool:
+        mdir = os.path.join(base, "manifest")
+        if not os.path.isdir(mdir):
+            return False
+        import pyarrow.dataset as pds
+
+        m = pds.dataset(mdir, format="parquet").to_table(
+            columns=["phase", "status"]
+        )
+        return any(
+            p == "vacuum" and s == "done"
+            for p, s in zip(
+                m.column("phase").to_pylist(), m.column("status").to_pylist()
+            )
+        )
+
+    if _has_vacuum(base_a) or _has_vacuum(base_b):
+        # doc ids in the merged space keep their input gaps: carry the
+        # density relaxation forward for verify
+        rows.append(
+            {
+                "build_id": new_stats["build_id"],
+                "phase": "vacuum",
+                "partition_id": -1,
+                "status": "done",
+                "n_terms": 0,
+                "n_postings": 0,
+                "bytes": 0,
+                "checksum": "carried",
+                "completed_at": now,
+            }
+        )
+    for r in (
+        spark.read.parquet(f"{out_path}/postings")
+        .groupBy("kind", "bucket")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df_seg").alias("n_postings"),
+            F.sum("seg_bytes").alias("bytes"),
+            F.sum("seg_crc").alias("checksum"),
+        )
+        .collect()
+    ):
+        rows.append(
+            {
+                "build_id": new_stats["build_id"],
+                "phase": f"postings_{r['kind']}",
+                "partition_id": int(r["bucket"]),
+                "status": "done",
+                "n_terms": int(r["n_terms"]),
+                "n_postings": int(r["n_postings"]),
+                "bytes": int(r["bytes"]),
+                "checksum": str(int(r["checksum"])),
+                "completed_at": now,
+            }
+        )
+    mdir = os.path.join(base_o, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(rows), os.path.join(mdir, "merge-0.parquet")
+    )
+    return {
+        "n_docs": n_docs,
+        "offset": off,
+        "avgdl": new_stats["avgdl"],
+        "out": out_path,
+    }

@@ -1,0 +1,147 @@
+"""Shard-merge (index/maintenance.merge_indexes): two indexes built over a
+conv-ordered split of one corpus, merged WITHOUT re-tokenizing, must be
+rank- and score-identical to a fresh build over the whole corpus — the
+Lucene-addIndexes-style lifecycle op a 10^12-turn store runs daily.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+QUERY_SHAPES = [
+    "error",
+    "error AND handling",
+    "error OR handler OR timeout",
+    "+error -timeout",
+    '"whitelist"',
+    "database -sqlite",
+    "(error OR handler) AND (auth OR timeout)",
+]
+
+
+@pytest.fixture(scope="module")
+def merged_setup(spark, tmp_path_factory):
+    from probe_spark.fixtures import transcripts_df
+    from probe_spark.index.build import BuildConfig, IndexBuilder
+    from probe_spark.index.maintenance import merge_indexes
+
+    base = tmp_path_factory.mktemp("shard_merge")
+    t = transcripts_df(spark, n_convs=60, seed=3)
+    convs = sorted(r[0] for r in t.select("conv_id").distinct().collect())
+    cut = convs[30]
+    paths = {n: str(base / n) for n in ("a", "b", "full", "merged")}
+    cfg = lambda: BuildConfig(n_buckets=4)  # noqa: E731
+    IndexBuilder(spark, cfg()).build(t.filter(F.col("conv_id") < cut), paths["a"])
+    IndexBuilder(spark, cfg()).build(
+        t.filter(F.col("conv_id") >= cut), paths["b"]
+    )
+    IndexBuilder(spark, cfg()).build(t, paths["full"])
+    info = merge_indexes(spark, paths["a"], paths["b"], paths["merged"])
+    return paths, info
+
+
+def _page(engine, q, k=15):
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in engine.search(q, k=k, with_metadata=False).collect()
+    ]
+
+
+class TestMergeParity:
+    def test_rank_identical_to_fresh_full_build(self, spark, merged_setup):
+        from probe_spark.search.engine import SearchEngine
+
+        paths, _ = merged_setup
+        em = SearchEngine(spark, paths["merged"])
+        ef = SearchEngine(spark, paths["full"])
+        for q in QUERY_SHAPES:
+            assert _page(em, q) == _page(ef, q), q
+
+    def test_full_result_set_identical(self, spark, merged_setup):
+        from probe_spark.search.engine import SearchEngine
+
+        paths, _ = merged_setup
+        em = SearchEngine(spark, paths["merged"])
+        ef = SearchEngine(spark, paths["full"])
+        assert _page(em, "error OR handler", k=None) == _page(
+            ef, "error OR handler", k=None
+        )
+
+    def test_local_front_end_reads_merged_index(self, spark, merged_setup):
+        from probe_spark.search.engine import SearchEngine
+        from probe_spark.search.local import LocalSearcher
+
+        paths, _ = merged_setup
+        em = SearchEngine(spark, paths["merged"])
+        loc = LocalSearcher(paths["merged"])
+        want = _page(em, "error AND handling", k=10)
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in loc.search("error AND handling", k=10)
+        ]
+        assert got == want
+
+    def test_verify_passes_on_merged(self, spark, merged_setup):
+        from probe_spark.index.verify import verify_index
+
+        paths, _ = merged_setup
+        v = verify_index(spark, paths["merged"])
+        assert v["ok"], v
+
+    def test_stats_merge_exactly(self, spark, merged_setup):
+        paths, info = merged_setup
+        sa = spark.read.parquet(f"{paths['a']}/stats").collect()[0]
+        sb = spark.read.parquet(f"{paths['b']}/stats").collect()[0]
+        sf = spark.read.parquet(f"{paths['full']}/stats").collect()[0]
+        sm = spark.read.parquet(f"{paths['merged']}/stats").collect()[0]
+        assert sm["n_docs"] == sa["n_docs"] + sb["n_docs"] == sf["n_docs"]
+        assert sm["total_dl"] == sf["total_dl"]
+        assert sm["avgdl"] == pytest.approx(sf["avgdl"], abs=0)
+        assert info["offset"] == sa["n_docs"]  # dense input -> offset = N_a
+
+
+class TestMergeLifecycle:
+    def test_tombstones_carry_over(self, spark, tmp_path_factory):
+        from probe_spark.fixtures import transcripts_df
+        from probe_spark.index.build import BuildConfig, IndexBuilder
+        from probe_spark.index.maintenance import delete_where, merge_indexes
+        from probe_spark.search.engine import SearchEngine
+
+        base = tmp_path_factory.mktemp("merge_tomb")
+        t = transcripts_df(spark, n_convs=24, seed=9)
+        convs = sorted(r[0] for r in t.select("conv_id").distinct().collect())
+        cut = convs[12]
+        pa_, pb, pm = (str(base / n) for n in ("a", "b", "m"))
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(
+            t.filter(F.col("conv_id") < cut), pa_
+        )
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(
+            t.filter(F.col("conv_id") >= cut), pb
+        )
+        # tombstone one conv on EACH side before the merge
+        n_a = delete_where(spark, pa_, f"conv_id = '{convs[0]}'")
+        n_b = delete_where(spark, pb, f"conv_id = '{convs[-1]}'")
+        assert n_a > 0 and n_b > 0
+        merge_indexes(spark, pa_, pb, pm)
+        em = SearchEngine(spark, pm)
+        hits = em.search("error OR handler OR auth", k=None,
+                         with_metadata=True).collect()
+        got_convs = {r["conv_id"] for r in hits}
+        assert convs[0] not in got_convs
+        assert convs[-1] not in got_convs
+
+    def test_incompatible_layout_rejected(self, spark, tmp_path_factory):
+        from probe_spark.fixtures import transcripts_df
+        from probe_spark.index.build import BuildConfig, IndexBuilder
+        from probe_spark.index.maintenance import merge_indexes
+
+        base = tmp_path_factory.mktemp("merge_bad")
+        t = transcripts_df(spark, n_convs=6, seed=1)
+        p4, p8 = str(base / "p4"), str(base / "p8")
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(t, p4)
+        IndexBuilder(spark, BuildConfig(n_buckets=8)).build(t, p8)
+        with pytest.raises(ValueError, match="n_buckets"):
+            merge_indexes(spark, p4, p8, str(base / "out"))
