@@ -351,6 +351,17 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Segment defragmentation (index/maintenance.compact_index): splice
+    each term's doc-range-disjoint segments back together by byte
+    concatenation — no decode, no re-tokenize, ranks/scores unchanged."""
+    from probe_spark.index.maintenance import compact_index
+
+    spark = _build_session("probe-spark-compact")
+    print(json.dumps(compact_index(spark, args.index), default=str))
+    return 0
+
+
 def _jsonable(v):
     try:
         json.dumps(v)
@@ -518,6 +529,15 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--index-b", required=True)
     m.add_argument("--output", required=True)
     m.set_defaults(fn=cmd_merge)
+
+    c = sub.add_parser(
+        "compact",
+        help="defragment postings after a merge chain / streamed deltas "
+             "(byte-splice each term's segments; Lucene forceMerge "
+             "analog, ranks and scores unchanged)",
+    )
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     try:

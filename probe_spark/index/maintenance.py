@@ -625,3 +625,175 @@ def merge_indexes(
         "avgdl": new_stats["avgdl"],
         "out": out_path,
     }
+
+
+def compact_index(
+    spark: SparkSession, index_path: str, max_seg: int = 1 << 17
+) -> dict:
+    """Defragment postings (Lucene forceMerge analog): repeated shard
+    merges / streamed deltas accumulate many small segments per term; this
+    splices each term's doc-range-disjoint segments back together by byte
+    concatenation (codec.splice_chunks — only each non-first chunk's
+    leading varint is rewritten, no decode, no sort, no re-tokenize),
+    greedily packing up to ``max_seg`` postings per output segment.
+
+    Doc ids, df totals, scores, and ranks are unchanged — only the segment
+    layout changes.  One task per (kind, bucket) partition, embarrassingly
+    parallel, postings move once; lineage is re-aggregated so
+    ``stats --verify`` holds.  Works on ANY index (batch-built, merged,
+    streamed) because it never needs the token arrays in docs/.
+    """
+    import pyarrow.parquet as pq
+
+    from probe_spark.index.build import _SEG_FILE_SCHEMA
+
+    base = _posix(index_path)
+    post_dir = os.path.join(base, "postings")
+    parts = sorted(
+        (kd.split("=", 1)[1], bd.split("=", 1)[1])
+        for kd in os.listdir(post_dir)
+        if kd.startswith("kind=")
+        for bd in os.listdir(os.path.join(post_dir, kd))
+        if bd.startswith("bucket=")
+    )
+    stamp = str(int(time.time() * 1000))
+    tmp_post = os.path.join(base, f".ctmp-postings-{stamp}")
+    ensure_package_on_executors(spark)
+
+    def one_bucket(pdfs):
+        import pandas as pd
+        import pyarrow.dataset as pds
+        import pyarrow.parquet as pqw
+
+        from probe_spark.index.codec import EncodedChunk, splice_chunks
+
+        for pdf in pdfs:
+            outs = []
+            for kind, bucket in zip(pdf["kind"], pdf["bucket"]):
+                src = os.path.join(
+                    post_dir, f"kind={kind}", f"bucket={bucket}"
+                )
+                t = pds.dataset(src, format="parquet").to_table()
+                by_term: dict[str, list[EncodedChunk]] = {}
+                for r in t.to_pylist():
+                    by_term.setdefault(r["term"], []).append(
+                        EncodedChunk(
+                            r["df_seg"], r["min_doc"], r["max_doc"],
+                            r["docs_bin"], r["dl_bin"], r["block_last_doc"],
+                            r["block_min_dl"], r["block_doc_off"],
+                            r["block_dl_off"],
+                        )
+                    )
+                rows = []
+                for term in sorted(by_term):
+                    chunks = sorted(by_term[term], key=lambda c: c.min_doc)
+                    # greedy packing: splice runs whose total stays under
+                    # max_seg (a chunk already over the cap stays alone)
+                    groups: list[list[EncodedChunk]] = []
+                    cur: list[EncodedChunk] = []
+                    cur_df = 0
+                    for c in chunks:
+                        if cur and cur_df + c.df > max_seg:
+                            groups.append(cur)
+                            cur, cur_df = [], 0
+                        cur.append(c)
+                        cur_df += c.df
+                    groups.append(cur)
+                    for seq, g in enumerate(groups):
+                        m = splice_chunks(g)
+                        rows.append(
+                            {
+                                "kind": kind,
+                                "term": term,
+                                "salt": 0,
+                                "seg_seq": seq,
+                                "n_salts": len(groups),
+                                "df_seg": m.df,
+                                "min_doc": m.min_doc,
+                                "max_doc": m.max_doc,
+                                "docs_bin": bytes(m.docs),
+                                "dl_bin": bytes(m.dls),
+                                "block_last_doc": m.block_last.tolist(),
+                                "block_min_dl": m.block_min_dl.tolist(),
+                                "block_doc_off": m.block_doc_off.tolist(),
+                                "block_dl_off": m.block_dl_off.tolist(),
+                                "bucket": int(bucket),
+                                "seg_bytes": len(m.docs) + len(m.dls),
+                                "seg_crc": zlib.crc32(bytes(m.docs)),
+                            }
+                        )
+                out_dir = os.path.join(
+                    tmp_post, f"kind={kind}", f"bucket={bucket}"
+                )
+                os.makedirs(out_dir, exist_ok=True)
+                for r in rows:
+                    r.pop("kind"), r.pop("bucket")
+                tbl = pa.Table.from_pylist(rows, schema=_SEG_FILE_SCHEMA)
+                pqw.write_table(
+                    tbl, os.path.join(out_dir, "compact-00000.parquet")
+                )
+                outs.append(len(rows))
+            yield pd.DataFrame({"n_segments": outs})
+
+    n_after = int(
+        spark.createDataFrame(parts, "kind string, bucket string")
+        .repartition(min(len(parts), 64))
+        .mapInPandas(one_bucket, "n_segments long")
+        .agg(F.sum("n_segments"))
+        .collect()[0][0]
+    )
+    with open(os.path.join(tmp_post, "_SUCCESS"), "w"):
+        pass
+    old = os.path.join(base, f".cold-postings-{stamp}")
+    os.rename(post_dir, old)
+    os.rename(tmp_post, post_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+    # fresh lineage totals for the compacted layout
+    stats = pq.read_table(os.path.join(base, "stats")).to_pylist()[0]
+    build_id = f"compact({stats['build_id']})"
+    now = time.time()
+    rows = [
+        {
+            "build_id": build_id,
+            "phase": "compact",
+            "partition_id": -1,
+            "status": "done",
+            "n_terms": 0,
+            "n_postings": 0,
+            "bytes": 0,
+            "checksum": str(n_after),
+            "completed_at": now,
+        }
+    ]
+    for r in (
+        spark.read.parquet(f"{index_path}/postings")
+        .groupBy("kind", "bucket")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df_seg").alias("n_postings"),
+            F.sum("seg_bytes").alias("bytes"),
+            F.sum("seg_crc").alias("checksum"),
+        )
+        .collect()
+    ):
+        rows.append(
+            {
+                "build_id": build_id,
+                "phase": f"postings_{r['kind']}",
+                "partition_id": int(r["bucket"]),
+                "status": "done",
+                "n_terms": int(r["n_terms"]),
+                "n_postings": int(r["n_postings"]),
+                "bytes": int(r["bytes"]),
+                "checksum": str(int(r["checksum"])),
+                "completed_at": now,
+            }
+        )
+    mdir = os.path.join(base, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(rows),
+        os.path.join(mdir, f"compact-{stamp}.parquet"),
+    )
+    return {"n_segments": n_after}

@@ -145,3 +145,54 @@ class TestMergeLifecycle:
         IndexBuilder(spark, BuildConfig(n_buckets=8)).build(t, p8)
         with pytest.raises(ValueError, match="n_buckets"):
             merge_indexes(spark, p4, p8, str(base / "out"))
+
+
+class TestMergeChainCompaction:
+    def test_three_way_chain_compacts_rank_identically(
+        self, spark, tmp_path_factory
+    ):
+        from probe_spark.fixtures import transcripts_df
+        from probe_spark.index.build import BuildConfig, IndexBuilder
+        from probe_spark.index.maintenance import compact_index, merge_indexes
+        from probe_spark.index.verify import verify_index
+        from probe_spark.search.engine import SearchEngine
+
+        base = tmp_path_factory.mktemp("merge_chain")
+        t = transcripts_df(spark, n_convs=36, seed=5)
+        convs = sorted(r[0] for r in t.select("conv_id").distinct().collect())
+        thirds = [
+            t.filter(
+                (F.col("conv_id") >= convs[i * 12])
+                & (F.col("conv_id") < convs[(i + 1) * 12])
+                if i < 2
+                else (F.col("conv_id") >= convs[24])
+            )
+            for i in range(3)
+        ]
+        shard = [str(base / f"s{i}") for i in range(3)]
+        for df, p in zip(thirds, shard):
+            IndexBuilder(spark, BuildConfig(n_buckets=4)).build(df, p)
+        ab, abc, full = (str(base / n) for n in ("ab", "abc", "full"))
+        merge_indexes(spark, shard[0], shard[1], ab)
+        merge_indexes(spark, ab, shard[2], abc)
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(t, full)
+
+        def n_segments(p):
+            return spark.read.parquet(f"{p}/postings").count()
+
+        frag = n_segments(abc)
+        before = _page(SearchEngine(spark, abc), "error OR handler", k=None)
+        out = compact_index(spark, abc)
+        assert out["n_segments"] < frag
+        em = SearchEngine(spark, abc)
+        assert _page(em, "error OR handler", k=None) == before
+        ef = SearchEngine(spark, full)
+        assert _page(em, "error OR handler", k=None) == _page(
+            ef, "error OR handler", k=None
+        )
+        # WAND top-k rides the spliced (non-uniform-block) segments too
+        assert _page(em, "error", k=10) == _page(ef, "error", k=10)
+        # the chain's fragmentation is gone: compacted layout equals the
+        # fresh batch build's segment count
+        assert n_segments(abc) == n_segments(full) < frag
+        assert verify_index(spark, abc)["ok"]
