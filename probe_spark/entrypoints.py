@@ -911,11 +911,12 @@ def _q_merged_index(spark, sf_dir):
     into two conv-ordered halves, indexed separately, merged WITHOUT
     re-tokenizing (postings move once as encoded bytes; one leading
     varint + numeric doc metadata rewritten per segment).  BM25 over the
-    merged index must equal the standard full-corpus oracle
-    bit-for-bit."""
+    merged index must equal the standard full-corpus oracle bit-for-bit —
+    and still must after compact_index defragments the merged segments
+    (byte-splice forceMerge)."""
     import shutil
 
-    from probe_spark.index.maintenance import merge_indexes
+    from probe_spark.index.maintenance import compact_index, merge_indexes
 
     base = index_path_for(sf_dir)
     pm = base + "_merged"
@@ -932,6 +933,7 @@ def _q_merged_index(spark, sf_dir):
             builder.build(t.filter(F.col("conv_id") < cut), pa_)
             builder.build(t.filter(F.col("conv_id") >= cut), pb)
             merge_indexes(spark, pa_, pb, pm)
+            compact_index(spark, pm)
             with open(marker, "w") as fh:
                 fh.write("done")
         _ENGINES[pm] = SearchEngine(spark, pm)
