@@ -339,15 +339,14 @@ def cmd_merge(args) -> int:
     """Shard-merge two indexes (index/maintenance.merge_indexes): B's doc
     space is appended after A's, postings move once as encoded bytes (one
     leading varint + numeric doc metadata rewritten per segment)."""
-    from probe_spark.index.maintenance import merge_indexes
+    from probe_spark.index.maintenance import merge_many
 
+    srcs = args.indexes or [args.index_a, args.index_b]
+    if any(s is None for s in srcs) or len(srcs) < 2:
+        print("merge needs --indexes A B [C ...] or --index-a + --index-b")
+        return 2
     spark = _build_session("probe-spark-merge")
-    print(
-        json.dumps(
-            merge_indexes(spark, args.index_a, args.index_b, args.output),
-            default=str,
-        )
-    )
+    print(json.dumps(merge_many(spark, srcs, args.output), default=str))
     return 0
 
 
@@ -525,8 +524,12 @@ def main(argv: list[str] | None = None) -> int:
              "rank-identical to a fresh build when A-then-B is the "
              "global corpus order)",
     )
-    m.add_argument("--index-a", required=True)
-    m.add_argument("--index-b", required=True)
+    m.add_argument("--index-a")
+    m.add_argument("--index-b")
+    m.add_argument("--indexes", nargs="+", metavar="IDX",
+                   help="N-way one-pass merge in the given doc order "
+                        "(each posting byte moves once; a pairwise chain "
+                        "would rewrite the first shard N-1 times)")
     m.add_argument("--output", required=True)
     m.set_defaults(fn=cmd_merge)
 

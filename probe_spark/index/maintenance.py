@@ -346,122 +346,139 @@ def vacuum(spark: SparkSession, index_path: str) -> dict:
 def merge_indexes(
     spark: SparkSession, src_a: str, src_b: str, out_path: str
 ) -> dict:
-    """Concatenate two indexes into one searchable index WITHOUT
+    """Two-index shard merge — see ``merge_many`` (this is
+    ``merge_many(spark, [src_a, src_b], out_path)``)."""
+    return merge_many(spark, [src_a, src_b], out_path)
+
+
+def merge_many(
+    spark: SparkSession, sources: "list[str]", out_path: str
+) -> dict:
+    """Concatenate N indexes into one searchable index WITHOUT
     re-tokenizing — the shard-merge lifecycle op of a 10^12-turn store
     (build per-day/per-shard indexes in parallel, fold them into the
     serving index; Lucene's addIndexes / segment-merge analog, which the
-    reference never needs because it has no index at all).
+    reference never needs because it has no index at all).  N-way in ONE
+    pass: folding 30 daily shards moves every posting byte once, where a
+    chain of pairwise merges would rewrite the first shard 29 times.
 
-    ``src_b``'s doc space is appended after ``src_a``'s: every doc id in B
-    shifts by ``offset = 1 + max(doc_id in A)``.  Because postings are
-    delta-encoded, shifting ALL ids of a segment by a constant changes
-    only its LEADING varint (the absolute first doc id) — so the merge
-    rewrites one varint + the numeric doc metadata per segment and moves
-    the posting bytes exactly once, no decode, no sort, no shuffle
-    (the same invariant splice_chunks exploits, codec.py).  Segment
-    addresses (term, salt, seg_seq) may collide between A and B; every
-    query path already disambiguates by min_doc (delta builds created the
-    same situation — see wand.py BlockMeta note), and doc ranges are
-    disjoint by construction.
+    Doc spaces concatenate in ``sources`` order: source i's ids shift by
+    ``offset_i = sum over j<i of (1 + max doc_id of j)``.  Because
+    postings are delta-encoded, shifting ALL ids of a segment by a
+    constant changes only its LEADING varint (the absolute first doc id)
+    — so the merge rewrites one varint + the numeric doc metadata per
+    segment and moves the posting bytes exactly once, no decode, no sort,
+    no shuffle (the same invariant splice_chunks exploits, codec.py).
+    Segment addresses (term, salt, seg_seq) may collide between inputs;
+    every query path already disambiguates by min_doc (delta builds
+    created the same situation — see wand.py BlockMeta note), and doc
+    ranges are disjoint by construction.
 
     The merged index is rank- and score-IDENTICAL to a fresh build over
-    the concatenated corpus when A-then-B is the (conv_id, turn_idx)
-    global order (the time-sharded deployment case); BM25 stats merge
-    exactly (df adds, n_docs/total_dl add, avgdl recomputed).  Tombstones
-    carry over (B's shifted), lineage is re-aggregated per bucket so
-    ``stats --verify`` holds on the result.
+    the concatenated corpus when the source order is the (conv_id,
+    turn_idx) global order (the time-sharded deployment case); BM25 stats
+    merge exactly (df adds, n_docs/total_dl add, avgdl recomputed).
+    Tombstones carry over shifted, lineage is re-aggregated per bucket so
+    ``stats --verify`` holds on the result.  Re-running into the same
+    output is idempotent (every artifact is overwritten, never appended).
 
-    Both inputs must share n_buckets and block_size (same term-hash
-    layout); posix paths, like vacuum.
+    All inputs must share n_buckets and block_size (same term-hash
+    layout); posix paths, like vacuum.  Run ``compact_index`` afterwards
+    to defragment the per-term segment chains.
     """
     import pyarrow.parquet as pq
 
-    base_a, base_b = _posix(src_a), _posix(src_b)
+    if len(sources) < 2:
+        raise ValueError("merge_many needs at least two source indexes")
+    bases = [_posix(s) for s in sources]
     base_o = _posix(out_path)
-    stats_a = pq.read_table(os.path.join(base_a, "stats")).to_pylist()[0]
-    stats_b = pq.read_table(os.path.join(base_b, "stats")).to_pylist()[0]
-    for k in ("n_buckets", "block_size"):
-        if int(stats_a[k]) != int(stats_b[k]):
-            raise ValueError(
-                f"incompatible indexes: {k} {stats_a[k]} != {stats_b[k]}"
-            )
+    stats = [
+        pq.read_table(os.path.join(b, "stats")).to_pylist()[0] for b in bases
+    ]
+    for st in stats[1:]:
+        for k in ("n_buckets", "block_size"):
+            if int(stats[0][k]) != int(st[k]):
+                raise ValueError(
+                    f"incompatible indexes: {k} {stats[0][k]} != {st[k]}"
+                )
     ensure_package_on_executors(spark)
-    off = (
-        int(
-            spark.read.parquet(f"{src_a}/docs")
-            .agg(F.max("doc_id"))
-            .collect()[0][0]
+    offsets = [0]
+    for src in sources[:-1]:
+        span = (
+            int(
+                spark.read.parquet(f"{src}/docs")
+                .agg(F.max("doc_id"))
+                .collect()[0][0]
+            )
+            + 1
         )
-        + 1
-    )
+        offsets.append(offsets[-1] + span)
     os.makedirs(base_o, exist_ok=True)
 
-    # -- postings: A verbatim, B's doc metadata + leading varint shifted --
-    posts_a = spark.read.parquet(f"{src_a}/postings")
-    (
-        posts_a.write.partitionBy("kind", "bucket")
-        .mode("overwrite")
-        .parquet(f"{out_path}/postings")
-    )
-    posts_b = spark.read.parquet(f"{src_b}/postings")
+    # -- postings: source 0 verbatim, the rest doc-shifted ----------------
+    def make_shift(off: int):
+        def shift(
+            batches: Iterator[pa.RecordBatch],
+        ) -> Iterator[pa.RecordBatch]:
+            from probe_spark.index.codec import (
+                varint_encode_one,
+                varint_read_first,
+            )
 
-    def shift(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from probe_spark.index.codec import (
-            varint_encode_one,
-            varint_read_first,
+            for batch in batches:
+                cols = {n: batch.column(n) for n in batch.schema.names}
+                out: dict[str, list] = {n: [] for n in batch.schema.names}
+                for i in range(batch.num_rows):
+                    mv = memoryview(cols["docs_bin"][i].as_py())
+                    first, flen = varint_read_first(mv)
+                    enc = varint_encode_one(first + off)
+                    docs_bin = bytes(enc) + bytes(mv[flen:])
+                    delta = len(enc) - flen
+                    doc_off = [
+                        o + delta if o else 0
+                        for o in cols["block_doc_off"][i].as_py()
+                    ]
+                    for n in batch.schema.names:
+                        if n == "docs_bin":
+                            out[n].append(docs_bin)
+                        elif n == "min_doc" or n == "max_doc":
+                            out[n].append(cols[n][i].as_py() + off)
+                        elif n == "block_last_doc":
+                            out[n].append(
+                                [v + off for v in cols[n][i].as_py()]
+                            )
+                        elif n == "block_doc_off":
+                            out[n].append(doc_off)
+                        elif n == "seg_bytes":
+                            out[n].append(
+                                len(docs_bin)
+                                + len(cols["dl_bin"][i].as_py())
+                            )
+                        elif n == "seg_crc":
+                            out[n].append(zlib.crc32(docs_bin))
+                        else:
+                            out[n].append(cols[n][i].as_py())
+                yield pa.RecordBatch.from_pydict(out, schema=batch.schema)
+
+        return shift
+
+    for i, src in enumerate(sources):
+        posts = spark.read.parquet(f"{src}/postings")
+        if i > 0:
+            posts = posts.mapInArrow(make_shift(offsets[i]), posts.schema)
+        (
+            posts.write.partitionBy("kind", "bucket")
+            .mode("overwrite" if i == 0 else "append")
+            .parquet(f"{out_path}/postings")
         )
 
-        for batch in batches:
-            cols = {n: batch.column(n) for n in batch.schema.names}
-            out: dict[str, list] = {n: [] for n in batch.schema.names}
-            for i in range(batch.num_rows):
-                mv = memoryview(cols["docs_bin"][i].as_py())
-                first, flen = varint_read_first(mv)
-                enc = varint_encode_one(first + off)
-                docs_bin = bytes(enc) + bytes(mv[flen:])
-                delta = len(enc) - flen
-                doc_off = [
-                    o + delta if o else 0
-                    for o in cols["block_doc_off"][i].as_py()
-                ]
-                for n in batch.schema.names:
-                    if n == "docs_bin":
-                        out[n].append(docs_bin)
-                    elif n == "min_doc" or n == "max_doc":
-                        out[n].append(cols[n][i].as_py() + off)
-                    elif n == "block_last_doc":
-                        out[n].append(
-                            [v + off for v in cols[n][i].as_py()]
-                        )
-                    elif n == "block_doc_off":
-                        out[n].append(doc_off)
-                    elif n == "seg_bytes":
-                        out[n].append(
-                            len(docs_bin) + len(cols["dl_bin"][i].as_py())
-                        )
-                    elif n == "seg_crc":
-                        out[n].append(zlib.crc32(docs_bin))
-                    else:
-                        out[n].append(cols[n][i].as_py())
-            yield pa.RecordBatch.from_pydict(out, schema=batch.schema)
-
-    (
-        posts_b.mapInArrow(shift, posts_b.schema)
-        .write.partitionBy("kind", "bucket")
-        .mode("append")
-        .parquet(f"{out_path}/postings")
-    )
-
-    # -- docs: A shards copied byte-for-byte, B shards id-shifted ---------
+    # -- docs: source-0 shards copied byte-for-byte, the rest id-shifted --
     docs_out = os.path.join(base_o, "docs")
     os.makedirs(docs_out, exist_ok=True)
     tasks = [
-        (os.path.join(base_a, "docs"), fn, 0, f"a-{fn}")
-        for fn in sorted(os.listdir(os.path.join(base_a, "docs")))
-        if fn.endswith(".parquet")
-    ] + [
-        (os.path.join(base_b, "docs"), fn, off, f"b-{fn}")
-        for fn in sorted(os.listdir(os.path.join(base_b, "docs")))
+        (os.path.join(b, "docs"), fn, offsets[i], f"s{i}-{fn}")
+        for i, b in enumerate(bases)
+        for fn in sorted(os.listdir(os.path.join(b, "docs")))
         if fn.endswith(".parquet")
     ]
 
@@ -501,10 +518,10 @@ def merge_indexes(
     with open(os.path.join(docs_out, "_SUCCESS"), "w"):
         pass
 
-    # -- tombstones carry over (B's shifted) ------------------------------
+    # -- tombstones carry over (shifted) ----------------------------------
     tomb_rows = []
-    for base, o in ((base_a, 0), (base_b, off)):
-        tdir = os.path.join(base, "tombstones")
+    for b, o in zip(bases, offsets):
+        tdir = os.path.join(b, "tombstones")
         if os.path.isdir(tdir):
             import pyarrow.dataset as pds
 
@@ -526,14 +543,14 @@ def merge_indexes(
         )
 
     # -- stats ------------------------------------------------------------
-    n_docs = int(stats_a["n_docs"]) + int(stats_b["n_docs"])
-    total_dl = int(stats_a["total_dl"]) + int(stats_b["total_dl"])
-    new_stats = dict(stats_a)
+    n_docs = sum(int(st["n_docs"]) for st in stats)
+    total_dl = sum(int(st["total_dl"]) for st in stats)
+    new_stats = dict(stats[0])
     new_stats.update(
         n_docs=n_docs,
         total_dl=total_dl,
         avgdl=(total_dl / n_docs) if n_docs else 0.0,
-        build_id=f"merge({stats_a['build_id']}+{stats_b['build_id']})",
+        build_id="merge(" + "+".join(str(st["build_id"]) for st in stats) + ")",
     )
     stats_dir = os.path.join(base_o, "stats")
     os.makedirs(stats_dir, exist_ok=True)
@@ -553,13 +570,13 @@ def merge_indexes(
             "n_terms": 0,
             "n_postings": 0,
             "bytes": 0,
-            "checksum": str(off),
+            "checksum": ",".join(str(o) for o in offsets),
             "completed_at": now,
         }
     ]
 
-    def _has_vacuum(base: str) -> bool:
-        mdir = os.path.join(base, "manifest")
+    def _has_vacuum(b: str) -> bool:
+        mdir = os.path.join(b, "manifest")
         if not os.path.isdir(mdir):
             return False
         import pyarrow.dataset as pds
@@ -568,13 +585,13 @@ def merge_indexes(
             columns=["phase", "status"]
         )
         return any(
-            p == "vacuum" and s == "done"
-            for p, s in zip(
+            p == "vacuum" and st == "done"
+            for p, st in zip(
                 m.column("phase").to_pylist(), m.column("status").to_pylist()
             )
         )
 
-    if _has_vacuum(base_a) or _has_vacuum(base_b):
+    if any(_has_vacuum(b) for b in bases):
         # doc ids in the merged space keep their input gaps: carry the
         # density relaxation forward for verify
         rows.append(
@@ -621,7 +638,8 @@ def merge_indexes(
     )
     return {
         "n_docs": n_docs,
-        "offset": off,
+        "offset": offsets[1],
+        "offsets": offsets,
         "avgdl": new_stats["avgdl"],
         "out": out_path,
     }

@@ -172,10 +172,19 @@ class TestMergeChainCompaction:
         shard = [str(base / f"s{i}") for i in range(3)]
         for df, p in zip(thirds, shard):
             IndexBuilder(spark, BuildConfig(n_buckets=4)).build(df, p)
-        ab, abc, full = (str(base / n) for n in ("ab", "abc", "full"))
+        from probe_spark.index.maintenance import merge_many
+
+        ab, abc, full, nway = (
+            str(base / n) for n in ("ab", "abc", "full", "nway")
+        )
         merge_indexes(spark, shard[0], shard[1], ab)
         merge_indexes(spark, ab, shard[2], abc)
         IndexBuilder(spark, BuildConfig(n_buckets=4)).build(t, full)
+        # one-pass 3-way merge must equal the pairwise chain exactly
+        merge_many(spark, shard, nway)
+        assert _page(
+            SearchEngine(spark, nway), "error OR handler", k=None
+        ) == _page(SearchEngine(spark, abc), "error OR handler", k=None)
 
         def n_segments(p):
             return spark.read.parquet(f"{p}/postings").count()
@@ -196,3 +205,27 @@ class TestMergeChainCompaction:
         # fresh batch build's segment count
         assert n_segments(abc) == n_segments(full) < frag
         assert verify_index(spark, abc)["ok"]
+
+
+class TestMergeIdempotence:
+    def test_rerun_into_same_output_is_identical(self, spark, merged_setup):
+        """Crash recovery = re-run: every merge output (postings docs
+        tombstones stats manifest) is overwritten, never appended, so a
+        second run over the same inputs leaves an identical index."""
+        from probe_spark.index.maintenance import merge_indexes
+        from probe_spark.index.verify import verify_index
+        from probe_spark.search.engine import SearchEngine
+
+        paths, _ = merged_setup
+        before = _page(
+            SearchEngine(spark, paths["merged"]), "error OR handler", k=None
+        )
+        merge_indexes(spark, paths["a"], paths["b"], paths["merged"])
+        em = SearchEngine(spark, paths["merged"])
+        assert _page(em, "error OR handler", k=None) == before
+        n_seg = spark.read.parquet(f"{paths['merged']}/postings").count()
+        merge_indexes(spark, paths["a"], paths["b"], paths["merged"])
+        assert (
+            spark.read.parquet(f"{paths['merged']}/postings").count() == n_seg
+        )
+        assert verify_index(spark, paths["merged"])["ok"]
