@@ -198,3 +198,25 @@ class TestBatchPlanShape:
         ).collect()
         got = [(r["doc_id"], r["score"]) for r in rows.get(1, [])]
         assert got == [(r["doc_id"], r["score"]) for r in solo]
+
+
+class TestBatchUnionGate:
+    def test_or_excluded_shape_rejects_other_queries_candidates(self, engine):
+        """Regression (hypothesis-found): a query of shape
+        '"a" AND "a" OR -"a"' evaluates true-with-empty-matched-terms on
+        docs that hold NONE of its keywords, so on the batch path it used
+        to accept the OTHER queries' candidates at score 0.  The
+        elastic_query.rs:372-374 early-termination gate in the range
+        evaluator must drop them: batch rows == solo rows exactly."""
+        q1 = '"whitelist" AND "whitelist" OR -"whitelist"'
+        q2 = "error OR handler"  # broad: many candidates without whitelist
+        batch = _by_query(engine.search_batch([q1, q2], k=200).collect())
+        for idx, q in enumerate([q1, q2]):
+            solo = [
+                (r["doc_id"], r["score"])
+                for r in engine.search(
+                    q, k=200, with_metadata=False
+                ).collect()
+            ]
+            got = [(r["doc_id"], r["score"]) for r in batch.get(idx, [])]
+            assert got == solo, q

@@ -345,3 +345,45 @@ class TestChunkedFlushEquivalence:
                 )
                 assert got_ids.tolist() == want_ids.tolist()
                 assert got_dls.tolist() == want_dls.tolist()
+
+
+@given(_postings(), st.integers(min_value=1, max_value=10**11))
+@settings(max_examples=150, deadline=None)
+def test_leading_varint_shift_offsets_whole_segment(p, off):
+    """The shard merge's core byte operation (maintenance.merge_many):
+    rewriting ONLY the leading varint of an encoded segment by +off must
+    shift every decoded doc id by exactly off, with block doc offsets
+    adjusted by the varint length delta and all later blocks decoding
+    unchanged."""
+    from probe_spark.index.codec import (
+        decode_blocks,
+        decode_postings,
+        varint_encode_one,
+        varint_read_first,
+    )
+
+    ids, dls, block = p
+    docs_bin, dl_bin, bl, bm, bdo, blo = encode_postings(
+        ids, dls, block=block
+    )
+    mv = memoryview(docs_bin)
+    first, flen = varint_read_first(mv)
+    assert first == ids[0]
+    enc = varint_encode_one(first + off)
+    shifted = bytes(enc) + bytes(mv[flen:])
+    delta = len(enc) - flen
+    new_bdo = np.asarray([o + delta if o else 0 for o in bdo], np.int64)
+
+    got_ids, got_dls = decode_postings(shifted, dl_bin)
+    np.testing.assert_array_equal(got_ids, ids + off)
+    np.testing.assert_array_equal(got_dls, dls)
+
+    # per-block decode (the WAND path) over the shifted stream: every
+    # block subset must reproduce its shifted ids
+    nb = len(bl)
+    keep = list(range(nb))
+    out_ids, out_dls = decode_blocks(
+        shifted, dl_bin, np.asarray(bl, np.int64) + off, new_bdo, blo, keep
+    )
+    np.testing.assert_array_equal(out_ids, ids + off)
+    np.testing.assert_array_equal(out_dls, dls)
