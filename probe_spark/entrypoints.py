@@ -1018,6 +1018,18 @@ def _q_repetition(spark, sf_dir):
     )
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal (ops/curation.train_bigram_lm +
+    with_perplexity): add-1-smoothed bigram perplexity of every doc under
+    a count LM trained on the corpus itself — exactly reproducible, so
+    the oracle recomputes the whole model relationally."""
+    from probe_spark.ops import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bi, uni, vocab = curation.train_bigram_lm(docs)
+    return curation.with_perplexity(docs, bi, uni, vocab)
+
+
 def _q_corpus_profile(spark, sf_dir):
     """Dataset-card profile (ops/curation.corpus_profile): one
     groupBy(source) with map-side partials over a four-column pruned
@@ -1087,6 +1099,7 @@ QUERIES = {
     "pii_redacted": _q_pii_redacted,
     "source_quota": _q_source_quota,
     "repetition": _q_repetition,
+    "lm_perplexity": _q_lm_perplexity,
     "corpus_profile": _q_corpus_profile,
 }
 
@@ -2112,6 +2125,32 @@ SELECT n.doc_id,
        CASE WHEN n < 2 THEN 0.0
             ELSE ROUND(bmx / (n-1)::DOUBLE, 6) END AS top_bigram_fraction
 FROM n JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+""",
+    # the whole count-LM recomputed relationally: unigram/bigram counts,
+    # vocab size, add-1 conditional probs, per-doc exp(-mean ln P)
+    "lm_perplexity": """
+WITH wl AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+  FROM wl, UNNEST(range(0, greatest(len(ws)-2, 0)+1)) AS t(i)
+  WHERE len(ws) >= 2
+), uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM (
+    SELECT u.w AS w1 FROM wl, UNNEST(ws) AS u(w)
+  ) GROUP BY w1
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+), v AS (SELECT COUNT(*) AS vs FROM uni
+), lp AS (
+  SELECT bg.doc_id,
+         ln((COALESCE(bi.c2, 0) + 1.0)
+            / (COALESCE(uni.c1, 0) + 1.0 * v.vs)) AS lp
+  FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1), v
+), agg AS (
+  SELECT doc_id, ROUND(exp(-AVG(lp)), 6) AS ppl FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id, agg.ppl FROM documents d LEFT JOIN agg USING (doc_id)
 """,
     "corpus_profile": """
 SELECT source, COUNT(*) AS n_docs,

@@ -302,3 +302,97 @@ def corpus_profile(
             F.countDistinct(lang_col).alias("n_langs"),
         )
     )
+
+
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Count-based bigram language model from the corpus itself (the
+    CCNet-style quality signal without an external model): returns
+    ``(bigram_counts(w1, w2, c2), unigram_counts(w1, c1), vocab_size)``.
+
+    Two groupBy aggregations with map-side partial counts — the same
+    shape as the index build's DF aggregation; hot words are just hot
+    aggregation keys (combiner absorbs them map-side)."""
+    words = F.split(F.col(text_col), " ")
+    pairs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(words) - F.lit(2), F.lit(0))
+                ),
+                lambda i: F.struct(
+                    F.try_element_at(words, i + F.lit(1)).alias("w1"),
+                    F.try_element_at(words, i + F.lit(2)).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).filter(F.col("p.w2").isNotNull())
+    bi = pairs.groupBy(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).agg(F.count("*").alias("c2"))
+    uni = (
+        docs.select(F.explode(words).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.count()
+    return bi, uni, int(vocab)
+
+
+def with_perplexity(
+    docs: DataFrame,
+    bigram_lm: DataFrame,
+    unigram_lm: DataFrame,
+    vocab_size: int,
+    k_smooth: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc bigram perplexity under an add-k-smoothed count LM:
+    ``ppl = exp(-mean ln P(w2|w1))`` with
+    ``P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k*V)``.  High perplexity = text
+    unlike the (presumably clean) LM training corpus — the standard
+    CCNet-style pretraining filter, here with an exactly reproducible
+    count model instead of an opaque one.
+
+    Shape: doc bigrams explode map-side, join the aggregated LM tables on
+    their keys (plain hash joins — the LM is count-aggregated, so the
+    join input is vocab-sized, not corpus-sized), one groupBy(doc) for
+    the mean.  Docs with < 2 words get ppl NULL."""
+    words = F.split(F.col(text_col), " ")
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(words) - F.lit(2), F.lit(0))
+                ),
+                lambda i: F.struct(
+                    F.try_element_at(words, i + F.lit(1)).alias("w1"),
+                    F.try_element_at(words, i + F.lit(2)).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+        F.size(words).alias("_nw"),
+    ).filter((F.col("_nw") >= 2) & F.col("p.w2").isNotNull())
+    k = float(k_smooth)
+    joined = (
+        pairs.select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .join(bigram_lm, ["w1", "w2"], "left")
+        .join(unigram_lm, ["w1"], "left")
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0))
+                    + F.lit(k * vocab_size)
+                )
+            ).alias("_lp"),
+        )
+    )
+    ppl = joined.groupBy(id_col).agg(
+        F.round(F.exp(-F.avg("_lp")), 6).alias("ppl")
+    )
+    return docs.select(id_col).join(ppl, id_col, "left")

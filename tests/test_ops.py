@@ -771,3 +771,28 @@ class TestCuration:
         assert prof["src0"]["n_langs"] == 2
         assert prof["src1"]["total_words"] == 13
         assert prof["src2"]["min_chars"] == len("solo")
+
+
+class TestPerplexity:
+    def test_bigram_lm_hand_computed(self, spark):
+        import math
+
+        from probe_spark.ops import curation
+
+        df = spark.createDataFrame(
+            [(0, "a b a"), (1, "a a"), (2, "x")], "doc_id long, text string"
+        )
+        bi, uni, v = curation.train_bigram_lm(df)
+        assert v == 3  # vocab {a, b, x}
+        bic = {(r["w1"], r["w2"]): r["c2"] for r in bi.collect()}
+        assert bic == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}
+        out = {
+            r["doc_id"]: r["ppl"]
+            for r in curation.with_perplexity(df, bi, uni, v).collect()
+        }
+        # P(b|a) = 2/7, P(a|b) = 2/4 -> ppl = sqrt(7*2) adjusted:
+        # exp(-(ln(2/7)+ln(1/2))/2) = sqrt(7)
+        assert out[0] == pytest.approx(math.sqrt(7), abs=1e-6)
+        # P(a|a) = 2/7 -> ppl = 7/2
+        assert out[1] == pytest.approx(3.5, abs=1e-6)
+        assert out[2] is None  # single word: no bigram
