@@ -1027,7 +1027,9 @@ def _q_lm_perplexity(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bi, uni, vocab = curation.train_bigram_lm(docs)
-    return curation.with_perplexity(docs, bi, uni, vocab)
+    return curation.with_perplexity(docs, bi, uni, vocab).select(
+        "doc_id", "ppl"
+    )
 
 
 def _q_corpus_profile(spark, sf_dir):

@@ -3282,6 +3282,10 @@ class IndexBuilder:
                 "avgdl": [total_dl / n_docs if n_docs else 0.0],
                 "n_buckets": [cfg.n_buckets],
                 "block_size": [cfg.block_size],
+                # recorded so maintenance ops (compact_index) can honor
+                # the build-time cap; absent in older indexes (readers
+                # fall back to the BuildConfig default)
+                "max_seg": [cfg.max_postings_per_segment],
                 "build_id": [build_id],
             }
         )

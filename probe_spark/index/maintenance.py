@@ -343,6 +343,39 @@ def vacuum(spark: SparkSession, index_path: str) -> dict:
     }
 
 
+def _doc_span(spark: SparkSession, src: str, base: str) -> int:
+    """1 + max doc_id of an index's docs/, or 0 for an empty shard.
+    Driver-side from the parquet footers' row-group statistics (the same
+    stats the engine's doc-range pruning rides), so a 30-shard merge does
+    not launch 29 corpus-column scans before moving a byte; falls back to
+    one Spark agg when a footer lacks doc_id statistics."""
+    import pyarrow.parquet as pq
+
+    ddir = os.path.join(base, "docs")
+    mx = -1
+    for fn in sorted(os.listdir(ddir)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(ddir, fn)).metadata
+        for rg in range(md.num_row_groups):
+            col = None
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == "doc_id":
+                    col = c
+                    break
+            st = col.statistics if col is not None else None
+            if st is None or not st.has_min_max:
+                row = (
+                    spark.read.parquet(f"{src}/docs")
+                    .agg(F.max("doc_id"))
+                    .collect()[0][0]
+                )
+                return 0 if row is None else int(row) + 1
+            mx = max(mx, int(st.max))
+    return mx + 1
+
+
 def merge_indexes(
     spark: SparkSession, src_a: str, src_b: str, out_path: str
 ) -> dict:
@@ -403,17 +436,15 @@ def merge_many(
                 )
     ensure_package_on_executors(spark)
     offsets = [0]
-    for src in sources[:-1]:
-        span = (
-            int(
-                spark.read.parquet(f"{src}/docs")
-                .agg(F.max("doc_id"))
-                .collect()[0][0]
-            )
-            + 1
-        )
-        offsets.append(offsets[-1] + span)
+    for src, b in zip(sources[:-1], bases[:-1]):
+        offsets.append(offsets[-1] + _doc_span(spark, src, b))
     os.makedirs(base_o, exist_ok=True)
+    # a reused output dir must not leak a previous merge's artifacts:
+    # postings/ is wiped by the Spark overwrite below, but stale docs
+    # shards / tombstones / manifest rows would silently corrupt the
+    # result (e.g. old tombstones masking live docs)
+    for sub in ("docs", "tombstones", "manifest"):
+        shutil.rmtree(os.path.join(base_o, sub), ignore_errors=True)
 
     # -- postings: source 0 verbatim, the rest doc-shifted ----------------
     def make_shift(off: int):
@@ -646,14 +677,18 @@ def merge_many(
 
 
 def compact_index(
-    spark: SparkSession, index_path: str, max_seg: int = 1 << 17
+    spark: SparkSession, index_path: str, max_seg: "int | None" = None
 ) -> dict:
     """Defragment postings (Lucene forceMerge analog): repeated shard
     merges / streamed deltas accumulate many small segments per term; this
     splices each term's doc-range-disjoint segments back together by byte
     concatenation (codec.splice_chunks — only each non-first chunk's
     leading varint is rewritten, no decode, no sort, no re-tokenize),
-    greedily packing up to ``max_seg`` postings per output segment.
+    greedily packing up to ``max_seg`` postings per output segment
+    (default: the build-time ``max_postings_per_segment`` recorded in
+    stats/, so the range path's per-segment working-set bound survives
+    compaction; older indexes without the field fall back to the
+    BuildConfig default).
 
     Doc ids, df totals, scores, and ranks are unchanged — only the segment
     layout changes.  One task per (kind, bucket) partition, embarrassingly
@@ -667,6 +702,36 @@ def compact_index(
 
     base = _posix(index_path)
     post_dir = os.path.join(base, "postings")
+    # crash recovery: a previous compact that died mid-swap left postings/
+    # missing — adopt the newest COMPLETE rewrite, else restore the
+    # original; stale temp dirs from any earlier attempt are cleared
+    if not os.path.isdir(post_dir):
+        tmps = sorted(
+            d
+            for d in os.listdir(base)
+            if d.startswith(".ctmp-postings-")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        )
+        colds = sorted(
+            d for d in os.listdir(base) if d.startswith(".cold-postings-")
+        )
+        if tmps:
+            os.rename(os.path.join(base, tmps[-1]), post_dir)
+        elif colds:
+            os.rename(os.path.join(base, colds[-1]), post_dir)
+        else:
+            raise FileNotFoundError(f"{post_dir} missing and unrecoverable")
+    for d in list(os.listdir(base)):
+        if d.startswith(".ctmp-postings-") or d.startswith(".cold-postings-"):
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    stats = pq.read_table(os.path.join(base, "stats")).to_pylist()[0]
+    if max_seg is None:
+        if "max_seg" in stats:
+            max_seg = int(stats["max_seg"])
+        else:
+            from probe_spark.index.build import BuildConfig
+
+            max_seg = BuildConfig().max_postings_per_segment
     parts = sorted(
         (kd.split("=", 1)[1], bd.split("=", 1)[1])
         for kd in os.listdir(post_dir)
@@ -674,6 +739,8 @@ def compact_index(
         for bd in os.listdir(os.path.join(post_dir, kd))
         if bd.startswith("bucket=")
     )
+    if not parts:
+        return {"n_segments": 0}
     stamp = str(int(time.time() * 1000))
     tmp_post = os.path.join(base, f".ctmp-postings-{stamp}")
     ensure_package_on_executors(spark)
@@ -768,7 +835,6 @@ def compact_index(
     shutil.rmtree(old, ignore_errors=True)
 
     # fresh lineage totals for the compacted layout
-    stats = pq.read_table(os.path.join(base, "stats")).to_pylist()[0]
     build_id = f"compact({stats['build_id']})"
     now = time.time()
     rows = [

@@ -72,14 +72,7 @@ def decontaminate(
     traffic, not corpus traffic.  Pinned by
     tests/test_plans.py::TestCurationPlans.
     """
-    words = F.split(F.col(text_col), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(k), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), k)),
-    )
-    doc_sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
-    ).filter(F.length("shingle") > 0)
+    doc_sh = word_shingles(docs, text_col, id_col, k, distinct=False)
     eval_sh = (
         word_shingles(eval_docs, text_col, id_col, k)
         .select("shingle")
@@ -359,7 +352,9 @@ def with_perplexity(
     Shape: doc bigrams explode map-side, join the aggregated LM tables on
     their keys (plain hash joins — the LM is count-aggregated, so the
     join input is vocab-sized, not corpus-sized), one groupBy(doc) for
-    the mean.  Docs with < 2 words get ppl NULL."""
+    the mean.  Docs with < 2 words get ppl NULL.  Like every other
+    ``with_*`` operator, the result is the INPUT plus a ``ppl`` column —
+    downstream filters keep text/source without re-joining the corpus."""
     words = F.split(F.col(text_col), " ")
     pairs = docs.select(
         F.col(id_col),
@@ -395,4 +390,4 @@ def with_perplexity(
     ppl = joined.groupBy(id_col).agg(
         F.round(F.exp(-F.avg("_lp")), 6).alias("ppl")
     )
-    return docs.select(id_col).join(ppl, id_col, "left")
+    return docs.join(ppl, id_col, "left")

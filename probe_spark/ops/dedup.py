@@ -43,19 +43,25 @@ def exact_dedup(
 
 
 def word_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word k-shingles per doc: (id, shingle).  Narrow + explode."""
+    """Word k-shingles per doc: (id, shingle), deduped per doc by default.
+    Narrow + explode; ``distinct=False`` keeps the raw stream (map-only —
+    curation.decontaminate filters through a broadcast join BEFORE any
+    shuffle, so pre-dedup there would cost a corpus-scale exchange)."""
     words = F.split(F.col(text_col), " ")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(k), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), k)),
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
-    )
+    out = df.select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
+    ).filter(F.length("shingle") > 0)
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(

@@ -229,3 +229,91 @@ class TestMergeIdempotence:
             spark.read.parquet(f"{paths['merged']}/postings").count() == n_seg
         )
         assert verify_index(spark, paths["merged"])["ok"]
+
+
+class TestMergeEdgeCases:
+    def test_empty_shard_merges_cleanly(self, spark, tmp_path_factory):
+        from probe_spark.fixtures import transcripts_df
+        from probe_spark.index.build import BuildConfig, IndexBuilder
+        from probe_spark.index.maintenance import merge_many
+        from probe_spark.search.engine import SearchEngine
+
+        base = tmp_path_factory.mktemp("merge_empty")
+        t = transcripts_df(spark, n_convs=8, seed=2)
+        empty = t.filter("1 = 0")
+        pe, pb, pm = (str(base / n) for n in ("e", "b", "m"))
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(empty, pe)
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(t, pb)
+        info = merge_many(spark, [pe, pb], pm)
+        assert info["offsets"] == [0, 0]  # empty first shard spans 0 docs
+        em, eb = SearchEngine(spark, pm), SearchEngine(spark, pb)
+        assert _page(em, "error OR handler", k=None) == _page(
+            eb, "error OR handler", k=None
+        )
+
+    def test_reused_output_dir_drops_stale_artifacts(
+        self, spark, tmp_path_factory
+    ):
+        from probe_spark.fixtures import transcripts_df
+        from probe_spark.index.build import BuildConfig, IndexBuilder
+        from probe_spark.index.maintenance import delete_where, merge_many
+        from probe_spark.index.verify import verify_index
+        from probe_spark.search.engine import SearchEngine
+
+        base = tmp_path_factory.mktemp("merge_stale")
+        t = transcripts_df(spark, n_convs=18, seed=4)
+        convs = sorted(r[0] for r in t.select("conv_id").distinct().collect())
+        pa_, pb, pc, pm = (str(base / n) for n in ("a", "b", "c", "m"))
+        for lo, hi, p in ((0, 6, pa_), (6, 12, pb), (12, 18, pc)):
+            part = t.filter(F.col("conv_id") >= convs[lo])
+            if hi < 18:
+                part = part.filter(F.col("conv_id") < convs[hi])
+            IndexBuilder(spark, BuildConfig(n_buckets=4)).build(part, p)
+        delete_where(spark, pa_, f"conv_id = '{convs[0]}'")
+        merge_many(spark, [pa_, pb, pc], pm)  # 3 sources, with tombstones
+        import os
+
+        assert os.path.isdir(f"{pm}/tombstones")
+        # re-merge WITHOUT the tombstoned source into the same output:
+        # stale docs shards, tombstones, and manifest rows must be gone
+        merge_many(spark, [pb, pc], pm)
+        assert not os.path.isdir(f"{pm}/tombstones")
+        em = SearchEngine(spark, pm)
+        stats = spark.read.parquet(f"{pm}/stats").collect()[0]
+        n_docs_on_disk = spark.read.parquet(f"{pm}/docs").count()
+        assert n_docs_on_disk == stats["n_docs"]
+        hits = em.search("error OR handler OR auth", k=None,
+                         with_metadata=True).collect()
+        # the b+c docs rank; nothing from the dropped source a remains
+        assert {r["conv_id"] for r in hits} <= set(convs[6:])
+        assert verify_index(spark, pm)["ok"]
+
+    def test_compact_recovers_from_crash_mid_swap(
+        self, spark, tmp_path_factory
+    ):
+        import os
+        import shutil as sh
+
+        from probe_spark.fixtures import transcripts_df
+        from probe_spark.index.build import BuildConfig, IndexBuilder
+        from probe_spark.index.maintenance import compact_index
+        from probe_spark.search.engine import SearchEngine
+
+        base = tmp_path_factory.mktemp("compact_crash")
+        t = transcripts_df(spark, n_convs=10, seed=6)
+        p = str(base / "idx")
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(t, p)
+        before = _page(SearchEngine(spark, p), "error OR handler", k=None)
+        # simulate the crash window: postings renamed away, no tmp yet
+        os.rename(f"{p}/postings", f"{p}/.cold-postings-123")
+        compact_index(spark, p)
+        assert _page(SearchEngine(spark, p), "error OR handler", k=None) == before
+        # simulate a crash AFTER the rewrite completed but before the swap
+        sh.copytree(f"{p}/postings", f"{p}/.ctmp-postings-456")
+        os.rename(f"{p}/postings", f"{p}/.cold-postings-455")
+        compact_index(spark, p)
+        assert _page(SearchEngine(spark, p), "error OR handler", k=None) == before
+        assert not [
+            d for d in os.listdir(p)
+            if d.startswith((".ctmp-postings-", ".cold-postings-"))
+        ]
