@@ -243,6 +243,7 @@ class StreamingIndexer:
                     "avgdl": [new_total / n_docs if n_docs else 0.0],
                     "n_buckets": [cfg.n_buckets],
                     "block_size": [cfg.block_size],
+                    "max_seg": [cfg.max_postings_per_segment],
                     "build_id": [stamp],
                 }
             ),
