@@ -532,6 +532,20 @@ def _q_packed_examples(spark, sf_dir):
     )
 
 
+def _q_training_shards(spark, sf_dir):
+    """Deterministic training shuffle + shard assignment
+    (ops/pipeline.shuffle_for_training) over the composed pipeline's
+    examples: shard = md5-hash mod n, shard_pos = rank within shard —
+    both replayed bit-for-bit by the oracle."""
+    from probe_spark.ops.pipeline import shuffle_for_training, training_examples
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = training_examples(docs, min_quality=0.55, window=16, stride=8)
+    return shuffle_for_training(ex, n_shards=4).select(
+        "doc_id", "chunk_idx", "shard", "shard_pos"
+    )
+
+
 def _q_quality(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.with_quality(docs).select(
@@ -1101,6 +1115,7 @@ QUERIES = {
     "pii_redacted": _q_pii_redacted,
     "source_quota": _q_source_quota,
     "repetition": _q_repetition,
+    "training_shards": _q_training_shards,
     "lm_perplexity": _q_lm_perplexity,
     "corpus_profile": _q_corpus_profile,
 }
@@ -2127,6 +2142,24 @@ SELECT n.doc_id,
        CASE WHEN n < 2 THEN 0.0
             ELSE ROUND(bmx / (n-1)::DOUBLE, 6) END AS top_bigram_fraction
 FROM n JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+""",
+    # shard = first-8-hex of md5('salt|id|idx') mod n; pos = rank within
+    # shard by (hash, id) — the deterministic training-shuffle replayed
+    "training_shards": f"""
+WITH tx AS ({_TRAINING_EXAMPLES_ORACLE}),
+keyed AS (
+  SELECT doc_id, chunk_idx,
+         md5('0|' || doc_id::VARCHAR || '|' || chunk_idx::VARCHAR) AS hk
+  FROM tx
+), sharded AS (
+  SELECT doc_id, chunk_idx, hk,
+         (('0x' || substr(hk, 1, 8))::BIGINT % 4)::INT AS shard
+  FROM keyed
+)
+SELECT doc_id, chunk_idx, shard,
+       (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hk, doc_id)
+        - 1)::BIGINT AS shard_pos
+FROM sharded
 """,
     # the whole count-LM recomputed relationally: unigram/bigram counts,
     # vocab size, add-1 conditional probs, per-doc exp(-mean ln P)

@@ -101,3 +101,44 @@ def pack_examples(
     ).withColumn(
         "pack_idx", F.floor(cum_before / budget).cast("int")
     )
+
+
+def shuffle_for_training(
+    df: DataFrame,
+    n_shards: int,
+    salt: int = 0,
+    id_col: str = "doc_id",
+    idx_col: str | None = "chunk_idx",
+) -> DataFrame:
+    """Deterministic global training shuffle + shard assignment — the
+    export stage after packing: every example gets a ``shard`` in
+    [0, n_shards) and a ``shard_pos`` (0-based rank within its shard), both
+    pure functions of the example's identity and ``salt``, so the order is
+    reproducible across re-runs, engines, and retries (re-salting is a new
+    epoch permutation without rewriting the data).
+
+    Shape: the shard assignment is map-only (md5-hash mixing, same
+    engine-agnostic family as curation.hash_frac); the within-shard rank
+    is ONE window per shard partition — n_shards-way parallel, no global
+    sort.  Writers then do ``.repartition("shard").write.partitionBy``.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(str(salt)),
+            F.col(id_col).cast("string"),
+            *([F.col(idx_col).cast("string")] if idx_col else []),
+        )
+    )
+    h = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    out = df.withColumn("_hkey", key).withColumn(
+        "shard", (h % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_hkey"), F.col(id_col)
+    )
+    return out.withColumn(
+        "shard_pos", (F.row_number().over(w) - F.lit(1)).cast("long")
+    ).drop("_hkey")

@@ -796,3 +796,35 @@ class TestPerplexity:
         # P(a|a) = 2/7 -> ppl = 7/2
         assert out[1] == pytest.approx(3.5, abs=1e-6)
         assert out[2] is None  # single word: no bigram
+
+
+class TestTrainingShuffle:
+    def test_deterministic_shards_and_positions(self, spark, docs_df):
+        from probe_spark.ops.pipeline import shuffle_for_training
+
+        chunks = docs_df.selectExpr(
+            "doc_id", "0 as chunk_idx"
+        ).union(docs_df.selectExpr("doc_id", "1 as chunk_idx"))
+        a = shuffle_for_training(chunks, n_shards=3).collect()
+        b = shuffle_for_training(chunks, n_shards=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        by_shard: dict[int, list[int]] = {}
+        for r in a:
+            assert 0 <= r["shard"] < 3
+            by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(len(positions)))
+        # a different salt is a different permutation of the same rows
+        c = shuffle_for_training(chunks, n_shards=3, salt=1).collect()
+        assert sorted(
+            (r["doc_id"], r["chunk_idx"]) for r in c
+        ) == sorted((r["doc_id"], r["chunk_idx"]) for r in a)
+        assert sorted(map(tuple, c)) != sorted(map(tuple, a))
+
+    def test_rejects_bad_shard_count(self, spark, docs_df):
+        import pytest as _pytest
+
+        from probe_spark.ops.pipeline import shuffle_for_training
+
+        with _pytest.raises(ValueError):
+            shuffle_for_training(docs_df, n_shards=0, idx_col=None)
