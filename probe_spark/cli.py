@@ -268,7 +268,7 @@ def cmd_batch(args) -> int:
     eng = SearchEngine(spark, args.index)
     res = eng.search_batch(
         queries,
-        k=args.max_results,
+        k=None if args.max_results == 0 else args.max_results,
         exact=args.exact,
         with_metadata=args.with_text,
         where=args.where,
@@ -476,7 +476,9 @@ def main(argv: list[str] | None = None) -> int:
                          "skipped; query_idx in the output = position "
                          "among the surviving queries (0-based), and the "
                          "full query string rides every row")
-    bt.add_argument("-k", "--max-results", type=int, default=10)
+    bt.add_argument("-k", "--max-results", type=int, default=10,
+                    help="per-query top-k; 0 = ALL matches per query "
+                         "(the mining default for recall-complete jobs)")
     bt.add_argument("--exact", action="store_true")
     bt.add_argument("--with-text", action="store_true",
                     help="attach matched_terms + doc metadata/text (large "

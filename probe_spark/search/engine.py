@@ -2037,16 +2037,22 @@ class SearchEngine:
         from probe_spark.search import ranged  # noqa: PLC0415
 
         spark = self.spark
-        if isinstance(k, int):
-            ks = [k] * len(queries)
+        # k=None (scalar or per-query) = ALL matches for that query — the
+        # mining default; internally it is just k = n_docs (a query cannot
+        # match more), so the range eval and merge window need no new mode.
+        if k is None or isinstance(k, int):
+            k_orig: list = [k] * len(queries)
         else:
-            ks = [int(x) for x in k]
-            if len(ks) != len(queries):
+            k_orig = [None if x is None else int(x) for x in k]
+            if len(k_orig) != len(queries):
                 raise ValueError(
-                    f"k list length {len(ks)} != {len(queries)} queries"
+                    f"k list length {len(k_orig)} != {len(queries)} queries"
                 )
-        if any(x < 1 for x in ks):
-            raise ValueError("every k must be >= 1")
+        if any(x is not None and x < 1 for x in k_orig):
+            raise ValueError("every k must be >= 1 (or None for all)")
+        ks = [
+            max(1, self.n_docs) if x is None else int(x) for x in k_orig
+        ]
         tomb, tomb_over = self._tombstones()
         allow_ids = None
         allow_overflow = False
@@ -2167,7 +2173,7 @@ class SearchEngine:
         meta_cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
         for qi in fallback:
             res = self.search(
-                queries[qi], k=ks[qi], exact=exact,
+                queries[qi], k=k_orig[qi], exact=exact,
                 with_metadata=with_metadata, where=where,
             ).withColumn("query_idx", F.lit(qi))
             cols = ["query_idx", "doc_id", "score"]

@@ -210,13 +210,42 @@ class TestBatchUnionGate:
         evaluator must drop them: batch rows == solo rows exactly."""
         q1 = '"whitelist" AND "whitelist" OR -"whitelist"'
         q2 = "error OR handler"  # broad: many candidates without whitelist
-        batch = _by_query(engine.search_batch([q1, q2], k=200).collect())
+        batch = _by_query(engine.search_batch([q1, q2], k=None).collect())
         for idx, q in enumerate([q1, q2]):
             solo = [
                 (r["doc_id"], r["score"])
                 for r in engine.search(
-                    q, k=200, with_metadata=False
+                    q, k=None, with_metadata=False
                 ).collect()
             ]
             got = [(r["doc_id"], r["score"]) for r in batch.get(idx, [])]
-            assert got == solo, q
+            assert sorted(got) == sorted(solo), q
+
+
+class TestBatchAllMatches:
+    def test_k_none_returns_every_match_per_query(self, engine):
+        """k=None (scalar or per-query) = the full result set, identical
+        to search(q, k=None) — the mining default."""
+        queries = ["error OR handler", "database -sqlite", '"whitelist"']
+        batch = _by_query(engine.search_batch(queries, k=None).collect())
+        for idx, q in enumerate(queries):
+            solo = [
+                (r["doc_id"], r["score"])
+                for r in engine.search(q, k=None, with_metadata=False).collect()
+            ]
+            got = [(r["doc_id"], r["score"]) for r in batch.get(idx, [])]
+            # k=None solo results carry no ordering guarantee: compare sets
+            assert sorted(got) == sorted(solo), q
+        # mixed per-query: one capped, one unlimited
+        mixed = _by_query(
+            engine.search_batch(queries[:2], k=[5, None]).collect()
+        )
+        assert len(mixed[0]) == 5
+        assert sorted(
+            (r["doc_id"], r["score"]) for r in mixed[1]
+        ) == sorted(
+            (r["doc_id"], r["score"])
+            for r in engine.search(
+                queries[1], k=None, with_metadata=False
+            ).collect()
+        )
