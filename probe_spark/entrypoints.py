@@ -1046,6 +1046,32 @@ def _q_lm_perplexity(spark, sf_dir):
     )
 
 
+def _q_retrieval_metrics(spark, sf_dir):
+    """IR-metrics evaluation (ops/evaluation.retrieval_metrics): a
+    deterministic synthetic run (docs sharded into 10 queries, ranked by
+    n_chars desc / id asc, top 20) scored against a deterministic gold
+    subset — recall/MRR/NDCG per query, oracle recomputed relationally."""
+    from pyspark.sql import Window
+
+    from probe_spark.ops.evaluation import retrieval_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    run = (
+        docs.select(
+            (F.col("doc_id") % 10).alias("query_id"), "doc_id", "n_chars"
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+    gold = docs.filter((F.floor(F.col("doc_id") / 10) % 3) == 0).select(
+        (F.col("doc_id") % 10).alias("query_id"), "doc_id"
+    )
+    return retrieval_metrics(run, gold, k=20)
+
+
 def _q_corpus_profile(spark, sf_dir):
     """Dataset-card profile (ops/curation.corpus_profile): one
     groupBy(source) with map-side partials over a four-column pruned
@@ -1117,6 +1143,7 @@ QUERIES = {
     "repetition": _q_repetition,
     "training_shards": _q_training_shards,
     "lm_perplexity": _q_lm_perplexity,
+    "retrieval_metrics": _q_retrieval_metrics,
     "corpus_profile": _q_corpus_profile,
 }
 
@@ -2160,6 +2187,40 @@ SELECT doc_id, chunk_idx, shard,
        (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hk, doc_id)
         - 1)::BIGINT AS shard_pos
 FROM sharded
+""",
+    # recall/MRR/NDCG over a deterministic synthetic run + gold set;
+    # log2 discount via DuckDB's log2, idcg over ranks 1..min(n_gold,k)
+    "retrieval_metrics": """
+WITH run AS (
+  SELECT doc_id % 10 AS qid, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 10
+                            ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+), runk AS (
+  SELECT qid, doc_id, rnk FROM run WHERE rnk <= 20
+), gold AS (
+  SELECT DISTINCT doc_id % 10 AS qid, doc_id FROM documents
+  WHERE (doc_id // 10) % 3 = 0
+), ng AS (
+  SELECT qid, COUNT(*) AS n_gold FROM gold GROUP BY qid
+), hits AS (
+  SELECT runk.qid, runk.rnk FROM runk JOIN gold USING (qid, doc_id)
+), per_q AS (
+  SELECT qid, COUNT(*) AS n_hits, MIN(rnk) AS first_rank,
+         SUM(1.0 / log2(rnk + 1.0)) AS dcg
+  FROM hits GROUP BY qid
+), idcg AS (
+  SELECT ng.qid,
+         (SELECT SUM(1.0 / log2(i + 1.0))
+          FROM UNNEST(range(1, least(ng.n_gold, 20) + 1)) AS t(i)) AS ideal
+  FROM ng
+)
+SELECT ng.qid AS query_id, ng.n_gold,
+       COALESCE(per_q.n_hits, 0)::BIGINT AS n_hits,
+       ROUND(COALESCE(per_q.n_hits, 0) / ng.n_gold::DOUBLE, 6) AS recall,
+       ROUND(COALESCE(1.0 / per_q.first_rank, 0.0), 6) AS mrr,
+       ROUND(COALESCE(per_q.dcg, 0.0) / idcg.ideal, 6) AS ndcg
+FROM ng LEFT JOIN per_q USING (qid) JOIN idcg USING (qid)
 """,
     # the whole count-LM recomputed relationally: unigram/bigram counts,
     # vocab size, add-1 conditional probs, per-doc exp(-mean ln P)

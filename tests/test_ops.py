@@ -828,3 +828,45 @@ class TestTrainingShuffle:
 
         with _pytest.raises(ValueError):
             shuffle_for_training(docs_df, n_shards=0, idx_col=None)
+
+
+class TestRetrievalMetrics:
+    def test_hand_computed_metrics(self, spark):
+        import math
+
+        from probe_spark.ops.evaluation import (
+            retrieval_metrics,
+            summarize_metrics,
+        )
+
+        run = spark.createDataFrame(
+            [
+                # q0: gold docs at ranks 2 and 4 (of 3 gold)
+                (0, 10, 1), (0, 11, 2), (0, 12, 3), (0, 13, 4),
+                # q1: nothing relevant retrieved
+                (1, 20, 1), (1, 21, 2),
+            ],
+            "query_id long, doc_id long, rank int",
+        )
+        gold = spark.createDataFrame(
+            [(0, 11), (0, 13), (0, 99), (1, 77), (2, 5)],
+            "query_id long, doc_id long",
+        )
+        out = {
+            r["query_id"]: r
+            for r in retrieval_metrics(run, gold, k=4).collect()
+        }
+        q0 = out[0]
+        assert q0["n_gold"] == 3 and q0["n_hits"] == 2
+        assert q0["recall"] == pytest.approx(2 / 3, abs=1e-6)
+        assert q0["mrr"] == pytest.approx(0.5, abs=1e-6)
+        dcg = 1 / math.log2(3) + 1 / math.log2(5)
+        idcg = 1 + 1 / math.log2(3) + 1 / math.log2(4)
+        assert q0["ndcg"] == pytest.approx(dcg / idcg, abs=1e-6)
+        assert out[1]["recall"] == 0.0 and out[1]["mrr"] == 0.0
+        assert out[1]["ndcg"] == 0.0
+        # q2 has gold but no run rows -> all zeros, still present
+        assert out[2]["n_hits"] == 0 and out[2]["n_gold"] == 1
+        summ = summarize_metrics(retrieval_metrics(run, gold, k=4)).collect()[0]
+        assert summ["n_queries"] == 3
+        assert summ["recall"] == pytest.approx(round((2 / 3) / 3, 6), abs=1e-6)
