@@ -1072,6 +1072,15 @@ def _q_retrieval_metrics(spark, sf_dir):
     return retrieval_metrics(run, gold, k=20)
 
 
+def _q_retrieval_summary(spark, sf_dir):
+    """Macro-average of the IR metrics (ops/evaluation.summarize_metrics)
+    over the same synthetic run/gold as `retrieval_metrics` — the one-row
+    eval dashboard number."""
+    from probe_spark.ops.evaluation import summarize_metrics
+
+    return summarize_metrics(_q_retrieval_metrics(spark, sf_dir))
+
+
 def _q_corpus_profile(spark, sf_dir):
     """Dataset-card profile (ops/curation.corpus_profile): one
     groupBy(source) with map-side partials over a four-column pruned
@@ -1144,6 +1153,7 @@ QUERIES = {
     "training_shards": _q_training_shards,
     "lm_perplexity": _q_lm_perplexity,
     "retrieval_metrics": _q_retrieval_metrics,
+    "retrieval_summary": _q_retrieval_summary,
     "corpus_profile": _q_corpus_profile,
 }
 
@@ -1742,6 +1752,40 @@ FROM good, UNNEST(range(0, len(ws), 8)) AS t(i)
 """
 
 
+_RETRIEVAL_METRICS_ORACLE = """
+WITH run AS (
+  SELECT doc_id % 10 AS qid, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 10
+                            ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+), runk AS (
+  SELECT qid, doc_id, rnk FROM run WHERE rnk <= 20
+), gold AS (
+  SELECT DISTINCT doc_id % 10 AS qid, doc_id FROM documents
+  WHERE (doc_id // 10) % 3 = 0
+), ng AS (
+  SELECT qid, COUNT(*) AS n_gold FROM gold GROUP BY qid
+), hits AS (
+  SELECT runk.qid, runk.rnk FROM runk JOIN gold USING (qid, doc_id)
+), per_q AS (
+  SELECT qid, COUNT(*) AS n_hits, MIN(rnk) AS first_rank,
+         SUM(1.0 / log2(rnk + 1.0)) AS dcg
+  FROM hits GROUP BY qid
+), idcg AS (
+  SELECT ng.qid,
+         (SELECT SUM(1.0 / log2(i + 1.0))
+          FROM UNNEST(range(1, least(ng.n_gold, 20) + 1)) AS t(i)) AS ideal
+  FROM ng
+)
+SELECT ng.qid AS query_id, ng.n_gold,
+       COALESCE(per_q.n_hits, 0)::BIGINT AS n_hits,
+       ROUND(COALESCE(per_q.n_hits, 0) / ng.n_gold::DOUBLE, 6) AS recall,
+       ROUND(COALESCE(1.0 / per_q.first_rank, 0.0), 6) AS mrr,
+       ROUND(COALESCE(per_q.dcg, 0.0) / idcg.ideal, 6) AS ndcg
+FROM ng LEFT JOIN per_q USING (qid) JOIN idcg USING (qid)
+"""
+
+
 ORACLES = {
     "bm25_or": _bm25_sql(
         ["hash", "join"],
@@ -2190,37 +2234,14 @@ FROM sharded
 """,
     # recall/MRR/NDCG over a deterministic synthetic run + gold set;
     # log2 discount via DuckDB's log2, idcg over ranks 1..min(n_gold,k)
-    "retrieval_metrics": """
-WITH run AS (
-  SELECT doc_id % 10 AS qid, doc_id, n_chars,
-         ROW_NUMBER() OVER (PARTITION BY doc_id % 10
-                            ORDER BY n_chars DESC, doc_id ASC) AS rnk
-  FROM documents
-), runk AS (
-  SELECT qid, doc_id, rnk FROM run WHERE rnk <= 20
-), gold AS (
-  SELECT DISTINCT doc_id % 10 AS qid, doc_id FROM documents
-  WHERE (doc_id // 10) % 3 = 0
-), ng AS (
-  SELECT qid, COUNT(*) AS n_gold FROM gold GROUP BY qid
-), hits AS (
-  SELECT runk.qid, runk.rnk FROM runk JOIN gold USING (qid, doc_id)
-), per_q AS (
-  SELECT qid, COUNT(*) AS n_hits, MIN(rnk) AS first_rank,
-         SUM(1.0 / log2(rnk + 1.0)) AS dcg
-  FROM hits GROUP BY qid
-), idcg AS (
-  SELECT ng.qid,
-         (SELECT SUM(1.0 / log2(i + 1.0))
-          FROM UNNEST(range(1, least(ng.n_gold, 20) + 1)) AS t(i)) AS ideal
-  FROM ng
-)
-SELECT ng.qid AS query_id, ng.n_gold,
-       COALESCE(per_q.n_hits, 0)::BIGINT AS n_hits,
-       ROUND(COALESCE(per_q.n_hits, 0) / ng.n_gold::DOUBLE, 6) AS recall,
-       ROUND(COALESCE(1.0 / per_q.first_rank, 0.0), 6) AS mrr,
-       ROUND(COALESCE(per_q.dcg, 0.0) / idcg.ideal, 6) AS ndcg
-FROM ng LEFT JOIN per_q USING (qid) JOIN idcg USING (qid)
+    "retrieval_metrics": _RETRIEVAL_METRICS_ORACLE,
+    # macro-average of the same per-query metrics (one row)
+    "retrieval_summary": f"""
+SELECT COUNT(*) AS n_queries,
+       ROUND(AVG(recall), 6) AS recall,
+       ROUND(AVG(mrr), 6) AS mrr,
+       ROUND(AVG(ndcg), 6) AS ndcg
+FROM ({_RETRIEVAL_METRICS_ORACLE})
 """,
     # the whole count-LM recomputed relationally: unigram/bigram counts,
     # vocab size, add-1 conditional probs, per-doc exp(-mean ln P)
