@@ -350,6 +350,27 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """IR-metrics evaluation (ops/evaluation): score a retrieval run
+    parquet (query_id, doc_id, rank) against a gold parquet
+    (query_id, doc_id) — recall@k / MRR@k / NDCG@k per query plus the
+    macro summary; the nightly-eval counterpart of `batch`."""
+    from probe_spark.ops.evaluation import retrieval_metrics, summarize_metrics
+
+    spark = _build_session("probe-spark-eval")
+    run = spark.read.parquet(args.run)
+    gold = spark.read.parquet(args.gold)
+    per_q = retrieval_metrics(run, gold, k=args.k)
+    if args.output:
+        per_q.write.mode("overwrite").parquet(args.output)
+    else:
+        for r in per_q.orderBy("query_id").collect():
+            print(json.dumps(r.asDict()))
+    summ = summarize_metrics(per_q).collect()[0]
+    print(json.dumps({"summary": summ.asDict()}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Segment defragmentation (index/maintenance.compact_index): splice
     each term's doc-range-disjoint segments back together by byte
@@ -543,6 +564,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    ev = sub.add_parser(
+        "eval",
+        help="score a retrieval run against a gold set: recall@k / MRR / "
+             "NDCG per query + macro summary (JSON lines or --output "
+             "parquet)",
+    )
+    ev.add_argument("--run", required=True,
+                    help="parquet of (query_id, doc_id, rank) — e.g. the "
+                         "batch command's output with a rank column")
+    ev.add_argument("--gold", required=True,
+                    help="parquet of relevant (query_id, doc_id) pairs")
+    ev.add_argument("-k", type=int, default=10)
+    ev.add_argument("--output", help="write per-query metrics parquet "
+                                     "instead of printing")
+    ev.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)
     try:
