@@ -350,6 +350,41 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_percolate(args) -> int:
+    """Standing queries over a batch of turns (streaming/percolate:
+    the Elasticsearch-percolator analog with the engine's exact
+    semantics).  Queries file: one per line, either 'name<TAB>query' or a
+    bare query (auto-named q0, q1, ...).  For continuous operation use
+    the library's percolate_stream with a readStream source."""
+    from probe_spark.streaming.percolate import percolate
+
+    queries: dict[str, str] = {}
+    with open(args.queries_file) as f:
+        i = 0
+        for ln in f:
+            ln = ln.rstrip("\n")
+            if not ln.strip() or ln.lstrip().startswith("#"):
+                continue
+            if "\t" in ln:
+                name, q = ln.split("\t", 1)
+                queries[name.strip()] = q.strip()
+            else:
+                queries[f"q{i}"] = ln.strip()
+            i += 1
+    if not queries:
+        print("error: no queries in file", file=sys.stderr)
+        return 2
+    spark = _build_session("probe-spark-percolate")
+    res = percolate(spark.read.parquet(args.input), queries)
+    if args.output:
+        res.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"matches": res.count(), "queries": len(queries)}))
+    else:
+        for r in res.orderBy("query_id", "conv_id", "turn_idx").collect():
+            print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_eval(args) -> int:
     """IR-metrics evaluation (ops/evaluation): score a retrieval run
     parquet (query_id, doc_id, rank) against a gold parquet
@@ -580,6 +615,20 @@ def main(argv: list[str] | None = None) -> int:
     ev.add_argument("--output", help="write per-query metrics parquet "
                                      "instead of printing")
     ev.set_defaults(fn=cmd_eval)
+
+    pc = sub.add_parser(
+        "percolate",
+        help="standing queries over a batch of turns (alerting/routing): "
+             "one row per (query, matching turn), exact engine semantics",
+    )
+    pc.add_argument("--queries-file", required=True,
+                    help="one standing query per line ('name<TAB>query' "
+                         "or bare query); # comments skipped")
+    pc.add_argument("--input", required=True,
+                    help="parquet of turns (conv_id, turn_idx, text)")
+    pc.add_argument("--output", help="parquet sink; default prints JSON "
+                                     "lines")
+    pc.set_defaults(fn=cmd_percolate)
 
     args = p.parse_args(argv)
     try:
