@@ -18,8 +18,9 @@ through whatever catalog the Spark session was submitted with; this sandbox
 has no Iceberg runtime, so the table path is exercised in production
 deployments only and the parquet path in tests).
 
-Mirrors the reference CLI surface that is meaningful for the transcript
-engine (reference: src/cli.rs:13-205 — search with --max-results /
+Subcommands: build / search / batch / stats / delete / vacuum / merge /
+compact / eval / percolate.  Mirrors the reference CLI surface that is
+meaningful for the transcript engine (reference: src/cli.rs:13-205 — search with --max-results /
 --session / --exact / --format; extract and ast-grep query are code-AST
 features, out of scope per SURVEY.md §2.11).
 """
