@@ -360,18 +360,27 @@ def cmd_percolate(args) -> int:
     from probe_spark.streaming.percolate import percolate
 
     queries: dict[str, str] = {}
+    auto = 0
     with open(args.queries_file) as f:
-        i = 0
         for ln in f:
             ln = ln.rstrip("\n")
             if not ln.strip() or ln.lstrip().startswith("#"):
                 continue
             if "\t" in ln:
                 name, q = ln.split("\t", 1)
-                queries[name.strip()] = q.strip()
+                name, q = name.strip(), q.strip()
             else:
-                queries[f"q{i}"] = ln.strip()
-            i += 1
+                while f"q{auto}" in queries:
+                    auto += 1
+                name, q = f"q{auto}", ln.strip()
+                auto += 1
+            if name in queries:
+                print(
+                    f"error: duplicate standing-query name {name!r}",
+                    file=sys.stderr,
+                )
+                return 2
+            queries[name] = q
     if not queries:
         print("error: no queries in file", file=sys.stderr)
         return 2
@@ -379,7 +388,9 @@ def cmd_percolate(args) -> int:
     res = percolate(spark.read.parquet(args.input), queries)
     if args.output:
         res.write.mode("overwrite").parquet(args.output)
-        print(json.dumps({"matches": res.count(), "queries": len(queries)}))
+        # count from the sink — never re-run the percolation pass
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"matches": n, "queries": len(queries)}))
     else:
         for r in res.orderBy("query_id", "conv_id", "turn_idx").collect():
             print(json.dumps(r.asDict()))
@@ -399,9 +410,13 @@ def cmd_eval(args) -> int:
     per_q = retrieval_metrics(run, gold, k=args.k)
     if args.output:
         per_q.write.mode("overwrite").parquet(args.output)
+        # summarize from the sink — one metrics computation, not two
+        per_q = spark.read.parquet(args.output)
     else:
-        for r in per_q.orderBy("query_id").collect():
+        rows = per_q.orderBy("query_id").collect()
+        for r in rows:
             print(json.dumps(r.asDict()))
+        per_q = spark.createDataFrame(rows, per_q.schema)
     summ = summarize_metrics(per_q).collect()[0]
     print(json.dumps({"summary": summ.asDict()}))
     return 0

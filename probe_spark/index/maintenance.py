@@ -438,12 +438,20 @@ def merge_many(
     offsets = [0]
     for src, b in zip(sources[:-1], bases[:-1]):
         offsets.append(offsets[-1] + _doc_span(spark, src, b))
+    if base_o in bases:
+        # the output is cleared below; merging "into" a source would
+        # destroy it before it is read
+        raise ValueError(
+            "out_path must not be one of the sources — merge into a new "
+            "directory, then swap"
+        )
     os.makedirs(base_o, exist_ok=True)
-    # a reused output dir must not leak a previous merge's artifacts:
-    # postings/ is wiped by the Spark overwrite below, but stale docs
-    # shards / tombstones / manifest rows would silently corrupt the
-    # result (e.g. old tombstones masking live docs)
-    for sub in ("docs", "tombstones", "manifest"):
+    # a reused output dir must not leak a previous build's/merge's
+    # artifacts: postings/ is wiped by the Spark overwrite below, but
+    # stale docs shards / tombstones / manifest rows / a stats file under
+    # a different name would silently corrupt the result (e.g. old
+    # tombstones masking live docs, two conflicting stats rows)
+    for sub in ("docs", "tombstones", "manifest", "stats"):
         shutil.rmtree(os.path.join(base_o, sub), ignore_errors=True)
 
     # -- postings: source 0 verbatim, the rest doc-shifted ----------------

@@ -2150,7 +2150,7 @@ class SearchEngine:
                         (i, int(qi), int(ks[qi]))
                         for i, (qi, _e, _m) in enumerate(compiled)
                     ],
-                    "query_idx int, orig_idx int, _kq int",
+                    "query_idx int, orig_idx int, _kq long",
                 )
                 ranged_out = (
                     src.repartition("range_id")

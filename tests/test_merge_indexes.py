@@ -317,3 +317,38 @@ class TestMergeEdgeCases:
             d for d in os.listdir(p)
             if d.startswith((".ctmp-postings-", ".cold-postings-"))
         ]
+
+
+class TestMergeGuards:
+    def test_output_must_not_be_a_source(self, spark, merged_setup):
+        from probe_spark.index.maintenance import merge_many
+
+        paths, _ = merged_setup
+        with pytest.raises(ValueError, match="out_path"):
+            merge_many(spark, [paths["a"], paths["b"]], paths["a"])
+
+    def test_reused_built_index_dir_gets_fresh_stats(
+        self, spark, tmp_path_factory
+    ):
+        """A formerly BUILT index dir reused as merge output must not keep
+        its old stats file (different file name than the merge's) — two
+        stats rows would give nondeterministic n_docs/avgdl."""
+        from probe_spark.fixtures import transcripts_df
+        from probe_spark.index.build import BuildConfig, IndexBuilder
+        from probe_spark.index.maintenance import merge_many
+
+        base = tmp_path_factory.mktemp("merge_over_built")
+        t = transcripts_df(spark, n_convs=8, seed=7)
+        convs = sorted(r[0] for r in t.select("conv_id").distinct().collect())
+        pa_, pb, po = (str(base / n) for n in ("a", "b", "o"))
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(
+            t.filter(F.col("conv_id") < convs[4]), pa_
+        )
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(
+            t.filter(F.col("conv_id") >= convs[4]), pb
+        )
+        IndexBuilder(spark, BuildConfig(n_buckets=4)).build(t, po)  # stale
+        merge_many(spark, [pa_, pb], po)
+        stats = spark.read.parquet(f"{po}/stats").collect()
+        assert len(stats) == 1
+        assert stats[0]["build_id"].startswith("merge(")
