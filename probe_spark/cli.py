@@ -347,7 +347,12 @@ def cmd_merge(args) -> int:
         print("merge needs --indexes A B [C ...] or --index-a + --index-b")
         return 2
     spark = _build_session("probe-spark-merge")
-    print(json.dumps(merge_many(spark, srcs, args.output), default=str))
+    out = merge_many(spark, srcs, args.output)
+    if args.compact:
+        from probe_spark.index.maintenance import compact_index
+
+        out["compact"] = compact_index(spark, args.output)
+    print(json.dumps(out, default=str))
     return 0
 
 
@@ -605,6 +610,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(each posting byte moves once; a pairwise chain "
                         "would rewrite the first shard N-1 times)")
     m.add_argument("--output", required=True)
+    m.add_argument("--compact", action="store_true",
+                   help="defragment the merged segments immediately "
+                        "(same as running `compact` afterwards)")
     m.set_defaults(fn=cmd_merge)
 
     c = sub.add_parser(
