@@ -429,10 +429,19 @@ def merge_many(
         pq.read_table(os.path.join(b, "stats")).to_pylist()[0] for b in bases
     ]
     for st in stats[1:]:
-        for k in ("n_buckets", "block_size"):
-            if int(stats[0][k]) != int(st[k]):
+        for k in ("n_buckets", "block_size", "format_version"):
+            # format_version too: tokenization differs across format
+            # versions (build.py v7 note), and the merged stats carry
+            # source 0's version — without this check the engine's
+            # open-time version guard is silently bypassed for the other
+            # sources' postings.  An absent key (pre-versioned index)
+            # mismatches any present value.
+            a, b = stats[0].get(k), st.get(k)
+            if (a is None) != (b is None) or (
+                a is not None and int(a) != int(b)
+            ):
                 raise ValueError(
-                    f"incompatible indexes: {k} {stats[0][k]} != {st[k]}"
+                    f"incompatible indexes: {k} {a} != {b}"
                 )
     ensure_package_on_executors(spark)
     offsets = [0]
@@ -760,72 +769,106 @@ def compact_index(
 
         from probe_spark.index.codec import EncodedChunk, splice_chunks
 
+        # Per-task memory is bounded by ONE columnar copy of the bucket
+        # (Arrow table, zero-copy slices) + one term's decoded chunks +
+        # a small output buffer — never a to_pylist() python-object copy
+        # of the whole partition, and output rows are flushed through a
+        # ParquetWriter as they are produced (a hot bucket at 10^12-turn
+        # scale would otherwise need ~2-3x its postings in one heap).
+        FLUSH_ROWS, FLUSH_BYTES = 512, 64 << 20
         for pdf in pdfs:
             outs = []
             for kind, bucket in zip(pdf["kind"], pdf["bucket"]):
                 src = os.path.join(
                     post_dir, f"kind={kind}", f"bucket={bucket}"
                 )
-                t = pds.dataset(src, format="parquet").to_table()
-                by_term: dict[str, list[EncodedChunk]] = {}
-                for r in t.to_pylist():
-                    by_term.setdefault(r["term"], []).append(
-                        EncodedChunk(
-                            r["df_seg"], r["min_doc"], r["max_doc"],
-                            r["docs_bin"], r["dl_bin"], r["block_last_doc"],
-                            r["block_min_dl"], r["block_doc_off"],
-                            r["block_dl_off"],
-                        )
+                t = (
+                    pds.dataset(src, format="parquet")
+                    .to_table()
+                    .sort_by(
+                        [("term", "ascending"), ("min_doc", "ascending")]
                     )
-                rows = []
-                for term in sorted(by_term):
-                    chunks = sorted(by_term[term], key=lambda c: c.min_doc)
-                    # greedy packing: splice runs whose total stays under
-                    # max_seg (a chunk already over the cap stays alone)
-                    groups: list[list[EncodedChunk]] = []
-                    cur: list[EncodedChunk] = []
-                    cur_df = 0
-                    for c in chunks:
-                        if cur and cur_df + c.df > max_seg:
-                            groups.append(cur)
-                            cur, cur_df = [], 0
-                        cur.append(c)
-                        cur_df += c.df
-                    groups.append(cur)
-                    for seq, g in enumerate(groups):
-                        m = splice_chunks(g)
-                        rows.append(
-                            {
-                                "kind": kind,
-                                "term": term,
-                                "salt": 0,
-                                "seg_seq": seq,
-                                "n_salts": len(groups),
-                                "df_seg": m.df,
-                                "min_doc": m.min_doc,
-                                "max_doc": m.max_doc,
-                                "docs_bin": bytes(m.docs),
-                                "dl_bin": bytes(m.dls),
-                                "block_last_doc": m.block_last.tolist(),
-                                "block_min_dl": m.block_min_dl.tolist(),
-                                "block_doc_off": m.block_doc_off.tolist(),
-                                "block_dl_off": m.block_dl_off.tolist(),
-                                "bucket": int(bucket),
-                                "seg_bytes": len(m.docs) + len(m.dls),
-                                "seg_crc": zlib.crc32(bytes(m.docs)),
-                            }
-                        )
+                )
                 out_dir = os.path.join(
                     tmp_post, f"kind={kind}", f"bucket={bucket}"
                 )
                 os.makedirs(out_dir, exist_ok=True)
-                for r in rows:
-                    r.pop("kind"), r.pop("bucket")
-                tbl = pa.Table.from_pylist(rows, schema=_SEG_FILE_SCHEMA)
-                pqw.write_table(
-                    tbl, os.path.join(out_dir, "compact-00000.parquet")
+                writer = pqw.ParquetWriter(
+                    os.path.join(out_dir, "compact-00000.parquet"),
+                    _SEG_FILE_SCHEMA,
                 )
-                outs.append(len(rows))
+                terms = t.column("term")
+                n_out = 0
+                buf: list[dict] = []
+                buf_bytes = 0
+                i, n = 0, t.num_rows
+                try:
+                    while i < n:
+                        term = terms[i].as_py()
+                        j = i + 1
+                        while j < n and terms[j].as_py() == term:
+                            j += 1
+                        chunks = [
+                            EncodedChunk(
+                                r["df_seg"], r["min_doc"], r["max_doc"],
+                                r["docs_bin"], r["dl_bin"],
+                                r["block_last_doc"], r["block_min_dl"],
+                                r["block_doc_off"], r["block_dl_off"],
+                            )
+                            for r in t.slice(i, j - i).to_pylist()
+                        ]
+                        i = j
+                        # greedy packing: splice runs whose total stays
+                        # under max_seg (a chunk already over the cap
+                        # stays alone)
+                        groups: list[list[EncodedChunk]] = []
+                        cur: list[EncodedChunk] = []
+                        cur_df = 0
+                        for c in chunks:
+                            if cur and cur_df + c.df > max_seg:
+                                groups.append(cur)
+                                cur, cur_df = [], 0
+                            cur.append(c)
+                            cur_df += c.df
+                        groups.append(cur)
+                        for seq, g in enumerate(groups):
+                            m = splice_chunks(g)
+                            buf.append(
+                                {
+                                    "term": term,
+                                    "salt": 0,
+                                    "seg_seq": seq,
+                                    "n_salts": len(groups),
+                                    "df_seg": m.df,
+                                    "min_doc": m.min_doc,
+                                    "max_doc": m.max_doc,
+                                    "docs_bin": bytes(m.docs),
+                                    "dl_bin": bytes(m.dls),
+                                    "block_last_doc": m.block_last.tolist(),
+                                    "block_min_dl": m.block_min_dl.tolist(),
+                                    "block_doc_off": m.block_doc_off.tolist(),
+                                    "block_dl_off": m.block_dl_off.tolist(),
+                                    "seg_bytes": len(m.docs) + len(m.dls),
+                                    "seg_crc": zlib.crc32(bytes(m.docs)),
+                                }
+                            )
+                            buf_bytes += buf[-1]["seg_bytes"]
+                        if len(buf) >= FLUSH_ROWS or buf_bytes >= FLUSH_BYTES:
+                            writer.write_table(
+                                pa.Table.from_pylist(
+                                    buf, schema=_SEG_FILE_SCHEMA
+                                )
+                            )
+                            n_out += len(buf)
+                            buf, buf_bytes = [], 0
+                    if buf:
+                        writer.write_table(
+                            pa.Table.from_pylist(buf, schema=_SEG_FILE_SCHEMA)
+                        )
+                        n_out += len(buf)
+                finally:
+                    writer.close()
+                outs.append(n_out)
             yield pd.DataFrame({"n_segments": outs})
 
     n_after = int(

@@ -42,10 +42,18 @@ def retrieval_metrics(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    r = run.filter(F.col(rank_col) <= k).select(
-        F.col(query_col).alias("qid"),
-        F.col(doc_col).alias("did"),
-        F.col(rank_col).alias("rnk"),
+    # dedupe the run on (qid, did) keeping the best (min) rank: the eval
+    # CLI accepts arbitrary run files, and duplicate pairs would count
+    # multiple hits/DCG terms — recall could exceed 1.0, NDCG inflate
+    r = (
+        run.filter(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("qid"),
+            F.col(doc_col).alias("did"),
+            F.col(rank_col).alias("rnk"),
+        )
+        .groupBy("qid", "did")
+        .agg(F.min("rnk").alias("rnk"))
     )
     g = gold.select(
         F.col(query_col).alias("qid"), F.col(doc_col).alias("did")

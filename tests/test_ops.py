@@ -870,3 +870,26 @@ class TestRetrievalMetrics:
         summ = summarize_metrics(retrieval_metrics(run, gold, k=4)).collect()[0]
         assert summ["n_queries"] == 3
         assert summ["recall"] == pytest.approx(round((2 / 3) / 3, 6), abs=1e-6)
+
+    def test_duplicate_run_rows_do_not_inflate(self, spark):
+        """A run file with duplicate (query_id, doc_id) rows must score
+        identically to the deduped run (best rank kept): recall stays
+        <= 1.0, no doubled hits/DCG terms."""
+        from probe_spark.ops.evaluation import retrieval_metrics
+
+        clean = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2)],
+            "query_id long, doc_id long, rank int",
+        )
+        dup = spark.createDataFrame(
+            [(0, 10, 1), (0, 10, 3), (0, 11, 2), (0, 11, 4)],
+            "query_id long, doc_id long, rank int",
+        )
+        gold = spark.createDataFrame(
+            [(0, 10), (0, 11)], "query_id long, doc_id long"
+        )
+        a = retrieval_metrics(clean, gold, k=5).collect()[0]
+        b = retrieval_metrics(dup, gold, k=5).collect()[0]
+        assert b["recall"] == a["recall"] == 1.0
+        assert b["n_hits"] == a["n_hits"] == 2
+        assert b["mrr"] == a["mrr"] and b["ndcg"] == a["ndcg"]
