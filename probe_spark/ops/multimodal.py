@@ -1,10 +1,13 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns.
 
 The Spark side is real and tested — schema, partition-size-aware batching,
-Arrow-batched UDF signatures over ``mapInPandas`` — while the codec calls are
-deterministic fakes behind ``_HAS_CODECS`` (the image/audio libraries are not
-in this container; a deployment swaps ``_fake_decode_*`` for PIL/torchaudio
-inside the same batch function, nothing else changes).
+Arrow-batched UDF signatures over ``mapInPandas``.  Decode is two-tier:
+payloads that actually ARE recognized media (PNG/JPEG/WAV by magic bytes)
+go through the REAL decoders in ``ops/codecs.py`` (pure zlib+numpy PNG,
+stdlib ``wave``, Pillow/soundfile first when importable); anything else
+falls back to the deterministic fakes, which remain the documented
+stand-in for formats that need a third-party codec (and the path the
+synthetic-fixture correctness oracles compare against).
 
 Design rules for 100 TB of binaries:
   * binaries ride in their own column so Parquet column pruning keeps
@@ -32,13 +35,6 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
-
-try:  # pragma: no cover - not present in this container
-    import PIL.Image  # noqa: F401
-
-    _HAS_CODECS = True
-except ImportError:
-    _HAS_CODECS = False
 
 IMAGE_FEATURES_SCHEMA = StructType(
     [
@@ -103,17 +99,28 @@ def image_features(df: DataFrame, id_col: str = "sample_id",
     instead of failing the task."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from probe_spark.ops import codecs
+
         for pdf in it:
             rows = []
             for sid, data in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(data) if data is not None else b""
                 try:
-                    w, h = _fake_decode_image(b)
-                    arr = np.frombuffer(b, dtype=np.uint8)
+                    real = codecs.decode_image(b) if b else None
+                    if real is not None:
+                        w, h, gray = real
+                        mean = (
+                            float(gray.mean())
+                            if gray is not None
+                            else float(np.frombuffer(b, dtype=np.uint8).mean())
+                        )
+                    else:
+                        w, h = _fake_decode_image(b)
+                        arr = np.frombuffer(b, dtype=np.uint8)
+                        mean = float(arr.mean()) if len(arr) else 0.0
                     rows.append(
                         (
-                            int(sid), w, h, len(b),
-                            float(arr.mean()) if len(arr) else 0.0,
+                            int(sid), w, h, len(b), mean,
                             __import__("hashlib").md5(b).hexdigest()[:16],
                             "ok",
                         )
@@ -149,15 +156,29 @@ def image_resize(
     n_px = out_w * out_h
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from probe_spark.ops import codecs
+
         for pdf in it:
             rows = []
             for sid, data in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(data) if data is not None else b""
                 try:
-                    _fake_decode_image(b)  # deployment: PIL.Image.open
-                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
-                    pad = (-len(arr)) % n_px  # deployment: img.resize((w, h))
-                    px = np.pad(arr, (0, pad)).reshape(-1, n_px).mean(axis=0)
+                    real = codecs.decode_image(b) if b else None
+                    if real is not None and real[2] is not None:
+                        # real pixels (PNG/Pillow): true area-average
+                        # resize of the decoded grayscale image
+                        px = codecs.resize_area_f64(
+                            real[2], out_w, out_h
+                        ).reshape(n_px)
+                    else:
+                        _fake_decode_image(b)  # raises on empty payloads
+                        arr = np.frombuffer(b, dtype=np.uint8).astype(
+                            np.float64
+                        )
+                        pad = (-len(arr)) % n_px
+                        px = np.pad(arr, (0, pad)).reshape(-1, n_px).mean(
+                            axis=0
+                        )
                     rows.append((int(sid), out_w, out_h, px.tolist(), "ok"))
                 except (ValueError, OSError):
                     rows.append((int(sid), out_w, out_h, [], "error"))
@@ -180,6 +201,8 @@ def audio_features(
     the same batch function); corrupt/empty rows return status='error'."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from probe_spark.ops import codecs
+
         for pdf in it:
             rows = []
             for sid, data in zip(pdf[id_col], pdf[bin_col]):
@@ -187,10 +210,25 @@ def audio_features(
                 if len(b) < 2:
                     rows.append((int(sid), len(b), 0.0, 0.0, 0, "error"))
                     continue
-                pcm = np.frombuffer(
-                    b[: len(b) - len(b) % 2], dtype="<i2"
-                ).astype(np.float64)
-                dur = len(pcm) / sample_rate * 1000.0
+                if codecs.sniff(b) == "wav":
+                    # real WAV parse: true sample rate/channels, PCM
+                    # decoded to mono; rms reported on the int16 scale
+                    # the raw-PCM fallback uses
+                    try:
+                        mono, rate = codecs.decode_wav(b)
+                    except ValueError:
+                        rows.append((int(sid), len(b), 0.0, 0.0, 0, "error"))
+                        continue
+                    pcm = mono * 32768.0
+                    dur = len(pcm) / rate * 1000.0
+                else:
+                    pcm = np.frombuffer(
+                        b[: len(b) - len(b) % 2], dtype="<i2"
+                    ).astype(np.float64)
+                    dur = len(pcm) / sample_rate * 1000.0
+                if not len(pcm):
+                    rows.append((int(sid), len(b), 0.0, 0.0, 0, "error"))
+                    continue
                 rms = float(np.sqrt(np.mean(pcm * pcm)))
                 zc = int(np.count_nonzero(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
                 rows.append((int(sid), len(b), float(dur), rms, zc, "ok"))
