@@ -30,12 +30,16 @@ except Exception:  # pragma: no cover - tiktoken not in this container
 
 
 def token_count_col(col):
-    """Vectorized token count.  With the public ``tiktoken`` package
-    installed this is the reference's exact p50k_base count
-    (search_tokens.rs:331-366) via an Arrow-batched pandas UDF; otherwise
-    the BPE-ish regex piece count used across the ops layer stands in
-    (documented simplification — identical accept/reject semantics under
-    whichever counter is active)."""
+    """Vectorized token count — exact p50k_base BPE when possible
+    (search_tokens.rs:331-366), in priority order:
+
+    1. the public ``tiktoken`` package (Arrow-batched pandas UDF);
+    2. the from-scratch byte-level BPE encoder (``functions/bpe.py``)
+       when ``$PROBE_SPARK_TIKTOKEN_RANKS`` points at a standard
+       ``p50k_base.tiktoken`` ranks file — same counts, no package;
+    3. the BPE-ish regex piece count used across the ops layer
+       (documented stand-in — identical accept/reject semantics under
+       whichever counter is active)."""
     if _P50K is not None:
         from pyspark.sql.functions import pandas_udf
 
@@ -50,6 +54,32 @@ def token_count_col(col):
             )
 
         return _count(col)
+    from probe_spark.functions import bpe as _bpe
+
+    if _bpe.env_ranks() is not None:
+        import os
+
+        from pyspark.sql.functions import pandas_udf
+
+        ranks_path = os.environ[_bpe.RANKS_ENV]
+
+        @pandas_udf("long")
+        def _count_bpe(s):
+            import functools
+
+            import pandas as pd
+
+            from probe_spark.functions import bpe
+
+            ranks = bpe.ranks_from(ranks_path)
+            count = functools.lru_cache(maxsize=65536)(
+                lambda x: bpe.count_tokens(x, ranks)
+            )
+            return pd.Series(
+                [count(x) if x else 0 for x in s], dtype="int64"
+            )
+
+        return _count_bpe(col)
     from probe_spark.ops.text import BPE_REGEX
 
     return F.regexp_count(col, F.lit(BPE_REGEX))

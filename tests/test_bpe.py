@@ -1,0 +1,146 @@
+"""Byte-level BPE counter tests (functions/bpe.py): merge loop pinned
+against hand-computed toy ranks tables, pretokenizer behavior pinned
+against the published p50k pattern semantics, parity vs the tiktoken
+package when it is importable, and the limiter's ranks-file path driven
+end-to-end through $PROBE_SPARK_TIKTOKEN_RANKS."""
+
+from __future__ import annotations
+
+import base64
+import importlib
+import os
+
+import pytest
+
+from probe_spark.functions import bpe
+
+
+def write_ranks(tmp_path, table: dict[bytes, int]) -> str:
+    p = tmp_path / "toy.tiktoken"
+    with open(p, "wb") as fh:
+        for tok, rank in table.items():
+            fh.write(base64.b64encode(tok) + b" " + str(rank).encode() + b"\n")
+    return str(p)
+
+
+TOY = {
+    b"l": 0, b"o": 1, b"w": 2, b"e": 3, b"r": 4, b" ": 5,
+    b"lo": 6, b"low": 7, b"er": 8, b" lower": 12, b" low": 9,
+}
+
+
+class TestMergeLoop:
+    def test_lowest_rank_merges_first(self):
+        # "low": l+o (rank 6) beats o+w (absent); then lo+w (rank 7)
+        assert bpe.bpe_encode(b"low", TOY) == [b"low"]
+
+    def test_merge_order_matters(self):
+        # "lower": l o w e r -> lo -> low -> er -> low+er absent
+        assert bpe.bpe_encode(b"lower", TOY) == [b"low", b"er"]
+
+    def test_unknown_bytes_stay_single(self):
+        assert bpe.bpe_encode(b"xyz", TOY) == [b"x", b"y", b"z"]
+
+    def test_empty_and_single(self):
+        assert bpe.bpe_encode(b"", TOY) == []
+        assert bpe.bpe_encode(b"l", TOY) == [b"l"]
+
+    def test_rank_tie_is_impossible_but_leftmost_wins(self):
+        # two disjoint mergeable pairs: lower rank merges first ("lo" 6
+        # before "er" 8), result independent here but pins determinism
+        assert bpe.bpe_encode(b"loer", TOY) == [b"lo", b"er"]
+
+
+class TestPretokenizer:
+    def test_pattern_pieces(self):
+        pieces = bpe._PAT.findall("I'll have 2 cups, thanks!")
+        assert pieces == [
+            "I", "'ll", " have", " 2", " cups", ",", " thanks", "!",
+        ]
+
+    def test_space_stays_with_word(self):
+        assert bpe._PAT.findall("a  b") == ["a", " ", " b"]
+
+    def test_count_tokens_toy(self):
+        # "low lower" -> pieces ["low", " lower"]:
+        #   "low" -> 1 part; " lower" -> [" low", "er"] -> [" lower"]
+        #   (the freshly merged pair keeps merging — full BPE closure)
+        assert bpe.count_tokens("low lower", TOY) == 2
+        assert bpe.bpe_encode(b" lower", TOY) == [b" lower"]
+
+
+class TestRanksFile:
+    def test_load_roundtrip(self, tmp_path):
+        path = write_ranks(tmp_path, TOY)
+        assert bpe.load_ranks(path) == TOY
+
+    def test_env_gate(self, tmp_path, monkeypatch):
+        path = write_ranks(tmp_path, TOY)
+        monkeypatch.setenv(bpe.RANKS_ENV, path)
+        bpe.env_ranks.cache_clear()
+        try:
+            assert bpe.env_ranks() == TOY
+        finally:
+            bpe.env_ranks.cache_clear()
+
+    def test_env_missing(self, monkeypatch):
+        monkeypatch.delenv(bpe.RANKS_ENV, raising=False)
+        bpe.env_ranks.cache_clear()
+        assert bpe.env_ranks() is None
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("tiktoken") is None,
+    reason="tiktoken not installed in this container",
+)
+class TestTiktokenParity:
+    """Runs wherever the public package is available: our encoder must
+    reproduce tiktoken's p50k_base counts exactly."""
+
+    SAMPLES = [
+        "hello world",
+        "The quick brown fox jumps over the lazy dog.",
+        "  leading spaces and\nnewlines\t tabs",
+        "I'll we've can't 12345 !!! __init__",
+        "naïve café — unicode № ∑ bytes",
+        "",
+    ]
+
+    def test_counts_match(self):
+        import tiktoken
+
+        enc = tiktoken.get_encoding("p50k_base")
+        ranks = enc._mergeable_ranks
+        for s in self.SAMPLES:
+            assert bpe.count_tokens(s, ranks) == len(enc.encode(s)), s
+
+
+class TestLimiterRanksPath:
+    def test_token_budget_with_ranks_file(self, spark, tmp_path, monkeypatch):
+        """apply_limits(max_tokens=...) counts through the real BPE
+        encoder when the ranks env var is set (tiktoken absent here)."""
+        from probe_spark.search import limiter
+
+        if limiter._P50K is not None:
+            pytest.skip("tiktoken installed; package path covered instead")
+        path = write_ranks(tmp_path, TOY)
+        monkeypatch.setenv(bpe.RANKS_ENV, path)
+        bpe.env_ranks.cache_clear()
+        try:
+            df = spark.createDataFrame(
+                [(1, 9.0, "low"), (2, 8.0, "low lower"), (3, 7.0, "low")],
+                "doc_id long, score double, text string",
+            )
+            # counts: 1, 2, 1 -> cumulative 1, 3, 4
+            got = [
+                r["doc_id"]
+                for r in limiter.apply_limits(df, max_tokens=3).collect()
+            ]
+            assert got == [1, 2]
+            got = [
+                r["doc_id"]
+                for r in limiter.apply_limits(df, max_tokens=1).collect()
+            ]
+            assert got == [1]
+        finally:
+            bpe.env_ranks.cache_clear()
