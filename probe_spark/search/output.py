@@ -52,24 +52,99 @@ def format_markdown(rows: list[dict]) -> str:
     return "\n".join(parts).rstrip("\n")
 
 
-def format_xml(rows: list[dict]) -> str:
-    """search_output.rs xml format analog (schema mirrored by the json
-    fields; values XML-escaped)."""
-    parts = ["<results>"]
+def _turn_span(d: dict) -> tuple[int, int]:
+    if "turn_lo" in d:
+        return d["turn_lo"], d["turn_hi"]
+    t = d.get("turn_idx", 0) or 0
+    return t, t
+
+
+def _count_tokens_driver(text: str) -> int:
+    """Driver-side token count for the output footers, same priority as
+    the limiter (search/limiter.py): tiktoken package > ranks-file BPE >
+    BPE-ish regex piece count."""
+    try:  # pragma: no cover - tiktoken not in this container
+        import tiktoken
+
+        return len(tiktoken.get_encoding("p50k_base").encode(text))
+    except Exception:
+        pass
+    from probe_spark.functions import bpe
+
+    ranks = bpe.env_ranks()
+    if ranks is not None:
+        return bpe.count_tokens(text, ranks)
+    import re
+
+    from probe_spark.ops.text import BPE_REGEX
+
+    return len(re.findall(BPE_REGEX, text))
+
+
+def _cdata(text: str) -> str:
+    # a "]]>" inside the body would close the section early; the standard
+    # escape splits it across two CDATA sections
+    return "<![CDATA[" + text.replace("]]>", "]]]]><![CDATA[>") + "]]>"
+
+
+def format_terminal(rows: list[dict]) -> str:
+    """The reference's default terminal layout (search_output.rs:44-80,
+    170-180; golden sample /root/reference/result1.txt): per result a
+    ``File:`` line, a ``Lines:`` span, a fenced body — then the
+    ``Found N search results`` / ``Total bytes returned`` /
+    ``Total tokens returned`` footer.  Transcript mapping: file =
+    conv_id, lines = turn span, fence language = the reference's file
+    extension slot (``text`` for transcripts)."""
+    parts = []
+    total_bytes = total_tokens = 0
     for d in rows:
+        lo, hi = _turn_span(d)
+        body = d.get("text") or ""
+        parts.append(f"File: {d.get('conv_id')}")
+        parts.append(f"Lines: {lo}-{hi}")
+        parts.append("```text")
+        parts.append(body)
+        parts.append("```")
+        total_bytes += len(body.encode("utf-8"))
+        total_tokens += _count_tokens_driver(body)
+    parts.append(f"Found {len(rows)} search results")
+    parts.append(f"Total bytes returned: {total_bytes}")
+    parts.append(f"Total tokens returned: {total_tokens}")
+    return "\n".join(parts)
+
+
+def format_xml(rows: list[dict]) -> str:
+    """The reference's xml layout (search_output.rs:556-640): declaration,
+    <probe_results> root, per result file/lines/node_type, optional
+    <matched_keywords><keyword>, 4-dp <score>, CDATA <code>, then a
+    <summary> with count and byte/token totals.  node_type is ``turn``
+    (the transcript ranking unit, SURVEY §1.3)."""
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>', "<probe_results>"]
+    total_bytes = total_tokens = 0
+    for d in rows:
+        lo, hi = _turn_span(d)
+        body = d.get("text") or ""
         parts.append("  <result>")
-        for key in ("doc_id", "score", "conv_id", "turn_idx", "role", "tool"):
-            if key in d and d[key] is not None:
-                parts.append(f"    <{key}>{escape(str(d[key]))}</{key}>")
+        parts.append(f"    <file>{escape(str(d.get('conv_id')))}</file>")
+        parts.append(f"    <lines>{lo}-{hi}</lines>")
+        parts.append("    <node_type>turn</node_type>")
         if d.get("matched_terms"):
-            parts.append(
-                "    <matched_terms>"
-                + "".join(f"<term>{escape(t)}</term>" for t in d["matched_terms"])
-                + "</matched_terms>"
-            )
-        parts.append(f"    <text>{escape(d.get('text') or '')}</text>")
+            parts.append("    <matched_keywords>")
+            for t in d["matched_terms"]:
+                parts.append(f"      <keyword>{escape(t)}</keyword>")
+            parts.append("    </matched_keywords>")
+        if d.get("score") is not None:
+            parts.append(f"    <score>{d['score']:.4f}</score>")
+        parts.append(f"    <code>{_cdata(body)}</code>")
         parts.append("  </result>")
-    parts.append("</results>")
+        total_bytes += len(body.encode("utf-8"))
+        total_tokens += _count_tokens_driver(body)
+    parts.append("  <summary>")
+    parts.append(f"    <count>{len(rows)}</count>")
+    parts.append(f"    <total_bytes>{total_bytes}</total_bytes>")
+    parts.append(f"    <total_tokens>{total_tokens}</total_tokens>")
+    parts.append("  </summary>")
+    parts.append("</probe_results>")
     return "\n".join(parts)
 
 
@@ -118,5 +193,5 @@ FORMATTERS = {
     "markdown": format_markdown,
     "xml": format_xml,
     "color": format_color,
-    "terminal": format_color,  # reference alias (search_output.rs)
+    "terminal": format_terminal,  # reference default layout (result1.txt)
 }

@@ -112,7 +112,8 @@ class TestFormatters:
         md = FORMATTERS["markdown"](rows)
         assert md.startswith("## 1. c1:3") and "```" in md
         xml = FORMATTERS["xml"](rows)
-        assert "&lt;error&gt; &amp;" in xml and "<term>error</term>" in xml
+        assert "<keyword>error</keyword>" in xml
+        assert "<![CDATA[an <error>" in xml
         assert xml.count("<result>") == 2
         color = FORMATTERS["color"](rows)
         assert "\x1b[1m" in color and "c1:3" in color
@@ -120,7 +121,11 @@ class TestFormatters:
         # included ('handl' inside 'handler'), case-insensitive
         assert "\x1b[1m\x1b[36merror\x1b[0m" in color
         assert '\x1b[1m\x1b[36mhandl\x1b[0mer' in color
-        assert FORMATTERS["terminal"] is FORMATTERS["color"]
+        # terminal is the reference's default File:/Lines:/fence layout
+        # (golden-pinned in tests/test_output_golden.py)
+        term = FORMATTERS["terminal"](rows)
+        assert term.startswith("File: c1\nLines: 3-3\n```text")
+        assert "Found 2 search results" in term
 
     def test_merged_span_location(self):
         from probe_spark.search.output import format_plain
