@@ -855,7 +855,14 @@ class SearchEngine:
         ids = raw_doc_ids(self.index_path, self.n_buckets, affecting)
         if ids is not None and ids.size == 0:
             bundle = (ids, {}, ids, {}, 0)
-        elif ids is not None and ids.size <= REPAIR_OVERLAY_CAP:
+        elif (
+            ids is not None
+            and ids.size <= REPAIR_OVERLAY_CAP
+            and len(all_lookups) <= 62
+        ):
+            # >62 lookups would overflow the presence bitmask below;
+            # such queries (near the 256-term parser cap) fall back to
+            # the full distributed repair path
             import pandas as pd  # noqa: PLC0415
 
             if ids.size <= ISIN_PUSHDOWN_CAP:
@@ -874,13 +881,17 @@ class SearchEngine:
                     ),
                     "doc_id",
                 ).select("doc_id", "text", "dl")
+            # presence is shipped back as per-doc BITMASKS over the
+            # lookup list (executors fold the token sets down to one long
+            # each), and the result is pulled via Arrow (toPandas) into
+            # columnar numpy — the driver never materializes per-doc
+            # Python Row objects with string-list columns, so overlay
+            # residency at the cap is ~28 B/doc, not a fat list-of-lists.
             retok_schema = StructType(
                 [
                     StructField("doc_id", LongType(), False),
-                    StructField("hits", ArrayType(StringType(), False), False),
-                    StructField(
-                        "old_hits", ArrayType(StringType(), False), False
-                    ),
+                    StructField("hits_mask", LongType(), False),
+                    StructField("old_mask", LongType(), False),
                     StructField("dl", IntegerType(), False),
                     StructField("dl_delta", IntegerType(), False),
                 ]
@@ -890,6 +901,13 @@ class SearchEngine:
 
             def retokenize(pdfs):
                 import pandas as pd  # noqa: PLC0415
+
+                def mask(ts: set) -> int:
+                    m = 0
+                    for j, t in enumerate(lookups_b):
+                        if t in ts:
+                            m |= 1 << j
+                    return m
 
                 for pdf in pdfs:
                     toks = [
@@ -902,14 +920,8 @@ class SearchEngine:
                     yield pd.DataFrame(
                         {
                             "doc_id": pdf["doc_id"],
-                            "hits": [
-                                [m for m in lookups_b if m in set(ts)]
-                                for ts in toks
-                            ],
-                            "old_hits": [
-                                [m for m in lookups_b if m in set(ts)]
-                                for ts in olds
-                            ],
+                            "hits_mask": [mask(set(ts)) for ts in toks],
+                            "old_mask": [mask(set(ts)) for ts in olds],
                             "dl": [len(ts) for ts in toks],
                             "dl_delta": [
                                 len(ts) - int(d)
@@ -918,25 +930,26 @@ class SearchEngine:
                         }
                     )
 
-            rows = affected.mapInPandas(retokenize, retok_schema).collect()
-            rows.sort(key=lambda r: r["doc_id"])
-            n = len(rows)
-            o_ids = np.fromiter((r["doc_id"] for r in rows), np.int64, n)
-            o_dls = np.fromiter((r["dl"] for r in rows), np.int64, n)
-            presence = {t: np.zeros(n, dtype=bool) for t in all_lookups}
-            old_counts = {t: 0 for t in all_lookups}
-            dl_delta = 0
-            for i, r in enumerate(rows):
-                for t in r["hits"]:
-                    presence[t][i] = True
-                for t in r["old_hits"]:
-                    old_counts[t] += 1
-                dl_delta += int(r["dl_delta"])
-            df_adj = {
-                t: int(presence[t].sum()) - old_counts[t]
-                for t in all_lookups
-                if int(presence[t].sum()) != old_counts[t]
+            pdf = (
+                affected.mapInPandas(retokenize, retok_schema)
+                .toPandas()
+                .sort_values("doc_id", ignore_index=True)
+            )
+            o_ids = pdf["doc_id"].to_numpy(np.int64)
+            o_dls = pdf["dl"].to_numpy(np.int64)
+            masks = pdf["hits_mask"].to_numpy(np.int64)
+            old_masks = pdf["old_mask"].to_numpy(np.int64)
+            dl_delta = int(pdf["dl_delta"].to_numpy(np.int64).sum())
+            presence = {
+                t: ((masks >> j) & 1).astype(bool)
+                for j, t in enumerate(lookups_b)
             }
+            df_adj = {}
+            for j, t in enumerate(lookups_b):
+                new_n = int(presence[t].sum())
+                old_n = int(((old_masks >> j) & 1).sum())
+                if new_n != old_n:
+                    df_adj[t] = new_n - old_n
             bundle = (o_ids, presence, o_dls, df_adj, dl_delta)
         if len(self._overlay_cache) >= 8:
             self._overlay_cache.pop(next(iter(self._overlay_cache)))
