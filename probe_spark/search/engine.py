@@ -107,12 +107,16 @@ _UNSET: "object" = object()
 # 10^12-doc scale this would instead switch to a shuffle-join ladder.
 BROADCAST_DF_CAP = 2_000_000
 # repair-overlay cap: special-term queries whose raw-word affected set is
-# at or below this ride the doc-range path with a DRIVER-resident repaired
-# overlay (ids + presence bitmaps + dls, ~10 B/doc) instead of the full
-# groupBy path; past it the affected set is too big to hold/ship on the
-# driver and the distributed repair join takes over.  At 10^12-doc scale
-# a hot excluded word exceeds this and correctly falls back.
-REPAIR_OVERLAY_CAP = 500_000
+# at or below this ride the doc-range path with a repaired overlay
+# (ids + presence bitmasks + dls, ~20 B/doc columnar numpy) instead of
+# the full groupBy path.  The arrays ship to the ranges as a REAL Spark
+# broadcast — serialized once per query shape and cached on executors,
+# never re-pickled into each query's task closure — so the cap is sized
+# by driver/executor memory (~80 MB/bundle at the cap), not by per-query
+# shipping cost.  Past it the affected set is too big to hold anywhere
+# in one piece and the distributed repair join takes over; at 10^12-doc
+# scale a hot excluded word exceeds any cap and correctly falls back.
+REPAIR_OVERLAY_CAP = 4_000_000
 # session-exclude sets at or below this are collected to the driver and
 # ride the doc-range path as exclude_ids (seen sets are prior result
 # pages, so k-scale by construction); a larger exclude DataFrame falls
@@ -208,6 +212,8 @@ def _decode_blocks_arrow(
         for t, db, lb, bl, doff, loff, kp in zip(
             terms, docs_bins, dl_bins, lasts, doc_offs, dl_offs, keeps
         ):
+            if kp is None:  # decode-all marker (pruning ineffective)
+                kp = range(len(bl))
             ids, dls = decode_blocks(db, lb, bl, doff, loff, kp)
             out_term.extend([t] * len(ids))
             out_ids.append(ids)
@@ -229,6 +235,62 @@ def _decode_blocks_arrow(
             ],
             names=["term", "src", "doc_id", "dl"],
         )
+
+
+def _make_decode_topk_arrow(k: int):
+    """Single-term WAND decode that keeps only the partition-local top-k
+    INSIDE the Arrow stage: score = idf * tf_norm(dl) is strictly
+    decreasing in dl (single keyword, binary tf), ties broken doc_id asc,
+    so the k smallest (dl, doc_id) pairs per partition are exactly the
+    partition's best k — the Python->JVM boundary then carries <=k rows
+    per task instead of the term's whole decoded posting list (a hot term
+    at 10^12 turns would otherwise ship millions of rows to TakeOrdered)."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        from probe_spark.index.codec import decode_blocks
+
+        chunks_i: list = []
+        chunks_d: list = []
+        for batch in batches:
+            docs_bins = batch.column("docs_bin").to_pylist()
+            dl_bins = batch.column("dl_bin").to_pylist()
+            lasts = batch.column("block_last_doc").to_pylist()
+            doc_offs = batch.column("block_doc_off").to_pylist()
+            dl_offs = batch.column("block_dl_off").to_pylist()
+            keeps = batch.column("keep").to_pylist()
+            for db, lb, bl, doff, loff, kp in zip(
+                docs_bins, dl_bins, lasts, doc_offs, dl_offs, keeps
+            ):
+                if kp is None:  # decode-all marker (pruning ineffective)
+                    kp = range(len(bl))
+                ids, dls = decode_blocks(db, lb, bl, doff, loff, kp)
+                chunks_i.append(ids)
+                chunks_d.append(dls.astype(np.int32))
+        if not chunks_i:
+            ids_all = np.empty(0, dtype=np.int64)
+            dl_all = np.empty(0, dtype=np.int32)
+        else:
+            ids_all = np.concatenate(chunks_i)
+            dl_all = np.concatenate(chunks_d)
+        if ids_all.size > k:
+            # O(n) selection instead of a full lexsort: the k-th smallest
+            # dl bounds the winners; ties on that dl resolve by doc_id asc
+            kth = np.partition(dl_all, k - 1)[k - 1]
+            lt = np.flatnonzero(dl_all < kth)
+            need = k - lt.size
+            eq = np.flatnonzero(dl_all == kth)
+            if need < eq.size:
+                eq = eq[np.argpartition(ids_all[eq], need - 1)[:need]]
+            sel = np.concatenate([lt, eq])
+            ids_all, dl_all = ids_all[sel], dl_all[sel]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids_all, pa.int64()), pa.array(dl_all, pa.int32())],
+            names=["doc_id", "dl"],
+        )
+
+    return gen
 
 
 def _matched_terms_col(present: dict[str, Column]) -> Column:
@@ -293,6 +355,33 @@ class SpecialPlan:
     keyword: str  # the query-map lookup key (original case)
     matchable: bool  # False => present nowhere
     lookup: str  # term string to fetch
+
+
+def _pure_conjunction(expr: "ast.Expr") -> bool:
+    """True when expr is an And-tree of simple Terms (no Or, no excluded/
+    exact/field terms, non-empty keywords) whose required flags are
+    all-or-none.  Then _compile_eval reduces to "EVERY keyword present"
+    (Term = all-of its keywords; And = both sides; the required-anywhere
+    check adds nothing new when all terms are required, and an optional
+    term among required ones would weaken the gate — hence all-or-none)
+    and _compile_score to the plain sum of keyword BM25 — exactly the
+    semi-join ladder + arithmetic the single-Term fast path runs."""
+    terms: list[ast.Term] = []
+
+    def rec(e: "ast.Expr") -> bool:
+        if isinstance(e, ast.Term):
+            if e.excluded or e.exact or e.field is not None or not e.keywords:
+                return False
+            terms.append(e)
+            return True
+        if isinstance(e, ast.And):
+            return rec(e.left) and rec(e.right)
+        return False
+
+    if not rec(expr):
+        return False
+    req = [t.required for t in terms]
+    return all(req) or not any(req)
 
 
 def special_keywords(expr: "ast.Expr") -> set[str]:
@@ -405,6 +494,9 @@ class SearchEngine:
         self._df_cache.clear()
         self._meta_cache.clear()
         self._boot_cache.clear()
+        for bundle in self._overlay_cache.values():
+            if bundle is not None and bundle[5] is not None:
+                bundle[5].unpersist(blocking=False)
         self._overlay_cache.clear()
         for bundle in self._repair_cache.values():
             if bundle is not None:
@@ -733,32 +825,55 @@ class SearchEngine:
             return self._search_ranged(
                 expr, {t: t for t in token_terms}, k, with_metadata
             )
-        keep_df = spark.createDataFrame(
-            [
-                (t, s, q, m, sorted(blocks))
-                for (t, s, q, m), blocks in keep.items()
-            ],
-            "term string, salt int, seg_seq int, min_doc long, "
-            "keep array<int>",
-        )
-        decoded = (
-            self.postings.filter(seg_filter)
-            .join(F.broadcast(keep_df), ["term", "salt", "seg_seq", "min_doc"])
-            .select(
-                "term", "docs_bin", "dl_bin", "block_last_doc",
-                "block_doc_off", "block_dl_off", "keep",
+        if stats["blocks_kept"] >= 0.9 * stats["blocks_total"]:
+            # pruning is ineffective (narrow dl spread keeps ~every
+            # block's upper bound above theta): decoding the few extra
+            # blocks is far cheaper than materializing + broadcasting a
+            # keep manifest row per surviving segment (a 60%-df term has
+            # ~100k segments — driver-serializing that per query WAS the
+            # cost).  keep=null tells the decoders "all blocks"; decoding
+            # a superset is exact (extra docs score below theta <= k-th).
+            joined = self.postings.filter(seg_filter).withColumn(
+                "keep", F.lit(None).cast(ArrayType(IntegerType()))
             )
-            .mapInArrow(_decode_blocks_arrow, _DECODE_KEEP_SCHEMA)
-        )
+            # a hot term's segments live in ONE bucket file, usually under
+            # maxPartitionBytes -> the whole decode would run as a single
+            # task; spreading the (compressed, ~1.2 B/posting) segment
+            # rows across the cores first costs one tiny exchange and
+            # buys a parallel decode — the same bytes-not-rows exchange
+            # shape the doc-range path uses
+            n_par = min(
+                2 * self.spark.sparkContext.defaultParallelism, len(metas)
+            )
+            if n_par > 1:
+                joined = joined.repartition(n_par)
+        else:
+            keep_df = spark.createDataFrame(
+                [
+                    (t, s, q, m, sorted(blocks))
+                    for (t, s, q, m), blocks in keep.items()
+                ],
+                "term string, salt int, seg_seq int, min_doc long, "
+                "keep array<int>",
+            )
+            joined = self.postings.filter(seg_filter).join(
+                F.broadcast(keep_df),
+                ["term", "salt", "seg_seq", "min_doc"],
+            )
 
         tf_norm = _tf_norm_col(self.avgdl)
         if isinstance(expr, ast.Term):
-            # single optional term: each doc appears once in decoded
-            # (segments hold disjoint doc ranges per term), the boolean
-            # eval is trivially true, and score = idf * tf_norm — so the
-            # groupBy(doc_id) shuffle is a no-op.  Skipping it makes the
-            # whole query scan -> decode -> TakeOrderedAndProject, no
-            # exchange at all.
+            # single optional term (WAND eligibility => exactly one
+            # keyword): each doc appears once, the boolean eval is
+            # trivially true, and score = idf * tf_norm — so the
+            # groupBy(doc_id) shuffle is a no-op AND the Arrow stage can
+            # keep only its partition-local top-k (score is monotone in
+            # -dl).  The whole query is scan -> decode-top-k ->
+            # TakeOrderedAndProject over <=k rows/task, no exchange.
+            decoded = joined.select(
+                "docs_bin", "dl_bin", "block_last_doc",
+                "block_doc_off", "block_dl_off", "keep",
+            ).mapInArrow(_make_decode_topk_arrow(k), "doc_id long, dl int")
             idf = next(iter(idfs.values()))
             cols = ["doc_id", (F.lit(idf) * tf_norm).alias("score")]
             if with_metadata:
@@ -772,6 +887,10 @@ class SearchEngine:
             )
             return self._with_meta(result) if with_metadata else result
 
+        decoded = joined.select(
+            "term", "docs_bin", "dl_bin", "block_last_doc",
+            "block_doc_off", "block_dl_off", "keep",
+        ).mapInArrow(_decode_blocks_arrow, _DECODE_KEEP_SCHEMA)
         hits = decoded.groupBy("doc_id").agg(
             F.collect_set("term").alias("hits"), F.first("dl").alias("dl")
         )
@@ -854,7 +973,7 @@ class SearchEngine:
         bundle: "tuple | None" = None
         ids = raw_doc_ids(self.index_path, self.n_buckets, affecting)
         if ids is not None and ids.size == 0:
-            bundle = (ids, {}, ids, {}, 0)
+            bundle = (ids, {}, ids, {}, 0, None)
         elif (
             ids is not None
             and ids.size <= REPAIR_OVERLAY_CAP
@@ -950,9 +1069,21 @@ class SearchEngine:
                 old_n = int(((old_masks >> j) & 1).sum())
                 if new_n != old_n:
                     df_adj[t] = new_n - old_n
-            bundle = (o_ids, presence, o_dls, df_adj, dl_delta)
+            # the exclusion id set rides to the range workers as a REAL
+            # broadcast: serialized once per query shape, cached on the
+            # executors across this bundle's queries — never re-pickled
+            # into each task closure (at the raised cap that closure
+            # would be ~32 MB per query)
+            bc = (
+                self.spark.sparkContext.broadcast(o_ids)
+                if o_ids.size
+                else None
+            )
+            bundle = (o_ids, presence, o_dls, df_adj, dl_delta, bc)
         if len(self._overlay_cache) >= 8:
-            self._overlay_cache.pop(next(iter(self._overlay_cache)))
+            old = self._overlay_cache.pop(next(iter(self._overlay_cache)))
+            if old is not None and old[5] is not None:
+                old[5].unpersist(blocking=False)
         self._overlay_cache[key] = bundle
         return bundle
 
@@ -1066,16 +1197,26 @@ class SearchEngine:
             # don't qualify (dispatch precondition) -> empty
             return empty
         src, width = self._ranged_src(lookups, sum_df, allow_ids)
+        # exclude set for the ranges: prefer the overlay's BROADCAST (ships
+        # once per query shape, cached on executors) over re-pickling the
+        # id array into this query's task closure; a session seen-set
+        # forces a materialized union (seen sets are page-scale)
         exclude_ids = None
         if overlay_ids is not None and overlay_ids.size:
-            exclude_ids = overlay_ids
+            o_bc = overlay[3] if len(overlay) > 3 else None
+            exclude_ids = o_bc if o_bc is not None else overlay_ids
         if seen_ids is not None and seen_ids.size:
             if exclude_ids is None:
                 exclude_ids = seen_ids
             else:
                 import numpy as np  # noqa: PLC0415
 
-                exclude_ids = np.union1d(exclude_ids, seen_ids)
+                base = (
+                    exclude_ids.value
+                    if hasattr(exclude_ids, "value")
+                    else exclude_ids
+                )
+                exclude_ids = np.union1d(base, seen_ids)
         gen = ranged.make_range_eval(
             expr,
             idfs,
@@ -1501,14 +1642,15 @@ class SearchEngine:
         ):
             return self._search_pruned(expr, token_terms, k, with_metadata)
 
-        # single-Term conjunctive fast path: a non-exact, non-excluded Term
-        # (so no special keywords exist anywhere) matches a doc iff ALL its
-        # tokenized keywords are present (all-of semantics), so the result
-        # is exactly the semi-join ladder — scan -> decode -> broadcast-semi
-        # chain -> TakeOrderedAndProject, no groupBy shuffle at all.  This
-        # is the multi-keyword class (camel/stem expansion, e.g.
-        # "enableFirewallWhitelist") whose full-path groupBy was sized by
-        # the hottest stem's df.
+        # conjunctive fast path: a pure conjunction (a simple Term's
+        # all-of keywords, or an And-tree of simple Terms — "+a +b +c",
+        # "a AND b") matches a doc iff ALL keywords are present, so the
+        # result is exactly the semi-join ladder — scan -> decode ->
+        # broadcast-semi chain -> TakeOrderedAndProject, no groupBy
+        # shuffle and no doc-range exchange at all.  Covers the
+        # multi-keyword camel/stem class ("enableFirewallWhitelist") and
+        # the all-required class whose ranged-path fixed cost dominated
+        # cheap queries (BENCH r1->r2 q4 regression).
         if (
             prune
             and k is not None
@@ -1516,7 +1658,7 @@ class SearchEngine:
             and no_tomb
             and not match_metadata
             and not special_kws
-            and isinstance(expr, ast.Term)
+            and _pure_conjunction(expr)
             and token_terms
         ):
             dfs = self._term_dfs(token_terms)
@@ -1537,11 +1679,20 @@ class SearchEngine:
                         "left_anti",
                     )
                 tf_norm = _tf_norm_col(self.avgdl)
-                # same expression shape (and float association order) as
-                # _compile_score so scores are bit-identical to the full path
-                score_col = F.lit(0.0)
-                for kw in expr.keywords:
-                    score_col = score_col + F.lit(idfs0[kw]) * tf_norm
+
+                # same expression tree (and float association order) as
+                # _compile_score — per-Term left-fold from 0.0, And nodes
+                # add subtree sums — so scores are bit-identical to the
+                # full path
+                def fast_score(e: "ast.Expr"):
+                    if isinstance(e, ast.Term):
+                        s = F.lit(0.0)
+                        for kw in e.keywords:
+                            s = s + F.lit(idfs0[kw]) * tf_norm
+                        return s
+                    return fast_score(e.left) + fast_score(e.right)
+
+                score_col = fast_score(expr)
                 cols = ["doc_id", score_col.alias("score")]
                 if with_metadata:
                     # all keywords present by construction
@@ -1623,7 +1774,7 @@ class SearchEngine:
                     g_set0, affecting0, sorted(set(ktm.values()))
                 )
                 if bundle is not None:
-                    o_ids, o_presence, o_dls, odf_adj, o_delta = bundle
+                    o_ids, o_presence, o_dls, odf_adj, o_delta, o_bc = bundle
                     adj_avgdl = self.avgdl
                     if o_ids.size and self.n_docs:
                         adj_avgdl = (
@@ -1636,7 +1787,7 @@ class SearchEngine:
                         with_metadata,
                         df_adj=odf_adj,
                         avgdl=adj_avgdl,
-                        overlay=(o_ids, o_presence, o_dls),
+                        overlay=(o_ids, o_presence, o_dls, o_bc),
                         seen_ids=seen_ids,
                         allow_ids=allow_ids,
                     )

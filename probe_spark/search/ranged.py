@@ -210,12 +210,13 @@ def make_range_eval(
     """Build the mapInArrow generator: decode blocks overlapping each
     range, evaluate, emit the per-range top-k (score desc, doc_id asc).
 
-    ``exclude_ids`` (sorted int64 numpy array): doc_ids whose candidacy is
-    handled elsewhere — the special-term repair overlay scores affected
-    docs on the driver with their REPAIRED presence/dl, so the ranges must
-    not emit them with stale token-index state.  The array rides the
-    pickled task closure (PySpark auto-broadcasts large commands); it is
-    capped driver-side (engine.REPAIR_OVERLAY_CAP).
+    ``exclude_ids`` (sorted int64 numpy array, or a pyspark Broadcast of
+    one): doc_ids whose candidacy is handled elsewhere — the special-term
+    repair overlay scores affected docs on the driver with their REPAIRED
+    presence/dl, so the ranges must not emit them with stale token-index
+    state.  The overlay hands this in as a Broadcast (serialized once per
+    query shape, executor-cached); session seen-sets are small arrays in
+    the closure.  Capped driver-side (engine.REPAIR_OVERLAY_CAP).
 
     ``allow_ids`` (sorted int64 numpy array): metadata-scoped search
     (engine ``where=``) — ONLY these doc_ids may qualify.  Filter context:
@@ -227,6 +228,11 @@ def make_range_eval(
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
+        ex_ids = (
+            exclude_ids.value
+            if hasattr(exclude_ids, "value")
+            else exclude_ids
+        )
         acc = _collect_range_postings(batches, width, np)
 
         sorted_kws = sorted(
@@ -266,12 +272,12 @@ def make_range_eval(
             score, isnull, ok = _score_eval_numpy(
                 expr, idfs, present, tf_norm, np
             )
-            if exclude_ids is not None and len(exclude_ids):
+            if ex_ids is not None and len(ex_ids):
                 a = rid * width
-                lo = np.searchsorted(exclude_ids, a)
-                hi = np.searchsorted(exclude_ids, a + width)
+                lo = np.searchsorted(ex_ids, a)
+                hi = np.searchsorted(ex_ids, a + width)
                 if hi > lo:
-                    ok = ok & ~np.isin(uids, exclude_ids[lo:hi])
+                    ok = ok & ~np.isin(uids, ex_ids[lo:hi])
             if allow_ids is not None:
                 a = rid * width
                 lo = np.searchsorted(allow_ids, a)
@@ -351,6 +357,11 @@ def make_batch_range_eval(
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
+        ex_ids = (
+            exclude_ids.value
+            if hasattr(exclude_ids, "value")
+            else exclude_ids
+        )
         acc = _collect_range_postings(batches, width, np)
 
         # every lookup term any query needs a presence mask for
@@ -398,12 +409,12 @@ def make_batch_range_eval(
                 1.0 + K1 * ((1.0 - B) + B * (udls.astype(np.float64) / avgdl))
             )
             excl_mask = None
-            if exclude_ids is not None and len(exclude_ids):
+            if ex_ids is not None and len(ex_ids):
                 a = rid * width
-                lo = np.searchsorted(exclude_ids, a)
-                hi = np.searchsorted(exclude_ids, a + width)
+                lo = np.searchsorted(ex_ids, a)
+                hi = np.searchsorted(ex_ids, a + width)
                 if hi > lo:
-                    excl_mask = ~np.isin(uids, exclude_ids[lo:hi])
+                    excl_mask = ~np.isin(uids, ex_ids[lo:hi])
             if allow_ids is not None:
                 a = rid * width
                 lo = np.searchsorted(allow_ids, a)

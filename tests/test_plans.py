@@ -117,11 +117,59 @@ class TestConjunctive:
             (r["doc_id"], r["score"]) for r in full.collect()
         ]
 
-    def test_and_query_takes_ranged_path_no_row_shuffle(self, engine):
-        # AND query -> doc-range-partitioned evaluation: ONE exchange of
-        # the compressed segments (hashpartitioning on range_id), a Python
-        # Arrow stage, and NO per-posting groupBy/collect_set aggregation
+    def test_and_query_is_broadcast_semi_ladder(self, engine):
+        # a pure conjunction of Terms ("a AND b") is the same all-of
+        # semantics as a multi-keyword Term -> the shuffle-free ladder,
+        # not the doc-range exchange (BENCH r1->r2 q4 regression fix)
         res = engine.search("error AND handling", k=5, with_metadata=False)
+        plan = _plan(res)
+        assert "TakeOrderedAndProject" in plan
+        assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_all_required_is_broadcast_semi_ladder(self, engine):
+        res = engine.search("+error +handling", k=5, with_metadata=False)
+        plan = _plan(res)
+        assert "TakeOrderedAndProject" in plan
+        assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+    @pytest.mark.parametrize(
+        "q", ["error AND handling", "+error +handling", "+api +process +load"]
+    )
+    def test_conjunction_rank_identity_vs_full_path(self, engine, q):
+        fast = engine.search(q, k=10, with_metadata=False)
+        full = engine.search(q, k=10, with_metadata=False, prune=False)
+        assert [(r["doc_id"], r["score"]) for r in fast.collect()] == [
+            (r["doc_id"], r["score"]) for r in full.collect()
+        ]
+
+    def test_mixed_required_optional_not_ladder(self, engine):
+        # "+a b": the optional term does NOT gate candidacy (docs with
+        # only a qualify), so this is NOT a pure conjunction — results
+        # must match the full path, and include optional-missing docs
+        fast = engine.search("+error handling", k=200, with_metadata=False)
+        full = engine.search(
+            "+error handling", k=200, with_metadata=False, prune=False
+        )
+        rows_f = [(r["doc_id"], r["score"]) for r in fast.collect()]
+        assert rows_f == [(r["doc_id"], r["score"]) for r in full.collect()]
+        conj = {
+            r["doc_id"]
+            for r in engine.search(
+                "error AND handling", k=200, with_metadata=False
+            ).collect()
+        }
+        assert {d for d, _ in rows_f} - conj  # strictly wider than the AND
+
+    def test_or_inside_and_takes_ranged_path_no_row_shuffle(self, engine):
+        # non-conjunctive boolean query -> doc-range-partitioned
+        # evaluation: ONE exchange of the compressed segments
+        # (hashpartitioning on range_id), a Python Arrow stage, and NO
+        # per-posting groupBy/collect_set aggregation
+        res = engine.search(
+            "(error OR exception) AND handling", k=5, with_metadata=False
+        )
         plan = _plan(res)
         assert "TakeOrderedAndProject" in plan
         assert "range_id" in plan and "Exchange hashpartitioning" in plan
@@ -132,7 +180,7 @@ class TestConjunctive:
         # session-exclude sets collect to the driver and ride the
         # doc-range path (exclude_ids) — no groupBy, one exchange
         res = engine.search(
-            "error AND handling",
+            "(error OR exception) AND handling",
             k=5,
             with_metadata=False,
             exclude=spark.createDataFrame([(999_999,)], "doc_id long"),
