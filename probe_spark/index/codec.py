@@ -79,6 +79,12 @@ def varint_decode(buf: bytes) -> np.ndarray:
     if not buf:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
+    if not (raw & 0x80).any():
+        # hot-term fast path: dense postings have tiny doc gaps and small
+        # dls, so whole segments are often ALL single-byte varints — the
+        # values are the bytes themselves (one pass instead of six memory
+        # sweeps; the decode is memory-bandwidth-bound at query time)
+        return raw.astype(np.uint64)
     is_end = (raw & 0x80) == 0
     # value id of each byte: 0-based index of the varint it belongs to
     ends = np.flatnonzero(is_end)
@@ -167,7 +173,19 @@ def decode_blocks(
     for s, e in runs:
         d_end = doc_off[e] if e < n_blocks else len(docs_bin)
         l_end = dl_off[e] if e < n_blocks else len(dl_bin)
-        gaps = varint_decode(docs_bin[doc_off[s] : d_end])
+        buf = docs_bin[doc_off[s] : d_end]
+        if s == 0 and len(buf):
+            # block 0's leading varint is the ABSOLUTE first doc id
+            # (multi-byte for any non-tiny corpus) — peel it off so the
+            # remaining gaps, which are tiny for dense terms, can take
+            # varint_decode's all-single-byte fast path
+            first, nb = varint_read_first(buf)
+            rest = varint_decode(buf[nb:])
+            gaps = np.empty(len(rest) + 1, dtype=np.uint64)
+            gaps[0] = first
+            gaps[1:] = rest
+        else:
+            gaps = varint_decode(buf)
         base = last[s - 1] if s > 0 else 0
         ids_parts.append(np.cumsum(gaps.astype(np.int64)) + base)
         dl_parts.append(

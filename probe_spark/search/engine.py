@@ -463,6 +463,11 @@ class SearchEngine:
         # repeat terms across queries; each miss costs a ~0.3s collect job)
         self._meta_cache: dict[str, list] = {}
         self._boot_cache: dict[tuple, tuple] = {}
+        # columnar per-term block tables for WAND selection (index-only
+        # data — arrays of block start/last/min_dl + segment addresses)
+        self._blocktab_cache: dict[str, dict] = {}
+        # winner metadata rows by doc_id (FIFO; ~200 B/doc)
+        self._docmeta_cache: dict[int, dict] = {}
         # special-term repair bundles keyed by (special set, lookup tuple):
         # (persisted retok DataFrame, stats rows, broadcast anti-id frame).
         # Query services repeat excluded/exact-term queries; a hit skips the
@@ -494,6 +499,8 @@ class SearchEngine:
         self._df_cache.clear()
         self._meta_cache.clear()
         self._boot_cache.clear()
+        self._blocktab_cache.clear()
+        self._docmeta_cache.clear()
         for bundle in self._overlay_cache.values():
             if bundle is not None and bundle[5] is not None:
                 bundle[5].unpersist(blocking=False)
@@ -742,8 +749,41 @@ class SearchEngine:
         if not idfs:
             return empty
 
-        refs = wand.block_refs(metas, idfs, self.avgdl)
-        best = wand.best_block_per_term(refs)
+        # columnar per-term block tables (cached: the arrays depend only on
+        # the index, not the query) — no per-block Python objects anywhere
+        # on the query path
+        tabs: dict = {}
+        for t in token_terms:
+            tab = self._blocktab_cache.get(t)
+            if tab is None:
+                tab = wand.term_block_table(self._meta_cache[t])
+                while len(self._blocktab_cache) >= 2048:
+                    victim = next(
+                        (
+                            x
+                            for x in self._blocktab_cache
+                            if x not in token_terms
+                        ),
+                        None,
+                    )
+                    if victim is None:
+                        break
+                    del self._blocktab_cache[victim]
+                self._blocktab_cache[t] = tab
+            if len(tab["min_dl"]):
+                tabs[t] = tab
+        best: dict = {}
+        for t, tab in tabs.items():
+            idf = idfs.get(t, 0.0)
+            if idf <= 0.0:
+                continue
+            u = idf * wand.c_factor(tab["min_dl"], self.avgdl)
+            i = int(np.argmax(u))
+            best[t] = wand.BlockRef(
+                t, int(tab["salt"][i]), int(tab["seg_seq"][i]),
+                int(tab["seg_min_doc"][i]), int(tab["block"][i]),
+                int(tab["start"][i]), int(tab["last"][i]), float(u[i]),
+            )
 
         # 2. theta bootstrap: decode ONE best block per term (driver-side;
         #    bounded by max_postings_per_segment bytes per term)
@@ -808,9 +848,11 @@ class SearchEngine:
             theta = wand.partial_theta(decoded, idfs, self.avgdl, k)
 
         # 3. sweep + selection
-        keep, stats = wand.select_blocks(refs, theta)
+        keep_masks, stats = wand.select_blocks_columnar(
+            tabs, idfs, self.avgdl, theta
+        )
         self.last_wand_stats = {**stats, "theta": theta}
-        if not keep:
+        if stats["blocks_kept"] == 0:
             return empty
         if (
             not isinstance(expr, ast.Term)
@@ -848,6 +890,21 @@ class SearchEngine:
             if n_par > 1:
                 joined = joined.repartition(n_par)
         else:
+            # materialize the (small) keep manifest from the masks —
+            # iterates only surviving blocks
+            keep: dict[tuple, list[int]] = {}
+            for t, m in keep_masks.items():
+                tab = tabs[t]
+                for i in np.flatnonzero(m).tolist():
+                    keep.setdefault(
+                        (
+                            t,
+                            int(tab["salt"][i]),
+                            int(tab["seg_seq"][i]),
+                            int(tab["seg_min_doc"][i]),
+                        ),
+                        [],
+                    ).append(int(tab["block"][i]))
             keep_df = spark.createDataFrame(
                 [
                     (t, s, q, m, sorted(blocks))
@@ -1478,8 +1535,27 @@ class SearchEngine:
             return None
         import pyarrow.dataset as pds
 
+        src: "str | list[str]" = d
+        ranges = self._docs_file_ranges()
+        if ranges is not None:
+            # prune to the <=k shards whose [min_doc, max_doc] contain a
+            # winner — without this, every lookup opens EVERY shard's
+            # footer (measured 3.5 s over 1.6k shards at 26.4M turns; the
+            # ranges themselves are swept once per engine and cached)
+            import numpy as np  # noqa: PLC0415
+
+            wanted = np.asarray(sorted(ids), dtype=np.int64)
+            files = [
+                p
+                for p, lo, hi in ranges
+                if np.searchsorted(wanted, lo)
+                < np.searchsorted(wanted, hi, side="right")
+            ]
+            if not files:
+                return []
+            src = files
         try:
-            return pds.dataset(d, format="parquet").to_table(
+            return pds.dataset(src, format="parquet").to_table(
                 columns=[
                     "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                     "text",
@@ -1517,11 +1593,21 @@ class SearchEngine:
                 .orderBy(F.desc("score"), F.asc("doc_id"))
             )
         ids = sorted({int(r["doc_id"]) for r in rows})
-        meta = self._meta_rows_driver(ids)
-        if meta is not None and len({m["doc_id"] for m in meta}) == len(ids):
+        # per-doc metadata LRU: a warm service repeats queries (and hot
+        # docs recur across queries), so winners usually resolve without
+        # touching the docs shards at all
+        missing = [i for i in ids if i not in self._docmeta_cache]
+        meta = self._meta_rows_driver(missing) if missing else []
+        if meta is not None and len({m["doc_id"] for m in meta}) == len(
+            missing
+        ):
             from pyspark.sql.types import StructType
 
-            by_id = {int(m["doc_id"]): m for m in meta}
+            for m in meta:
+                while len(self._docmeta_cache) >= 100_000:
+                    self._docmeta_cache.pop(next(iter(self._docmeta_cache)))
+                self._docmeta_cache[int(m["doc_id"])] = m
+            by_id = {i: self._docmeta_cache[i] for i in ids}
             out = []
             for r in rows:
                 d = r.asDict()

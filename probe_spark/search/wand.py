@@ -105,6 +105,79 @@ def block_refs(metas: list[SegmentMeta], idfs: dict[str, float], avgdl: float):
     return refs
 
 
+def term_block_table(metas: "list[SegmentMeta]") -> "dict[str, np.ndarray]":
+    """Columnar per-block table for ONE term's segments — built once per
+    term and cacheable (engine._blocktab_cache): block-level arrays
+    (salt, seg_seq, seg_min_doc, block index, start, last, min_dl).
+    Replaces per-query construction of one Python BlockRef object per
+    block (a 60%-df term has ~125k blocks; building and sweeping that
+    list in Python cost seconds per query and serialized the concurrent
+    service on the driver GIL)."""
+    cols = {
+        "salt": [], "seg_seq": [], "seg_min_doc": [], "block": [],
+        "start": [], "last": [], "min_dl": [],
+    }
+    for m in metas:
+        nb = len(m.block_last)
+        if nb == 0:
+            continue
+        starts = np.empty(nb, dtype=np.int64)
+        starts[0] = m.min_doc
+        starts[1:] = m.block_last[:-1] + 1
+        cols["salt"].append(np.full(nb, m.salt, dtype=np.int32))
+        cols["seg_seq"].append(np.full(nb, m.seg_seq, dtype=np.int32))
+        cols["seg_min_doc"].append(np.full(nb, m.min_doc, dtype=np.int64))
+        cols["block"].append(np.arange(nb, dtype=np.int32))
+        cols["start"].append(starts)
+        cols["last"].append(np.asarray(m.block_last, dtype=np.int64))
+        cols["min_dl"].append(np.asarray(m.block_min_dl, dtype=np.int32))
+    if not cols["salt"]:
+        return {
+            k: np.empty(0, dtype=np.int64 if k in ("seg_min_doc", "start", "last") else np.int32)
+            for k in cols
+        }
+    return {k: np.concatenate(v) for k, v in cols.items()}
+
+
+def select_blocks_columnar(
+    tables: "dict[str, dict[str, np.ndarray]]",
+    idfs: dict[str, float],
+    avgdl: float,
+    theta: float,
+) -> "tuple[dict[str, np.ndarray], dict[str, int]]":
+    """Vectorized block selection over per-term columnar tables.
+
+    Bound used: ub_t(block) + sum over OTHER terms of max ub — a superset
+    of the exact event-sweep keep set (select_blocks), so exactness is
+    preserved while the whole selection is a handful of numpy ops instead
+    of an O(blocks) Python loop.  For a single term the bound IS the
+    sweep's bound (same-term blocks never overlap), so the keep set is
+    identical there.  Returns ({term: bool keep mask}, stats)."""
+    ubs: dict[str, np.ndarray] = {}
+    maxes: dict[str, float] = {}
+    total = 0
+    for t, tab in tables.items():
+        idf = idfs.get(t, 0.0)
+        if idf <= 0.0 or not len(tab["min_dl"]):
+            continue
+        u = idf * c_factor(tab["min_dl"], avgdl)
+        ubs[t] = u
+        maxes[t] = float(u.max())
+        total += len(u)
+    stats = {"blocks_total": total, "blocks_kept": 0}
+    masks: dict[str, np.ndarray] = {}
+    all_max = sum(maxes.values())
+    for t, u in ubs.items():
+        others = all_max - maxes[t]
+        if theta <= 0.0:
+            m = np.ones(len(u), dtype=bool)
+        else:
+            m = (u + others) >= (theta - 1e-12)
+        masks[t] = m
+        stats["blocks_kept"] += int(m.sum())
+    return masks, stats
+
+
 def best_block_per_term(refs: list[BlockRef]) -> dict[str, BlockRef]:
     best: dict[str, BlockRef] = {}
     for r in refs:

@@ -72,6 +72,85 @@ class TestSweep:
         keep, _ = wand.select_blocks(self._refs(), theta=10.0)
         assert keep == {}
 
+
+class TestColumnarSelect:
+    """select_blocks_columnar: the vectorized driver path — exact for a
+    single term, a SUPERSET of the event sweep for multi-term (safety:
+    keeping extra blocks never changes results, only decode volume)."""
+
+    def _tables(self, avgdl=10.0):
+        # term a: blocks [0,99] min_dl 5, [100,199] min_dl 40
+        # term b: block [50,149] min_dl 80
+        ma = wand.SegmentMeta(
+            "a", 0, 0, 0, 199,
+            np.array([99, 199], dtype=np.int64),
+            np.array([5, 40], dtype=np.int32),
+        )
+        mb = wand.SegmentMeta(
+            "b", 0, 0, 50, 149,
+            np.array([149], dtype=np.int64),
+            np.array([80], dtype=np.int32),
+        )
+        return {"a": wand.term_block_table([ma]),
+                "b": wand.term_block_table([mb])}
+
+    def test_table_shape(self):
+        tab = self._tables()["a"]
+        assert tab["start"].tolist() == [0, 100]
+        assert tab["last"].tolist() == [99, 199]
+        assert tab["block"].tolist() == [0, 1]
+        assert tab["seg_min_doc"].tolist() == [0, 0]
+
+    def test_single_term_matches_sweep_exactly(self):
+        idfs = {"a": 1.0}
+        avgdl = 10.0
+        tabs = {"a": self._tables()["a"]}
+        ub = 1.0 * wand.c_factor(tabs["a"]["min_dl"], avgdl)
+        theta = float((ub[0] + ub[1]) / 2)  # between the two block ubs
+        masks, stats = wand.select_blocks_columnar(tabs, idfs, avgdl, theta)
+        assert masks["a"].tolist() == [True, False]
+        # reference: the event sweep keeps the same single-term set
+        refs = [
+            wand.BlockRef("a", 0, 0, 0, 0, 0, 99, float(ub[0])),
+            wand.BlockRef("a", 0, 0, 0, 1, 100, 199, float(ub[1])),
+        ]
+        keep, sweep_stats = wand.select_blocks(refs, theta)
+        assert keep == {("a", 0, 0, 0): [0]}
+        assert stats["blocks_kept"] == sweep_stats["blocks_kept"] == 1
+
+    def test_multi_term_is_superset_of_sweep(self):
+        idfs = {"a": 1.0, "b": 1.0}
+        avgdl = 10.0
+        tabs = self._tables()
+        ua = 1.0 * wand.c_factor(tabs["a"]["min_dl"], avgdl)
+        ub_ = 1.0 * wand.c_factor(tabs["b"]["min_dl"], avgdl)
+        refs = [
+            wand.BlockRef("a", 0, 0, 0, 0, 0, 99, float(ua[0])),
+            wand.BlockRef("a", 0, 0, 0, 1, 100, 199, float(ua[1])),
+            wand.BlockRef("b", 0, 0, 50, 0, 50, 149, float(ub_[0])),
+        ]
+        for theta in (0.0, 0.5, 1.0, 1.5, 2.0, 5.0):
+            masks, _ = wand.select_blocks_columnar(tabs, idfs, avgdl, theta)
+            keep, _ = wand.select_blocks(refs, theta)
+            swept = {
+                (t, s, q, m, blk)
+                for (t, s, q, m), blocks in keep.items()
+                for blk in blocks
+            }
+            columnar = {
+                (t, int(tabs[t]["salt"][i]), int(tabs[t]["seg_seq"][i]),
+                 int(tabs[t]["seg_min_doc"][i]), int(tabs[t]["block"][i]))
+                for t, m in masks.items()
+                for i in np.flatnonzero(m)
+            }
+            assert swept <= columnar, theta
+
+    def test_zero_idf_term_contributes_nothing(self):
+        masks, stats = wand.select_blocks_columnar(
+            self._tables(), {"a": 1.0, "b": 0.0}, 10.0, 0.0
+        )
+        assert "b" not in masks and stats["blocks_total"] == 2
+
     def test_partial_theta_is_kth(self):
         decoded = [
             ("a", np.array([1, 2, 3]), np.array([10, 10, 10])),
