@@ -42,6 +42,14 @@ from scaling_bench import bw_capacity, hw_capacity, pregen_corpus  # noqa: E402
 # startup, not query latency)
 PASSES = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))
 
+# SPARK_GRAFT_QUERY_SERVICE=1: clients submit through the micro-batching
+# QueryService (search/service.py) instead of calling search() directly —
+# the serving architecture a throughput-oriented deployment runs (requests
+# in flight coalesce into one shared search_batch job, paying the
+# per-query driver/scheduler floor once per batch).  Writes
+# SCALING_QUERY_SERVICE.json so both serving modes keep their artifact.
+SERVICE = os.environ.get("SPARK_GRAFT_QUERY_SERVICE", "") == "1"
+
 
 def pregen_index(corpus_dir: str, n_convs: int) -> str:
     """Build the index ONCE at full parallelism; every measured sample
@@ -86,11 +94,23 @@ eng = SearchEngine(spark, {index_dir!r})
 for _qid, qtext, k in REFERENCE_QUERIES:
     eng.search(qtext, k=k).collect()
 
-def one(args):
-    _qid, qtext, k = args
-    t0 = time.time()
-    eng.search(qtext, k=k).collect()
-    return time.time() - t0
+service = {service}
+if service:
+    from probe_spark.search.service import QueryService
+
+    svc = QueryService(eng, max_batch=max(cpus * 4, 16))
+
+    def one(args):
+        _qid, qtext, k = args
+        t0 = time.time()
+        svc.search(qtext, k=k)
+        return time.time() - t0
+else:
+    def one(args):
+        _qid, qtext, k = args
+        t0 = time.time()
+        eng.search(qtext, k=k).collect()
+        return time.time() - t0
 
 work = [q for _ in range({passes})
           for q in REFERENCE_QUERIES]
@@ -115,7 +135,8 @@ spark.stop()
 
 def run_once(cpus: int, index_dir: str) -> dict:
     code = WORKER_CODE.format(
-        repo=REPO, cpus=cpus, index_dir=index_dir, passes=PASSES
+        repo=REPO, cpus=cpus, index_dir=index_dir, passes=PASSES,
+        service=SERVICE,
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -194,7 +215,11 @@ def main() -> None:
     bw_eff = (best_bw[hi] / best_bw[lo]) / ratio if best_bw[lo] else 0.0
     normalized_bw = raw / bw_eff if bw_eff > 0 else 0.0
     result = {
-        "job": "bm25_query_service",
+        "job": "bm25_query_service_batched" if SERVICE
+        else "bm25_query_service",
+        "serving_mode": "micro-batched (QueryService over search_batch)"
+        if SERVICE
+        else "per-request search()",
         "n_turns_indexed": n_convs and None,  # filled below
         "n_queries_per_sample": n_queries,
         "suite": "REFERENCE_QUERIES x %d passes, warm, in-flight = cores"
@@ -238,7 +263,10 @@ def main() -> None:
     except Exception:
         result["n_turns_indexed"] = None
     print(json.dumps(result))
-    with open(os.path.join(REPO, "SCALING_QUERY.json"), "w") as f:
+    out = (
+        "SCALING_QUERY_SERVICE.json" if SERVICE else "SCALING_QUERY.json"
+    )
+    with open(os.path.join(REPO, out), "w") as f:
         json.dump(result, f, indent=2)
 
 
