@@ -2237,6 +2237,26 @@ class SearchEngine:
                 )
         return result
 
+    def batchable(self, query: str, exact: bool = False) -> bool:
+        """True when ``search_batch`` can co-execute this query in the
+        shared job (same classification the batch itself applies): no
+        zero-included shape (e.g. a lone excluded term — every doc
+        qualifies) and no repair-affecting special terms (per-query
+        tokenizer state).  Driver-only tokenizer work, no Spark jobs —
+        a serving layer uses this to route fallback shapes to parallel
+        individual jobs instead of serializing them inside a batch."""
+        try:
+            expr, _special = parse_query(query, exact=exact)
+        except ParseError:
+            return True  # empty contribution either way
+        query_terms = ast.extract_query_terms(expr)
+        if len(query_terms) > MAX_QUERY_TERMS or not query_terms:
+            return True
+        special_kws = special_keywords(expr)
+        plans = {kw: special_plan(kw) for kw in sorted(special_kws)}
+        _g0, affecting0 = affecting_specials(plans)
+        return not (zero_included(expr) or affecting0)
+
     def search_batch(
         self,
         queries: "list[str]",

@@ -34,7 +34,7 @@ tests/test_service.py.
 from __future__ import annotations
 
 import threading
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 
 from probe_spark.search.engine import SearchEngine
 
@@ -67,6 +67,13 @@ class QueryService:
         self._lock = threading.Condition()
         self._queue: list[tuple[str, int, Future]] = []
         self._closed = False
+        # non-batchable shapes (zero-included, repair specials — engine.
+        # batchable()) would SERIALIZE inside search_batch's per-query
+        # fallback loop; they run here as concurrent individual jobs
+        # instead, alongside the batched job
+        self._pool = ThreadPoolExecutor(
+            max_workers=16, thread_name_prefix="query-service-single"
+        )
         self._worker = threading.Thread(
             target=self._run, name="query-service-dispatch", daemon=True
         )
@@ -96,6 +103,7 @@ class QueryService:
             self._queue = []
         for _q, _k, fut in pending:
             fut.cancel()
+        self._pool.shutdown(wait=True)
 
     # -- dispatcher --------------------------------------------------------
     def _run(self) -> None:
@@ -109,39 +117,58 @@ class QueryService:
                 del self._queue[: len(batch)]
             self._execute(batch)
 
-    def _execute(self, batch: "list[tuple[str, int, Future]]") -> None:
-        queries = [q for q, _k, _f in batch]
-        ks = [k for _q, k, _f in batch]
+    def _run_single(self, q: str, k: int, fut: "Future") -> None:
         try:
-            if len(batch) == 1:
-                # no co-batched work: the point query path has the better
-                # latency (no per-(query,range) window merge)
-                q, k, fut = batch[0]
-                rows = [
-                    r.asDict()
-                    for r in self.engine.search(
-                        q, k=k, with_metadata=self.with_metadata
-                    ).collect()
-                ]
-                if not fut.cancelled():
-                    fut.set_result(rows)
-                return
+            rows = [
+                r.asDict()
+                for r in self.engine.search(
+                    q, k=k, with_metadata=self.with_metadata
+                ).collect()
+            ]
+        except Exception as e:
+            if not fut.cancelled():
+                fut.set_exception(e)
+            return
+        if not fut.cancelled():
+            fut.set_result(rows)
+
+    def _execute(self, batch: "list[tuple[str, int, Future]]") -> None:
+        # split: shapes search_batch would fall back on run as concurrent
+        # individual jobs (Spark schedules their stages alongside the
+        # batched job); the rest share ONE search_batch job
+        shared: list[tuple[str, int, Future]] = []
+        for q, k, fut in batch:
+            if self.engine.batchable(q):
+                shared.append((q, k, fut))
+            else:
+                self._pool.submit(self._run_single, q, k, fut)
+        if not shared:
+            return
+        if len(shared) == 1:
+            # no co-batched work: the point query path has the better
+            # latency (no per-(query,range) window merge)
+            q, k, fut = shared[0]
+            self._run_single(q, k, fut)
+            return
+        queries = [q for q, _k, _f in shared]
+        ks = [k for _q, k, _f in shared]
+        try:
             res = self.engine.search_batch(
                 queries,
                 k=ks,
                 with_metadata=self.with_metadata,
             ).collect()
         except Exception as e:  # resolve every waiter, never hang
-            for _q, _k, fut in batch:
+            for _q, _k, fut in shared:
                 if not fut.cancelled():
                     fut.set_exception(e)
             return
-        by_idx: dict[int, list] = {i: [] for i in range(len(batch))}
+        by_idx: dict[int, list] = {i: [] for i in range(len(shared))}
         for r in res:
             d = r.asDict()
             i = int(d.pop("query_idx"))
             d.pop("query", None)
             by_idx[i].append(d)
-        for i, (_q, _k, fut) in enumerate(batch):
+        for i, (_q, _k, fut) in enumerate(shared):
             if not fut.cancelled():
                 fut.set_result(by_idx[i])
