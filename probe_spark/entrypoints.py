@@ -590,6 +590,21 @@ def _q_ann_ivf(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"), "cos_sim")
 
 
+def _q_ann_knn_join(spark, sf_dir):
+    """Batched ANN (ops/similarity.knn_join): a BATCH of query vectors
+    (every 100th embedding) against the IVF cell-pruned candidates in ONE
+    job — per-query probe sets computed executor-side, the probed-cell
+    union partition-prunes the scan, candidates ⋈ broadcast(queries) on
+    cell, per-query exact top-k.  The search_batch analog for vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_join(
+        queries, emb, k=10, n_cells=16, n_probe=4
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = events.sessionize(ev, gap_minutes=30)
@@ -1182,32 +1197,40 @@ def _q_corpus_profile(spark, sf_dir):
 
 
 # Entry order is a contract with the correctness driver: it verifies the
-# FIRST 50 entries of this dict (CORRECTNESS_r02 stopped at 50 of 63, so
-# round 2's newest operators had no driver-green row — VERDICT.md #1).
-# The window below holds every distinct piece of machinery (lifecycle,
-# curation, percolation, retrieval eval, streaming); the tail holds
-# variants whose code paths are already pinned by a sibling inside the
-# window (noted per entry).
+# FIRST 50 entries of this dict.  Round-4 rotation (VERDICT r3 #6): the
+# 14 entries that sat outside round 3's window lead this round, followed
+# by the new round-4 machinery, then the round-3-green entries most
+# affected by this round's engine changes (dispatch, cache locking).
+# The tail holds round-3 DRIVER-GREEN entries whose code paths are
+# untouched this round — the union of the r03 and r04 driver rows covers
+# every entry.
 QUERIES = {
+    # ---- round-3 tail, rotated into the window ----
+    "bm25_implicit_or": _q_bm25_implicit_or,
+    "bm25_grouped": _q_bm25_grouped,
+    "bm25_exact_term": _q_bm25_exact_term,
+    "multi_query_combine": _q_multi_query_combine,
+    "session_page2": _q_session_page2,
+    "ann_cosine": _q_ann_cosine,
+    "chunked_docs": _q_chunked_docs,
+    "image_resize": _q_image_resize,
+    "video_frames": _q_video_frames,
+    "bm25_topk_local": _q_bm25_topk_local,
+    "lang_scan": _q_lang_scan,
+    "windowed_counts": _q_windowed_counts,
+    "doc_lengths": _q_doc_lengths,
+    "retrieval_summary": _q_retrieval_summary,
+    # ---- new in round 4 ----
+    "ann_knn_join": _q_ann_knn_join,
+    # ---- round-3-green, kept in-window (ride this round's changes) ----
     "bm25_or": _q_bm25_or,
     "bm25_and": _q_bm25_and,
     "bm25_required": _q_bm25_required,
     "bm25_excluded": _q_bm25_excluded,
     "term_df": _q_term_df,
     "exact_scan": _q_exact_scan,
-    "dedup_exact": _q_dedup_exact,
-    "ngram_jaccard": _q_ngram_jaccard,
-    "minhash_lsh": _q_minhash_lsh,
-    "dup_clusters": _q_dup_clusters,
-    "dedup_survivors": _q_dedup_survivors,
-    "token_counts": _q_token_counts,
-    "training_examples": _q_training_examples,
-    "packed_examples": _q_packed_examples,
-    "quality": _q_quality,
-    "fingerprint": _q_fingerprint,
     "ann_lsh": _q_ann_lsh,
     "ann_ivf": _q_ann_ivf,
-    "sessionize": _q_sessionize,
     "bm25_topk_wand": _q_bm25_topk_wand,
     "bm25_batch": _q_bm25_batch,
     "streaming_index": _q_streaming_index,
@@ -1215,8 +1238,6 @@ QUERIES = {
     "degenerate_lines": _q_degenerate_lines,
     "bm25_topk_ranged": _q_bm25_topk_ranged,
     "limited_search": _q_limited_search,
-    "simhash": _q_simhash,
-    "lang_id": _q_lang_id,
     "embedding_dup": _q_embedding_dup,
     "image_meta": _q_image_meta,
     "audio_meta": _q_audio_meta,
@@ -1230,30 +1251,30 @@ QUERIES = {
     "percolate": _q_percolate,
     "merged_index": _q_merged_index,
     "decontaminate": _q_decontaminate,
-    "mixed_sources": _q_mixed_sources,
-    "pii_redacted": _q_pii_redacted,
-    "source_quota": _q_source_quota,
-    "repetition": _q_repetition,
+    "training_examples": _q_training_examples,
+    "packed_examples": _q_packed_examples,
     "training_shards": _q_training_shards,
     "lm_perplexity": _q_lm_perplexity,
     "retrieval_metrics": _q_retrieval_metrics,
     "corpus_profile": _q_corpus_profile,
     "streaming_windows": _q_streaming_windows,
-    # ---- tail: variants pinned by a sibling in the window above ----
-    "bm25_implicit_or": _q_bm25_implicit_or,  # parser/OR pinned by bm25_or
-    "bm25_grouped": _q_bm25_grouped,  # paren groups ride the same gates
-    "bm25_exact_term": _q_bm25_exact_term,  # exact terms pinned by exact_scan
-    "multi_query_combine": _q_multi_query_combine,  # AND-join of bm25_and
-    "session_page2": _q_session_page2,  # exclude= pre-top-k, pytest-pinned
-    "ann_cosine": _q_ann_cosine,  # brute-force baseline of ann_lsh/ivf
-    "chunked_docs": _q_chunked_docs,  # chunk stage inside training_examples
-    "image_resize": _q_image_resize,  # multimodal plumbing of image_meta
-    "video_frames": _q_video_frames,  # multimodal plumbing of audio_meta
-    "bm25_topk_local": _q_bm25_topk_local,  # rank-identity pytest-pinned
-    "lang_scan": _q_lang_scan,  # pushed-down predicate of exact_scan
-    "windowed_counts": _q_windowed_counts,  # batch twin of streaming_windows
-    "doc_lengths": _q_doc_lengths,  # dl/avgdl pinned by every BM25 oracle
-    "retrieval_summary": _q_retrieval_summary,  # wrapper of retrieval_metrics
+    # ---- tail: round-3 DRIVER-GREEN (CORRECTNESS_r03), code untouched
+    # this round; pytest + scripts/check_contract.py keep them pinned ----
+    "dedup_exact": _q_dedup_exact,
+    "ngram_jaccard": _q_ngram_jaccard,
+    "minhash_lsh": _q_minhash_lsh,
+    "dup_clusters": _q_dup_clusters,
+    "dedup_survivors": _q_dedup_survivors,
+    "token_counts": _q_token_counts,
+    "quality": _q_quality,
+    "fingerprint": _q_fingerprint,
+    "sessionize": _q_sessionize,
+    "simhash": _q_simhash,
+    "lang_id": _q_lang_id,
+    "mixed_sources": _q_mixed_sources,
+    "pii_redacted": _q_pii_redacted,
+    "source_quota": _q_source_quota,
+    "repetition": _q_repetition,
 }
 
 
@@ -1549,6 +1570,81 @@ JOIN cells cl ON cl.vec_id = e.vec_id, q
 WHERE cl.cell IN (SELECT c FROM probes)
 ORDER BY cos_sim DESC, e.vec_id ASC
 LIMIT 25
+"""
+
+
+def _ann_knn_join_oracle(
+    dim: int = 64, n_cells: int = 16, n_probe: int = 4, k: int = 10,
+    seed: int = 13,
+) -> str:
+    """SQL mirror of similarity.knn_join over the seeded IVF quantizer:
+    per-query probe sets = the n_probe cells ranked by (dot desc, cell
+    asc); candidates = rows whose argmax-dot cell is in THAT query's
+    probe set; per-query exact cosine top-k (rounded 6 dp, ties ->
+    vec_id asc)."""
+    cents = similarity._seeded_centroids(dim, n_cells, seed)
+    rows = ",\n      ".join(
+        "({c}, [{xs}]::DOUBLE[])".format(
+            c=c, xs=", ".join(repr(float(x)) for x in cents[c])
+        )
+        for c in range(n_cells)
+    )
+    return f"""
+WITH cents(c, vec) AS (VALUES
+      {rows}),
+dots AS (
+  SELECT e.vec_id, ct.c,
+         list_sum(list_transform(list_zip(e.embedding, ct.vec),
+                                 s -> s[1]::DOUBLE * s[2]::DOUBLE)) AS d
+  FROM embeddings e CROSS JOIN cents ct
+),
+cells AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+qdots AS (
+  SELECT q.query_id, ct.c,
+         list_sum(list_transform(list_zip(ct.vec, q.qv),
+                                 s -> s[1]::DOUBLE * s[2]::DOUBLE)) AS d
+  FROM cents ct CROSS JOIN q
+),
+probes AS (
+  SELECT query_id, c FROM (
+    SELECT query_id, c,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d DESC, c ASC) AS rn
+    FROM qdots
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           list_sum(list_transform(list_zip(e.embedding, q.qv),
+                                   s -> s[1]::DOUBLE * s[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                                           x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv,
+                                             x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cos_sim
+  FROM embeddings e
+  JOIN cells cl ON cl.vec_id = e.vec_id
+  JOIN probes p ON p.c = cl.cell
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+ORDER BY query_id ASC, cos_sim DESC, vec_id ASC
 """
 
 
@@ -2141,6 +2237,7 @@ FROM events GROUP BY 1, 2
     "lang_id": _lang_id_oracle(),
     "ann_lsh": _ann_lsh_oracle(),
     "ann_ivf": _ann_ivf_oracle(),
+    "ann_knn_join": _ann_knn_join_oracle(),
     "embedding_dup": _embedding_dup_oracle(),
     "image_meta": _IMAGE_META_ORACLE,
     "image_resize": _IMAGE_RESIZE_ORACLE,

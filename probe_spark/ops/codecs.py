@@ -187,10 +187,16 @@ def resize_area_f64(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     xs = np.clip(xs, 0, w)
     out = np.empty((out_h, out_w), dtype=np.float64)
     for r in range(out_h):
-        y0, y1 = ys[r], max(ys[r + 1], ys[r] + 1)
+        # clamp the box start to the last valid source row/column: when
+        # upscaling, rounding can put ys[r]/xs[c] AT h/w (1-px image to
+        # 3 wide gives xs=[0,0,1,1]), and an empty source box means a
+        # NaN mean reported as an 'ok' feature
+        y0 = min(int(ys[r]), h - 1)
+        y1 = max(int(ys[r + 1]), y0 + 1)
         band = gray[y0:y1]
         for c in range(out_w):
-            x0, x1 = xs[c], max(xs[c + 1], xs[c] + 1)
+            x0 = min(int(xs[c]), w - 1)
+            x1 = max(int(xs[c + 1]), x0 + 1)
             out[r, c] = band[:, x0:x1].mean()
     return out
 

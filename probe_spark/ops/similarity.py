@@ -432,16 +432,21 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 0,
+    n_planes: int = 8,
+    exact: bool = False,
     seed: int = 7,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine >= threshold.
 
-    n_planes=0 -> exact all-pairs (the verifier / small-scale path: a single
-    range-predicate self-join).  n_planes>0 -> candidates restricted to equal
-    LSH buckets first (the 100 TB path; recall controlled by n_planes, and
-    high-threshold dups almost always share all sign bits).
+    The DEFAULT is the LSH-bucketed path (candidates restricted to equal
+    sign-bit buckets before the cosine check — the 100 TB shape: recall
+    controlled by n_planes, and high-threshold dups almost always share
+    all sign bits).  ``exact=True`` (or n_planes=0) opts into the exact
+    all-pairs self-join — the verifier / small-scale path a large-corpus
+    user must now ask for explicitly rather than stumble into df² work.
     """
+    if exact:
+        n_planes = 0
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -477,3 +482,197 @@ def embedding_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
     )
     return pairs
+
+
+def with_ivf_probes(
+    queries: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    seed: int = 13,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Explode each query row to its ``n_probe`` probe cells.
+
+    Executor-side twin of the driver-side ``_ivf_probes``: centroid dots
+    via the same left-fold ``F.aggregate`` accumulation, ranked by
+    (dot desc, cell asc) with an ``array_sort`` comparator, top n_probe
+    sliced and exploded — so a BATCH of queries computes its probe sets
+    in one codegen stage instead of one driver loop per query.  Output:
+    the query columns plus ``cell`` (int); a query appears once per
+    probe cell."""
+    cents = _seeded_centroids(dim, n_cells, seed) if centroids is None else centroids
+    n_cells = len(cents)
+    v = F.col(vec_col)
+    dots = F.array(
+        *[
+            _dot(v, F.array(*[F.lit(float(x)) for x in cents[c]]))
+            for c in range(n_cells)
+        ]
+    )
+    ranked = F.array_sort(
+        F.transform(dots, lambda d, i: F.struct(d.alias("d"), i.alias("i"))),
+        lambda l, r: (
+            F.when(l["d"] > r["d"], F.lit(-1))
+            .when(l["d"] < r["d"], F.lit(1))
+            .otherwise(l["i"] - r["i"])
+        ),
+    )
+    probe_cells = F.transform(
+        F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int")
+    )
+    return queries.withColumn("cell", F.explode(probe_cells))
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: "DataFrame | None" = None,
+    *,
+    spark=None,
+    index_path: "str | None" = None,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    seed: int = 13,
+    centroids: "np.ndarray | None" = None,
+    partial_topk: bool = True,
+) -> DataFrame:
+    """Batched ANN: top-k neighbors for EVERY query row in ONE job — the
+    vector twin of ``SearchEngine.search_batch`` (hard-negative mining,
+    embedding-dedup candidate generation, eval-suite retrieval all run
+    this shape, not one-vector point lookups).
+
+    Plan (and why it holds at 100 TB):
+
+      1. probe assignment: each query explodes to its n_probe IVF cells
+         (``with_ivf_probes``) — one codegen stage over the QUERY batch,
+         which is the small side (a mining batch is 1e3-1e6 rows, bounded
+         by the caller; chunk the batch if larger).
+      2. the union of probed cells (<= n_cells values, metadata-scale
+         collect) becomes a literal ``cell IN (...)`` — over a
+         ``write_ivf_index`` directory that is a PARTITION filter, so the
+         scan lists only the probed cell directories and per-batch IO is
+         |union probes|/n_cells of the corpus, never all of it.
+      3. candidates ⋈ broadcast(query probes) on cell — the corpus side
+         never shuffles: each scanned cell partition map-side joins the
+         broadcast query batch (a query meets a candidate exactly once,
+         since a candidate lives in exactly one cell).
+      4. per-(query, candidate) cosine inside codegen (no UDF), rounded
+         to 6 dp BEFORE ranking (ties -> vec_id asc, same rule as every
+         other ANN surface here).
+      5. top-k: an Arrow-batched per-partition partial top-k first
+         (bounded accumulator of Q*k rows per scan partition — the same
+         shape search_batch uses for per-range top-k), then one window
+         over <= n_partitions*Q*k SLIM rows (query_id, vec_id, cos_sim).
+         The full Q * n_probe/n_cells * N candidate set is scored but
+         never exchanged; only partial winners cross a shuffle.
+         ``partial_topk=False`` skips step 5's Arrow stage and windows
+         the raw scored rows — the verifier path (bit-identical result).
+
+    Corpus source: either ``corpus`` (cells computed on the fly) or
+    ``index_path`` (a ``write_ivf_index`` directory; trained ``_centroids``
+    sidecar honored, partition pruning real).  Returns (query_id, vec_id,
+    cos_sim) ordered by (query_id asc, cos_sim desc, vec_id asc).
+    """
+    if (corpus is None) == (index_path is None):
+        raise ValueError("pass exactly one of corpus= or index_path=")
+    if index_path is not None:
+        if spark is None:
+            spark = queries.sparkSession
+        trained = _load_ivf_centroids(spark, index_path)
+        if trained is not None:
+            centroids = trained
+        cand_all = spark.read.parquet(index_path)
+    else:
+        head = queries.select(q_vec_col).first()
+        dim = len(head[0]) if head is not None and head[0] is not None else 0
+        if dim == 0:
+            # empty query batch: nothing to join
+            return queries.sparkSession.createDataFrame(
+                [], f"{q_id_col} long, {id_col} long, cos_sim double"
+            )
+        cand_all = with_ivf_cell(corpus, dim, n_cells, vec_col, seed, centroids)
+
+    qhead = queries.select(q_vec_col).first()
+    if qhead is None or qhead[0] is None:
+        return queries.sparkSession.createDataFrame(
+            [], f"{q_id_col} long, {id_col} long, cos_sim double"
+        )
+    dim = len(qhead[0])
+
+    qv = F.col(q_vec_col)
+    qprobes = with_ivf_probes(
+        queries.select(
+            F.col(q_id_col).alias("_qid"),
+            qv.alias("_qv"),
+            _norm(qv).alias("_qn"),
+        ),
+        dim,
+        n_cells,
+        n_probe,
+        vec_col="_qv",
+        seed=seed,
+        centroids=centroids,
+    )
+
+    # union of probed cells: <= n_cells distinct values (metadata-scale
+    # collect), becomes a literal IN that partition-prunes an indexed scan
+    probed = sorted(
+        r["cell"] for r in qprobes.select("cell").distinct().collect()
+    )
+    if not probed:
+        return queries.sparkSession.createDataFrame(
+            [], f"{q_id_col} long, {id_col} long, cos_sim double"
+        )
+    cand = cand_all.filter(F.col("cell").isin([int(c) for c in probed]))
+
+    v = F.col(vec_col)
+    scored = (
+        cand.select(F.col(id_col).alias("_cid"), v.alias("_cv"), "cell")
+        .join(F.broadcast(qprobes), "cell")
+        .select(
+            F.col("_qid").cast("long").alias(q_id_col),
+            F.col("_cid").cast("long").alias(id_col),
+            F.round(
+                _dot(F.col("_cv"), F.col("_qv"))
+                / (_norm(F.col("_cv")) * F.col("_qn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+
+    if partial_topk:
+        out_schema = f"{q_id_col} long, {id_col} long, cos_sim double"
+        sort_cols = [q_id_col, "cos_sim", id_col]
+
+        def _partial(it):
+            import pandas as pd  # noqa: PLC0415
+
+            acc = None
+            for b in it:
+                cur = b if acc is None else pd.concat((acc, b))
+                cur = cur.sort_values(
+                    sort_cols, ascending=[True, False, True]
+                )
+                acc = cur.groupby(q_id_col, sort=False).head(k)
+            if acc is not None and len(acc):
+                yield acc
+
+        scored = scored.mapInPandas(_partial, out_schema)
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy(F.asc(q_id_col), F.desc("cos_sim"), F.asc(id_col))
+    )

@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -455,6 +456,12 @@ class SearchEngine:
         self.avgdl = float(stats["avgdl"])
         self.n_buckets = int(stats["n_buckets"])
         self.docs = spark.read.parquet(f"{index_path}/docs")
+        # guards bounded-cache EVICTION under QueryService's thread pool
+        # (search/service.py runs search() on up to 16 threads): without
+        # it two threads can race the FIFO pop of the same first key and
+        # the loser raises KeyError.  Reads stay lock-free (CPython dict
+        # get is atomic); only the evict+insert windows take the lock.
+        self._cache_lock = threading.Lock()
         self._df_cache: dict[str, int] = {}
         # docs/ per-file doc_id ranges (footer sweep, lazy; _UNSET until
         # first _with_meta) — prunes the winner-metadata fetch to O(k) files
@@ -496,19 +503,20 @@ class SearchEngine:
         services over a streaming-ingested index (new micro-batches appear
         after a refresh; queries between refreshes see a consistent older
         snapshot)."""
-        self._df_cache.clear()
-        self._meta_cache.clear()
-        self._boot_cache.clear()
-        self._blocktab_cache.clear()
-        self._docmeta_cache.clear()
-        for bundle in self._overlay_cache.values():
-            if bundle is not None and bundle[5] is not None:
-                bundle[5].unpersist(blocking=False)
-        self._overlay_cache.clear()
-        for bundle in self._repair_cache.values():
-            if bundle is not None:
-                bundle[0].unpersist(blocking=False)
-        self._repair_cache.clear()
+        with self._cache_lock:
+            self._df_cache.clear()
+            self._meta_cache.clear()
+            self._boot_cache.clear()
+            self._blocktab_cache.clear()
+            self._docmeta_cache.clear()
+            for bundle in self._overlay_cache.values():
+                if bundle is not None and bundle[5] is not None:
+                    bundle[5].unpersist(blocking=False)
+            self._overlay_cache.clear()
+            for bundle in self._repair_cache.values():
+                if bundle is not None:
+                    bundle[0].unpersist(blocking=False)
+            self._repair_cache.clear()
         self.__init__(self.spark, self.index_path)
 
     # -- postings access ------------------------------------------------------
@@ -695,7 +703,15 @@ class SearchEngine:
         # 1. metadata collect: no binary columns -> pruned parquet scan;
         #    memoized per term (repeat terms across a query service's
         #    queries skip the job entirely)
-        miss = [t for t in token_terms if t not in self._meta_cache]
+        # snapshot hits first: pool threads share this cache and another
+        # query's eviction pass (its `needed` set differs) could drop a
+        # term between the membership test and the read below
+        local_meta = {
+            t: m
+            for t in token_terms
+            if (m := self._meta_cache.get(t)) is not None
+        }
+        miss = [t for t in token_terms if t not in local_meta]
         if miss:
             miss_buckets = sorted(
                 {spark_bucket(t, self.n_buckets) for t in miss}
@@ -711,21 +727,9 @@ class SearchEngine:
                 )
                 .collect()
             )
-            # FIFO-evict down to the cap, never touching terms this query
-            # needs (a clear-all here would drop the cache-HIT terms and
-            # KeyError below); block arrays are ~KB-20KB/term
-            needed = set(token_terms)
-            while len(self._meta_cache) >= 2048:
-                victim = next(
-                    (t for t in self._meta_cache if t not in needed), None
-                )
-                if victim is None:
-                    break
-                del self._meta_cache[victim]
-            for t in miss:
-                self._meta_cache[t] = []
+            fetched: dict[str, list] = {t: [] for t in miss}
             for r in meta_rows:
-                self._meta_cache[r["term"]].append(
+                fetched[r["term"]].append(
                     wand.SegmentMeta(
                         r["term"], int(r["salt"]), int(r["seg_seq"]),
                         int(r["min_doc"]), int(r["max_doc"]),
@@ -734,7 +738,22 @@ class SearchEngine:
                         int(r["df_seg"]),
                     )
                 )
-        metas = [m for t in token_terms for m in self._meta_cache[t]]
+            # FIFO-evict down to the cap, never touching terms this query
+            # needs; block arrays are ~KB-20KB/term.  Inserts go through
+            # the lock; this query reads its own local_meta snapshot.
+            with self._cache_lock:
+                needed = set(token_terms)
+                while len(self._meta_cache) >= 2048:
+                    victim = next(
+                        (t for t in self._meta_cache if t not in needed),
+                        None,
+                    )
+                    if victim is None:
+                        break
+                    self._meta_cache.pop(victim, None)
+                self._meta_cache.update(fetched)
+            local_meta.update(fetched)
+        metas = [m for t in token_terms for m in local_meta[t]]
         df_by_term: dict[str, int] = {}
         for m in metas:
             df_by_term[m.term] = df_by_term.get(m.term, 0) + m.df_seg
@@ -756,20 +775,21 @@ class SearchEngine:
         for t in token_terms:
             tab = self._blocktab_cache.get(t)
             if tab is None:
-                tab = wand.term_block_table(self._meta_cache[t])
-                while len(self._blocktab_cache) >= 2048:
-                    victim = next(
-                        (
-                            x
-                            for x in self._blocktab_cache
-                            if x not in token_terms
-                        ),
-                        None,
-                    )
-                    if victim is None:
-                        break
-                    del self._blocktab_cache[victim]
-                self._blocktab_cache[t] = tab
+                tab = wand.term_block_table(local_meta[t])
+                with self._cache_lock:
+                    while len(self._blocktab_cache) >= 2048:
+                        victim = next(
+                            (
+                                x
+                                for x in self._blocktab_cache
+                                if x not in token_terms
+                            ),
+                            None,
+                        )
+                        if victim is None:
+                            break
+                        self._blocktab_cache.pop(victim, None)
+                    self._blocktab_cache[t] = tab
             if len(tab["min_dl"]):
                 tabs[t] = tab
         best: dict = {}
@@ -1137,11 +1157,15 @@ class SearchEngine:
                 else None
             )
             bundle = (o_ids, presence, o_dls, df_adj, dl_delta, bc)
-        if len(self._overlay_cache) >= 8:
-            old = self._overlay_cache.pop(next(iter(self._overlay_cache)))
-            if old is not None and old[5] is not None:
-                old[5].unpersist(blocking=False)
-        self._overlay_cache[key] = bundle
+        with self._cache_lock:
+            while len(self._overlay_cache) >= 8:
+                victim = next(iter(self._overlay_cache), None)
+                if victim is None:
+                    break
+                old = self._overlay_cache.pop(victim, None)
+                if old is not None and old[5] is not None:
+                    old[5].unpersist(blocking=False)
+            self._overlay_cache[key] = bundle
         return bundle
 
     def _ranged_src(
@@ -1492,9 +1516,13 @@ class SearchEngine:
                 )
             )
         )
-        if len(self._allow_cache) >= 8:
-            self._allow_cache.pop(next(iter(self._allow_cache)))
-        self._allow_cache[where] = ids
+        with self._cache_lock:
+            while len(self._allow_cache) >= 8:
+                victim = next(iter(self._allow_cache), None)
+                if victim is None:
+                    break
+                self._allow_cache.pop(victim, None)
+            self._allow_cache[where] = ids
         return ids
 
     def _meta_rows(self, ids: list[int]) -> DataFrame:
@@ -1596,18 +1624,30 @@ class SearchEngine:
         # per-doc metadata LRU: a warm service repeats queries (and hot
         # docs recur across queries), so winners usually resolve without
         # touching the docs shards at all
-        missing = [i for i in ids if i not in self._docmeta_cache]
+        # snapshot cached rows up front so a concurrent eviction (service
+        # pool threads share this engine) can't drop an id between the
+        # membership test and the final lookup
+        cached_rows = {
+            i: m for i in ids if (m := self._docmeta_cache.get(i)) is not None
+        }
+        missing = [i for i in ids if i not in cached_rows]
         meta = self._meta_rows_driver(missing) if missing else []
         if meta is not None and len({m["doc_id"] for m in meta}) == len(
             missing
         ):
             from pyspark.sql.types import StructType
 
+            with self._cache_lock:
+                for m in meta:
+                    while len(self._docmeta_cache) >= 100_000:
+                        victim = next(iter(self._docmeta_cache), None)
+                        if victim is None:
+                            break
+                        self._docmeta_cache.pop(victim, None)
+                    self._docmeta_cache[int(m["doc_id"])] = m
+            by_id = dict(cached_rows)
             for m in meta:
-                while len(self._docmeta_cache) >= 100_000:
-                    self._docmeta_cache.pop(next(iter(self._docmeta_cache)))
-                self._docmeta_cache[int(m["doc_id"])] = m
-            by_id = {i: self._docmeta_cache[i] for i in ids}
+                by_id[int(m["doc_id"])] = m
             out = []
             for r in rows:
                 d = r.asDict()
@@ -1728,15 +1768,24 @@ class SearchEngine:
         ):
             return self._search_pruned(expr, token_terms, k, with_metadata)
 
-        # conjunctive fast path: a pure conjunction (a simple Term's
+        # conjunctive zero-df kill: a pure conjunction (a simple Term's
         # all-of keywords, or an And-tree of simple Terms — "+a +b +c",
-        # "a AND b") matches a doc iff ALL keywords are present, so the
-        # result is exactly the semi-join ladder — scan -> decode ->
-        # broadcast-semi chain -> TakeOrderedAndProject, no groupBy
-        # shuffle and no doc-range exchange at all.  Covers the
-        # multi-keyword camel/stem class ("enableFirewallWhitelist") and
-        # the all-required class whose ranged-path fixed cost dominated
-        # cheap queries (BENCH r1->r2 q4 regression).
+        # "a AND b") matches a doc iff ALL keywords are present, so one
+        # keyword with df==0 makes the query unsatisfiable — answered from
+        # the cached term-df metadata with NO Spark job at all.  Covers
+        # the multi-keyword camel/stem class ("enableFirewallWhitelist"
+        # with an absent sub-token) and the all-required class (BENCH q4
+        # "+api +process +load": 'load' never survives tokenization in
+        # the corpus).
+        #
+        # df>0 conjunctions fall through to the doc-range path below: a
+        # cost A/B at 494k docs (r4) measured the broadcast semi-join
+        # ladder SLOWER than the ranged plan at EVERY occurring min-df
+        # (min_df=2.4k: 1.12s vs 0.77s; 100k: 1.18s vs 0.67s — the
+        # ladder's cost is its sequential broadcast-stage barriers, not
+        # data volume, so a bigger corpus does not tilt it back).  The
+        # ladder remains as the conjunctive ANCHOR of the full path,
+        # where it pre-filters a groupBy shuffle it cannot avoid.
         if (
             prune
             and k is not None
@@ -1750,49 +1799,6 @@ class SearchEngine:
             dfs = self._term_dfs(token_terms)
             if any(dfs[t] == 0 for t in token_terms):
                 return empty  # all-of semantics: one absent keyword kills it
-            if min(dfs.values()) <= BROADCAST_DF_CAP:
-                idfs0 = {
-                    t: math.log(
-                        1.0 + (self.n_docs - df + 0.5) / (df + 0.5)
-                    )
-                    for t, df in dfs.items()
-                }
-                cand = self._ladder_candidates(token_terms, dfs)
-                if exclude is not None:
-                    cand = cand.join(
-                        F.broadcast(exclude.select("doc_id")),
-                        "doc_id",
-                        "left_anti",
-                    )
-                tf_norm = _tf_norm_col(self.avgdl)
-
-                # same expression tree (and float association order) as
-                # _compile_score — per-Term left-fold from 0.0, And nodes
-                # add subtree sums — so scores are bit-identical to the
-                # full path
-                def fast_score(e: "ast.Expr"):
-                    if isinstance(e, ast.Term):
-                        s = F.lit(0.0)
-                        for kw in e.keywords:
-                            s = s + F.lit(idfs0[kw]) * tf_norm
-                        return s
-                    return fast_score(e.left) + fast_score(e.right)
-
-                score_col = fast_score(expr)
-                cols = ["doc_id", score_col.alias("score")]
-                if with_metadata:
-                    # all keywords present by construction
-                    cols.append(
-                        F.array(
-                            *[F.lit(t) for t in token_terms]
-                        ).alias("matched_terms")
-                    )
-                result = (
-                    cand.select(*cols)
-                    .orderBy(F.desc("score"), F.asc("doc_id"))
-                    .limit(k)
-                )
-                return self._with_meta(result) if with_metadata else result
 
         # doc-range-partitioned path (search/ranged.py): any top-k boolean
         # query that a zero-hit doc cannot satisfy.  Replaces the decoded
@@ -2104,13 +2110,16 @@ class SearchEngine:
                 )
                 .collect()
             )
-            if len(self._repair_cache) >= 4:
-                # retok DataFrames pin executor memory — keep few (FIFO)
-                oldest = next(iter(self._repair_cache))
-                bundle = self._repair_cache.pop(oldest)
-                if bundle is not None:
-                    bundle[0].unpersist(blocking=False)
-            self._repair_cache[repair_key] = (retok, stats_rows, anti_ids)
+            with self._cache_lock:
+                while len(self._repair_cache) >= 4:
+                    # retok DataFrames pin executor memory — keep few (FIFO)
+                    oldest = next(iter(self._repair_cache), None)
+                    if oldest is None:
+                        break
+                    bundle = self._repair_cache.pop(oldest, None)
+                    if bundle is not None:
+                        bundle[0].unpersist(blocking=False)
+                self._repair_cache[repair_key] = (retok, stats_rows, anti_ids)
         if affecting:
             _DL = "\x00dl"
             df_adj = {
@@ -2237,14 +2246,20 @@ class SearchEngine:
                 )
         return result
 
-    def batchable(self, query: str, exact: bool = False) -> bool:
+    def batchable(
+        self, query: str, exact: bool = False, where: "str | None" = None
+    ) -> bool:
         """True when ``search_batch`` can co-execute this query in the
         shared job (same classification the batch itself applies): no
         zero-included shape (e.g. a lone excluded term — every doc
-        qualifies) and no repair-affecting special terms (per-query
-        tokenizer state).  Driver-only tokenizer work, no Spark jobs —
-        a serving layer uses this to route fallback shapes to parallel
-        individual jobs instead of serializing them inside a batch."""
+        qualifies), no repair-affecting special terms (per-query
+        tokenizer state), no tombstone overflow past the collect cap,
+        and (when a batch scope is given) no where-scope overflow —
+        every one of those makes search_batch serialize the query in
+        its per-query fallback loop.  Driver-only work after the first
+        call (tombstone/scope states are cached) — a serving layer uses
+        this to route fallback shapes to parallel individual jobs
+        instead of serializing them inside a batch."""
         try:
             expr, _special = parse_query(query, exact=exact)
         except ParseError:
@@ -2252,6 +2267,11 @@ class SearchEngine:
         query_terms = ast.extract_query_terms(expr)
         if len(query_terms) > MAX_QUERY_TERMS or not query_terms:
             return True
+        _tomb, tomb_over = self._tombstones()
+        if tomb_over:
+            return False
+        if where is not None and self._allowed_ids(where) is None:
+            return False  # scope past ALLOW_COLLECT_CAP -> batch falls back
         special_kws = special_keywords(expr)
         plans = {kw: special_plan(kw) for kw in sorted(special_kws)}
         _g0, affecting0 = affecting_specials(plans)

@@ -129,6 +129,18 @@ class TestPng:
         assert gray[0, 0] == pytest.approx(0.299 * 255)
         assert gray[1, 1] == 0.0
 
+    def test_resize_upscale_no_nan(self):
+        # rounding puts a box start AT w when upscaling (1 px wide -> 3
+        # wide gives xs=[0,0,1,1]); the clamp keeps every source box
+        # non-empty so no output cell is a NaN mean of an empty slice
+        g = np.array([[7.0], [9.0]])
+        out = codecs.resize_area_f64(g, 3, 3)
+        assert out.shape == (3, 3)
+        assert np.isfinite(out).all()
+        assert set(np.unique(out)) <= {7.0, 8.0, 9.0}
+        out2 = codecs.resize_area_f64(np.array([[5.0]]), 4, 2)
+        assert np.isfinite(out2).all() and (out2 == 5.0).all()
+
 
 class TestJpeg:
     def test_sof_size(self):

@@ -12,6 +12,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from probe_spark.ops import dedup, events, multimodal, similarity, text
 
@@ -512,9 +513,18 @@ class TestSimilarity:
         df, _ = emb_df
         exact = {
             (r["id_a"], r["id_b"])
-            for r in similarity.embedding_dup_pairs(df, threshold=0.95).collect()
+            for r in similarity.embedding_dup_pairs(
+                df, threshold=0.95, exact=True
+            ).collect()
         }
         assert exact == {(3, 7)}
+        # DEFAULT is the LSH-bucketed path (n_planes=8) — the 100 TB
+        # shape a user gets without reading the signature
+        lsh_default = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_dup_pairs(df, threshold=0.95).collect()
+        }
+        assert lsh_default == {(3, 7)}
         lsh = {
             (r["id_a"], r["id_b"])
             for r in similarity.embedding_dup_pairs(
@@ -522,6 +532,117 @@ class TestSimilarity:
             ).collect()
         }
         assert lsh == {(3, 7)}
+
+    def _knn_expected(self, df, vecs, qids, k, n_cells, n_probe):
+        """Per-query oracle: brute-force cosine over that query's probed
+        cells, ranked by (rounded cos desc, id asc)."""
+        exp = []
+        cells = {
+            r["vec_id"]: r["cell"]
+            for r in similarity.with_ivf_cell(df, 16, n_cells).select(
+                "vec_id", "cell"
+            ).collect()
+        }
+        for qid in qids:
+            probes = set(
+                similarity._ivf_probes(list(vecs[qid]), n_cells, n_probe, 13)
+            )
+            q = vecs[qid].astype(np.float64)
+            cand = [i for i in range(len(vecs)) if cells[i] in probes]
+            sims = {
+                i: round(
+                    float(
+                        vecs[i].astype(np.float64) @ q
+                        / (
+                            np.linalg.norm(vecs[i].astype(np.float64))
+                            * np.linalg.norm(q)
+                        )
+                    ),
+                    6,
+                )
+                for i in cand
+            }
+            top = sorted(cand, key=lambda i: (-sims[i], i))[:k]
+            exp.extend((qid, i, sims[i]) for i in top)
+        return exp
+
+    def test_knn_join_matches_per_query_brute_force(self, emb_df):
+        df, vecs = emb_df
+        qids = [0, 3, 11]
+        queries = df.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = [
+            (r["query_id"], r["vec_id"], r["cos_sim"])
+            for r in similarity.knn_join(
+                queries, df, k=4, n_cells=8, n_probe=3
+            ).collect()
+        ]
+        exp = self._knn_expected(df, vecs, qids, 4, 8, 3)
+        assert got == [(q, i, pytest.approx(s)) for q, i, s in exp]
+        # a query's own vector tops its list; the planted near-dup pair
+        # lands in each other's neighbor lists
+        by_q = {}
+        for q, i, _s in got:
+            by_q.setdefault(q, []).append(i)
+        assert by_q[3][0] == 3 and 7 in by_q[3]
+
+    def test_knn_join_partial_equals_window_only(self, emb_df):
+        df, _ = emb_df
+        queries = df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = similarity.knn_join(
+            queries, df, k=3, n_cells=8, n_probe=2
+        ).collect()
+        b = similarity.knn_join(
+            queries, df, k=3, n_cells=8, n_probe=2, partial_topk=False
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_knn_join_indexed_prunes_partitions(self, emb_df, tmp_path):
+        df, vecs = emb_df
+        path = str(tmp_path / "knn_idx")
+        similarity.write_ivf_index(df, path, dim=16, n_cells=8)
+        queries = df.filter(F.col("vec_id").isin([3, 20])).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = similarity.knn_join(
+            queries, index_path=path, k=4, n_cells=8, n_probe=3,
+            partial_topk=False,
+        )
+        rows = [
+            (r["query_id"], r["vec_id"], r["cos_sim"]) for r in got.collect()
+        ]
+        exp = self._knn_expected(df, vecs, [3, 20], 4, 8, 3)
+        assert rows == [(q, i, pytest.approx(s)) for q, i, s in exp]
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "cell" in pf[0] and "PartitionFilters: []" not in pf[0]
+
+    def test_knn_join_trained_centroids_sidecar(self, emb_df, tmp_path):
+        # an index written with a TRAINED quantizer must drive knn_join
+        # through the sidecar centroids (probe sets differ from seeded)
+        df, vecs = emb_df
+        cents = similarity.train_ivf_centroids(df, dim=16, n_cells=4, iters=3)
+        path = str(tmp_path / "knn_idx_trained")
+        similarity.write_ivf_index(df, path, dim=16, n_cells=4, centroids=cents)
+        queries = df.filter(F.col("vec_id") == 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = [
+            r["vec_id"]
+            for r in similarity.knn_join(
+                queries, index_path=path, k=4, n_cells=4, n_probe=2
+            ).collect()
+        ]
+        exp = [
+            r["id"]
+            for r in similarity.ivf_topk(
+                df, list(vecs[3]), k=4, n_cells=4, n_probe=2, centroids=cents
+            ).collect()
+        ]
+        assert got == exp
 
 
 class TestEvents:
