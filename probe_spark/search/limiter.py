@@ -35,11 +35,14 @@ def token_count_col(col):
 
     1. the public ``tiktoken`` package (Arrow-batched pandas UDF);
     2. the from-scratch byte-level BPE encoder (``functions/bpe.py``)
-       when ``$PROBE_SPARK_TIKTOKEN_RANKS`` points at a standard
-       ``p50k_base.tiktoken`` ranks file — same counts, no package;
-    3. the BPE-ish regex piece count used across the ops layer
-       (documented stand-in — identical accept/reject semantics under
-       whichever counter is active)."""
+       with ``$PROBE_SPARK_TIKTOKEN_RANKS`` (a standard
+       ``p50k_base.tiktoken`` ranks file — exact p50k counts, no
+       package) or, by DEFAULT, the vendored deterministic table
+       (``bpe.builtin_ranks`` — the real merge loop, pinned stand-in
+       vocabulary);
+    3. the BPE-ish regex piece count — reached only if the vendored
+       table itself cannot load (identical accept/reject semantics
+       under whichever counter is active)."""
     if _P50K is not None:
         from pyspark.sql.functions import pandas_udf
 
@@ -54,14 +57,17 @@ def token_count_col(col):
             )
 
         return _count(col)
+    import os
+
     from probe_spark.functions import bpe as _bpe
 
-    if _bpe.env_ranks() is not None:
-        import os
+    try:
+        _bpe.default_ranks()  # driver-side probe: file/blob must parse
+        ranks_path = os.environ.get(_bpe.RANKS_ENV)
+        if ranks_path and not os.path.exists(ranks_path):
+            ranks_path = None
 
         from pyspark.sql.functions import pandas_udf
-
-        ranks_path = os.environ[_bpe.RANKS_ENV]
 
         @pandas_udf("long")
         def _count_bpe(s):
@@ -71,7 +77,11 @@ def token_count_col(col):
 
             from probe_spark.functions import bpe
 
-            ranks = bpe.ranks_from(ranks_path)
+            ranks = (
+                bpe.ranks_from(ranks_path)
+                if ranks_path
+                else bpe.builtin_ranks()
+            )
             count = functools.lru_cache(maxsize=65536)(
                 lambda x: bpe.count_tokens(x, ranks)
             )
@@ -80,6 +90,8 @@ def token_count_col(col):
             )
 
         return _count_bpe(col)
+    except Exception:
+        pass
     from probe_spark.ops.text import BPE_REGEX
 
     return F.regexp_count(col, F.lit(BPE_REGEX))

@@ -144,3 +144,63 @@ class TestLimiterRanksPath:
             assert got == [1]
         finally:
             bpe.env_ranks.cache_clear()
+
+
+class TestBuiltinRanks:
+    def test_builtin_table_loads_and_counts(self):
+        """The vendored table (functions/_builtin_ranks.py) parses and
+        the merge loop actually merges: common corpus words count as one
+        token, not per-byte."""
+        r = bpe.builtin_ranks()
+        assert len(r) > 256  # 256 byte tokens + trained merges
+        assert all(bytes([i]) in r for i in range(256))
+        # a frequent corpus word must have merged below len(word) parts
+        assert bpe.count_tokens("error", r) < 5
+        assert bpe.count_tokens("", r) == 0
+
+    def test_default_ranks_prefers_env(self, tmp_path, monkeypatch):
+        path = write_ranks(tmp_path, TOY)
+        monkeypatch.setenv(bpe.RANKS_ENV, path)
+        bpe.env_ranks.cache_clear()
+        try:
+            assert bpe.default_ranks() == TOY
+        finally:
+            bpe.env_ranks.cache_clear()
+        monkeypatch.delenv(bpe.RANKS_ENV)
+        bpe.env_ranks.cache_clear()
+        try:
+            assert bpe.default_ranks() is bpe.builtin_ranks()
+        finally:
+            bpe.env_ranks.cache_clear()
+
+    def test_token_budget_real_bpe_no_env(self, spark, monkeypatch):
+        """VERDICT r3 #5: apply_limits(max_tokens=...) exercises the
+        REAL BPE merge loop by default — no env var, no package."""
+        from probe_spark.search import limiter
+
+        if limiter._P50K is not None:
+            pytest.skip("tiktoken installed; package path covered instead")
+        monkeypatch.delenv(bpe.RANKS_ENV, raising=False)
+        bpe.env_ranks.cache_clear()
+        try:
+            ranks = bpe.builtin_ranks()
+            texts = [
+                "error handling in the processing pipeline",
+                "cache queue worker",
+                "database connection",
+            ]
+            counts = [bpe.count_tokens(t, ranks) for t in texts]
+            df = spark.createDataFrame(
+                [(i + 1, 9.0 - i, t) for i, t in enumerate(texts)],
+                "doc_id long, score double, text string",
+            )
+            # budget exactly the first two counts: doc 3 must be cut
+            got = [
+                r["doc_id"]
+                for r in limiter.apply_limits(
+                    df, max_tokens=counts[0] + counts[1]
+                ).collect()
+            ]
+            assert got == [1, 2]
+        finally:
+            bpe.env_ranks.cache_clear()

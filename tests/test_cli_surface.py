@@ -279,31 +279,43 @@ class TestLimiter:
         assert [r["doc_id"] for r in out] == [1, 2]
 
     def test_max_tokens(self, spark):
+        # budget derived from the ACTIVE counter (real BPE over the
+        # vendored table by default) so the cut point is exact
+        from probe_spark.functions import bpe
+
         rows = [
             (1, 0.9, "one two three"),
             (2, 0.8, "four five six"),
             (3, 0.7, "seven eight nine"),
         ]
+        counts = [
+            bpe.count_tokens(t, bpe.default_ranks()) for _i, _s, t in rows
+        ]
         df = spark.createDataFrame(rows, "doc_id long, score double, text string")
-        out = limiter.apply_limits(df, max_tokens=6).collect()
+        out = limiter.apply_limits(
+            df, max_tokens=counts[0] + counts[1]
+        ).collect()
         assert [r["doc_id"] for r in out] == [1, 2]
 
     def test_no_limits_identity(self, results):
         out = limiter.apply_limits(results).collect()
         assert [r["doc_id"] for r in out] == [1, 2, 3, 4]
 
-    def test_token_count_matches_ops_regex(self, spark):
-        # parity with the ops-layer token counter on plain text
-        from probe_spark.ops import text as ops_text
+    def test_token_count_matches_driver_bpe(self, spark):
+        # the distributed counter must agree with the driver-side encoder
+        # over the same default ranks table (real BPE by default; with
+        # tiktoken installed the package path is pinned by test_bpe's
+        # parity tests instead)
+        from probe_spark.functions import bpe
 
-        df = spark.createDataFrame(
-            [(0, "foo2bar, baz! qux")], "doc_id long, text string"
-        )
+        if limiter._P50K is not None:
+            pytest.skip("tiktoken installed; package path covered instead")
+        txt = "foo2bar, baz! qux"
+        df = spark.createDataFrame([(0, txt)], "doc_id long, text string")
         ours = df.select(
             limiter.token_count_col(limiter.F.col("text")).alias("n")
         ).collect()[0]["n"]
-        theirs = ops_text.with_token_counts(df).collect()[0]["bpe_tokens"]
-        assert ours == theirs
+        assert ours == bpe.count_tokens(txt, bpe.default_ranks())
 
 
 class TestReadInput:
