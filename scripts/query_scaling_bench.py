@@ -114,14 +114,41 @@ else:
 
 work = [q for _ in range({passes})
           for q in REFERENCE_QUERIES]
+
+
+def _proc_cpu():
+    # driver python + JVM child cpu-seconds (user+sys): resource sees the
+    # python process; the JVM is a child, so add children times
+    import resource
+    a = resource.getrusage(resource.RUSAGE_SELF)
+    b = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return a.ru_utime + a.ru_stime + b.ru_utime + b.ru_stime
+
+
+# CONTROL 1: single-flight — the same warm suite one query at a time.
+# Fixes per-query work attribution: core-seconds/query with NO
+# concurrency on this guest.  (One pass: the suite is warm already.)
+sf_cpu0 = _proc_cpu()
+sf_t0 = time.time()
+for q in REFERENCE_QUERIES:
+    one(q)
+single_flight_sec = time.time() - sf_t0
+single_flight_cpu = _proc_cpu() - sf_cpu0
+
 with bench.HostSampler() as sampler:
+    cpu0 = _proc_cpu()
     t0 = time.time()
     # in-flight concurrency = cores: a 4N service serves 4N the clients
     with ThreadPoolExecutor(max_workers=cpus) as pool:
         lat = list(pool.map(one, work))
     wall = time.time() - t0
+    conc_cpu = _proc_cpu() - cpu0
 lat.sort()
 print(json.dumps({{
+    "single_flight_suite_sec": round(single_flight_sec, 3),
+    "single_flight_coresec_per_query": round(
+        single_flight_cpu / len(REFERENCE_QUERIES), 3),
+    "concurrent_coresec_per_query": round(conc_cpu / len(work), 3),
     "qps": round(len(work) / wall, 3),
     "wall_sec": round(wall, 3),
     "n_queries": len(work),
@@ -161,6 +188,7 @@ def main() -> None:
 
     job: dict[int, list[float]] = {lo: [], hi: []}
     p95s: dict[int, list[float]] = {lo: [], hi: []}
+    controls: dict[int, list[dict]] = {lo: [], hi: []}
     best_burn: dict[int, float] = {lo: 0.0, hi: 0.0}
     best_bw: dict[int, float] = {lo: 0.0, hi: 0.0}
     n_queries = None
@@ -193,6 +221,17 @@ def main() -> None:
                 n_queries = res["n_queries"]
                 job[cpus].append(res["qps"])
                 p95s[cpus].append(res["p95_sec"])
+                controls[cpus].append(
+                    {
+                        k: res[k]
+                        for k in (
+                            "single_flight_suite_sec",
+                            "single_flight_coresec_per_query",
+                            "concurrent_coresec_per_query",
+                        )
+                        if k in res
+                    }
+                )
                 print(
                     f"round {r} local[{cpus}]"
                     f"{'' if ok else f' [dirty window, attempt {attempt}]'}: "
@@ -233,6 +272,14 @@ def main() -> None:
         "samples_hi": job[hi],
         "p95_sec_lo": min(p95s[lo]),
         "p95_sec_hi": min(p95s[hi]),
+        # single-flight / core-second controls: per-query work measured
+        # with NO concurrency at each width, plus process cpu-seconds per
+        # query under load — pins whether a qps gap is per-query work
+        # inflating under this guest's contention (core-sec/query grows)
+        # or the engine serializing (single-flight suite time grows with
+        # width).
+        "controls_lo": controls[lo],
+        "controls_hi": controls[hi],
         "hw_units_per_sec_lo": round(best_hw_lo, 3),
         "hw_units_per_sec_hi": round(best_hw_hi, 3),
         "hw_efficiency": round(hw_eff, 3),
