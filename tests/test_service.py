@@ -99,3 +99,35 @@ class TestQueryService:
             assert fut.result(timeout=300) is not None
         finally:
             svc.close()
+
+
+class TestCacheEvictionRace:
+    def test_concurrent_scoped_searches_churn_allow_cache(self, spark, engine):
+        """ADVICE r3: shared-engine bounded caches are FIFO-evicted by
+        pool threads; pre-lock, two threads could race the pop of the
+        same first key and the loser raised KeyError.  24 distinct
+        where-scopes against an 8-entry allow cache from 8 threads force
+        continuous eviction; every search must succeed and match its
+        serial result."""
+        scopes = [f"turn_idx <= {i}" for i in range(3, 27)]
+        serial = {
+            w: [
+                (r["doc_id"], round(r["score"], 9))
+                for r in engine.search(
+                    "error", k=5, where=w, with_metadata=False
+                ).collect()
+            ]
+            for w in scopes
+        }
+
+        def one(w):
+            return w, [
+                (r["doc_id"], round(r["score"], 9))
+                for r in engine.search(
+                    "error", k=5, where=w, with_metadata=False
+                ).collect()
+            ]
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for w, rows in pool.map(one, scopes * 2):
+                assert rows == serial[w]
