@@ -187,6 +187,38 @@ class TestText:
         # foo / 2 / bar / , / baz / !
         assert r["bpe_tokens"] == 6
 
+    def test_bpe_count_np_equals_regex(self, spark):
+        """The vectorized Arrow counter must equal regexp_count(BPE_REGEX)
+        on every string — fuzz over the fixture corpus plus edge cases
+        (empty, unicode, runs at boundaries)."""
+        import regex as re
+
+        from probe_spark.fixtures import generate_transcripts
+
+        pat = re.compile(text.BPE_REGEX)
+        texts = (
+            generate_transcripts(n_convs=60, seed=31)
+            .column("text").to_pylist()
+        )
+        texts += ["", " ", "a", "1", "™", "héllo wörld 9x", "  x  ",
+                  "ПриветМир 77", "a1b2c3", "...", "ab 12 cd!"]
+        exp = [len(pat.findall(t)) for t in texts]
+        got = text.bpe_count_np(texts).tolist()
+        assert got == exp
+        # and through the pandas-UDF column, against the JVM regex
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts[:50])],
+            "doc_id long, text string",
+        )
+        both = df.select(
+            "doc_id",
+            text.bpe_tokens_vectorized(text.F.col("text")).alias("np_n"),
+            text.F.regexp_count(
+                text.F.col("text"), text.F.lit(text.BPE_REGEX)
+            ).alias("re_n"),
+        ).collect()
+        assert all(r["np_n"] == r["re_n"] for r in both)
+
     def test_quality_features(self, spark):
         df = spark.createDataFrame([(0, "the cat sat")], "doc_id long, text string")
         r = text.with_quality(df).collect()[0]
@@ -312,18 +344,32 @@ class TestPipeline:
             pack_examples(df, budget=0)
 
     def test_training_examples_single_shuffle(self, spark):
-        """The composed pipeline costs ONE exchange (the dedup window);
-        quality/chunk/count fuse into projections."""
+        """The composed pipeline costs ONE exchange (the dedup window)
+        under BOTH token counters; the vectorized counter adds an
+        ArrowEvalPython stage, never a shuffle."""
         from probe_spark.ops.pipeline import training_examples
 
         df = spark.createDataFrame(
             [(0, "a b c d e f")], "doc_id long, text string"
         )
-        plan = (
-            training_examples(df)
-            ._jdf.queryExecution().executedPlan().toString()
-        )
-        assert plan.count("Exchange") == 1, plan
+        for counter in ("column", "vectorized"):
+            plan = (
+                training_examples(df, token_counter=counter)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert plan.count("Exchange") == 1, (counter, plan)
+        assert "ArrowEvalPython" in plan  # the vectorized stage is Arrow
+
+    def test_training_examples_counters_identical(self, spark):
+        from probe_spark.ops.pipeline import training_examples
+
+        rows = [(i, f"the error {i} handler ran, twice! x{i}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, training_examples(
+            df, window=4, stride=3, token_counter="vectorized").collect()))
+        b = sorted(map(tuple, training_examples(
+            df, window=4, stride=3, token_counter="column").collect()))
+        assert a == b
 
 
 class TestSimilarity:
