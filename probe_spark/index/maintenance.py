@@ -44,10 +44,13 @@ from pyspark.sql import SparkSession, functions as F
 from probe_spark.runtime import ensure_package_on_executors
 
 # tombstone sets at or below this ride query paths as a driver-resident
-# sorted int64 array (~40MB at the cap); a larger backlog of deletes makes
-# every query pay a distributed anti-join instead — at that point run
-# vacuum (which is also the only path that frees the bytes)
-TOMBSTONE_COLLECT_CAP = 5_000_000
+# sorted int64 array (~128MB at the cap — sized for mass deletes: the
+# 27.2M-turn lifecycle run tombstones 6.2M docs in one delete_where, and
+# past the cap EVERY query pays a distributed anti-join, measured 45s vs
+# 4s per query at that scale); a larger backlog still overflows — at
+# that point run vacuum (which is also the only path that frees the
+# bytes, and took 65s at the same scale)
+TOMBSTONE_COLLECT_CAP = 16_000_000
 
 
 def _posix(index_path: str) -> str:

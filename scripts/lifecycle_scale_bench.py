@@ -122,7 +122,10 @@ def main() -> None:
     }
 
     out["total_sec"] = round(time.time() - t_all, 3)
-    with open(os.path.join(REPO, "LIFECYCLE_26M.json"), "w") as fh:
+    # name by scale: a smaller-tier drive must never overwrite the
+    # 26.4M artifact (the SCALING.json overwrite trap, round 3)
+    tag = "26M" if n_convs >= 1_000_000 else f"{n_convs // 62500}M"
+    with open(os.path.join(REPO, f"LIFECYCLE_{tag}.json"), "w") as fh:
         json.dump(out, fh, indent=2)
         fh.write("\n")
     print(json.dumps(out))
