@@ -99,14 +99,22 @@ class TestCodegenOnly:
 
 
 class TestConjunctive:
-    def test_multi_keyword_term_is_broadcast_semi_ladder(self, engine):
-        # camelCase expansion -> multi-keyword Term -> the fast path:
-        # decode -> broadcast-semi chain -> TakeOrdered, no groupBy shuffle
+    # Round-4 dispatch: pure conjunctions with every keyword present ride
+    # the doc-range path (the ladder measured slower at EVERY occurring
+    # min-df — its cost is sequential broadcast-stage barriers, see
+    # PLANS.md round-4 revision); only the metadata-only zero-df kill
+    # remains of the fast path, and the ladder survives as the full
+    # path's groupBy pre-filter anchor.
+
+    def test_multi_keyword_term_takes_ranged_path(self, engine):
+        # camelCase expansion -> multi-keyword Term -> doc-range plan:
+        # ONE exchange of compressed segments, no per-posting groupBy
         res = engine.search("errorHandling", k=5, with_metadata=False)
         plan = _plan(res)
         assert "TakeOrderedAndProject" in plan
-        assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
-        assert "Exchange hashpartitioning" not in plan
+        assert "range_id" in plan and "Exchange hashpartitioning" in plan
+        assert "collect_set" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
 
     def test_multi_keyword_rank_identity_vs_full_path(self, engine):
         fast = engine.search("errorHandling", k=10, with_metadata=False)
@@ -117,22 +125,25 @@ class TestConjunctive:
             (r["doc_id"], r["score"]) for r in full.collect()
         ]
 
-    def test_and_query_is_broadcast_semi_ladder(self, engine):
-        # a pure conjunction of Terms ("a AND b") is the same all-of
-        # semantics as a multi-keyword Term -> the shuffle-free ladder,
-        # not the doc-range exchange (BENCH r1->r2 q4 regression fix)
+    def test_and_query_takes_ranged_path(self, engine):
         res = engine.search("error AND handling", k=5, with_metadata=False)
         plan = _plan(res)
         assert "TakeOrderedAndProject" in plan
-        assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
-        assert "Exchange hashpartitioning" not in plan
+        assert "range_id" in plan and "Exchange hashpartitioning" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
 
-    def test_all_required_is_broadcast_semi_ladder(self, engine):
-        res = engine.search("+error +handling", k=5, with_metadata=False)
+    def test_zero_df_conjunction_is_metadata_kill(self, engine):
+        # one absent keyword -> empty result with NO Spark job: the plan
+        # is a LocalTableScan (empty relation), not a scan of postings
+        res = engine.search(
+            "error AND zzzznotaword", k=5, with_metadata=False
+        )
         plan = _plan(res)
-        assert "TakeOrderedAndProject" in plan
-        assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
-        assert "Exchange hashpartitioning" not in plan
+        # empty-relation plan (Scan ExistingRDD over zero rows): nothing
+        # touches postings, no exchange anywhere
+        assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+        assert "Exchange" not in plan and "parquet" not in plan
+        assert res.collect() == []
 
     @pytest.mark.parametrize(
         "q", ["error AND handling", "+error +handling", "+api +process +load"]
