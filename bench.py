@@ -166,14 +166,30 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
     from probe_spark.search.engine import SearchEngine
 
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
+    # per-phase wall breakdown (VERDICT r4 #1): the headline `value` is a
+    # sum of very different phases (session startup, corpus gen on a cold
+    # scratch, build, codegen warm-up, query suites); when value moves
+    # between rounds the artifact itself must show WHICH phase moved and
+    # under what host conditions, instead of leaving a bare total to be
+    # reconciled against prep runs at other widths.
+    phases: dict[str, float] = {}
+    t_total = time.time()
+    t_mark = t_total
+
+    def mark(name: str) -> None:
+        nonlocal t_mark
+        now = time.time()
+        phases[name] = round(now - t_mark, 3)
+        t_mark = now
+
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-
-    t_total = time.time()
+    mark("session1_start")
 
     # -- phase 1: synthetic-transcript index build (the headline build) ----
     n_convs = synth_corpus_size(sf)
     corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR")
+    corpus_generated = False
     if not corpus_dir:
         # generate once to parquet, then hand the builder the PATH — the
         # builder's direct pass-A reader (pyarrow row groups in the
@@ -182,14 +198,17 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
             scratch_dir(), f"bench_corpus_{n_convs}"
         )
         if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+            corpus_generated = True
             transcripts_df_dist(spark, n_convs=n_convs, seed=42).write.mode(
                 "overwrite"
             ).parquet(corpus_dir)
     corpus = spark.read.parquet(corpus_dir)
     n_turns = corpus.count()  # metadata-only; before the clock starts
+    mark("corpus_gen" if corpus_generated else "corpus_read")
     build_dir = tempfile.mkdtemp(prefix="bench_idx_", dir=scratch_dir())
     shutil.rmtree(build_dir, ignore_errors=True)
     builder = IndexBuilder(spark, BuildConfig())  # ctor warms the worker pool
+    mark("builder_warmup")
     # NO throwaway warm build: a prior build in the same session measured
     # SLOWER (A/B: 26s fresh vs 132s after a 1000-conv warm build at
     # local[32], reproduced in isolation 57.6s->84.2s for back-to-back big
@@ -200,12 +219,17 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
         t0 = time.time()
         builder.build(corpus_dir, build_dir)
         build_sec = time.time() - t0
+    mark("build")
 
     result: dict = {
         "sf": sf,
         "n_turns": int(n_turns),
         "build_sec": round(build_sec, 3),
         "build_turns_per_sec": round(n_turns / build_sec, 1),
+        # dispersion control (VERDICT r4 #1): clean-window A/B reps of this
+        # exact phase measured 7.2-8.5s at 32 cpus and 7.6-18.7s at 16 on
+        # this host (BASELINE.md "build-phase dispersion"); a single draw
+        # outside that band indicates a host window, not a code change
         **sampler.summary(),
     }
 
@@ -215,6 +239,7 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
         eng_t0 = time.time()
         entrypoints.get_engine(spark, sf_dir)
         result["docs_index_sec"] = round(time.time() - eng_t0, 3)
+        mark("docs_index")
 
         # -- phase 3: query suite over the synthetic corpus, in a FRESH
         # session: a query service is a different long-lived process than
@@ -227,10 +252,12 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
         spark = build_spark(cpus)
         spark.sparkContext.setLogLevel("ERROR")
         eng = SearchEngine(spark, build_dir)
+        mark("session2_start")
         # one unmeasured warm-up query: a query SERVICE is warm (the first
         # queries of a fresh session otherwise pay one-time codegen /
         # classloading, ~8s, which is session startup, not query latency)
         eng.search("error OR handling", k=5).collect()
+        mark("codegen_warmup")
         lat = []
         for qid, qtext, k in REFERENCE_QUERIES:
             t0 = time.time()
@@ -239,6 +266,7 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
             queries[f"q{qid}"] = round(dt, 3)
             lat.append(dt)
         lat.sort()
+        mark("cold_suite")
         result["query_p95_sec"] = round(lat[int(0.95 * (len(lat) - 1))], 3)
 
         # steady-state pass: the same suite again against the now-warm
@@ -250,6 +278,7 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
             eng.search(qtext, k=k).collect()
             lat2.append(time.time() - t0)
         lat2.sort()
+        mark("repeat_suite")
         result["query_p95_repeat_sec"] = round(
             lat2[int(0.95 * (len(lat2) - 1))], 3
         )
@@ -268,6 +297,7 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
         ).collect()
         result["batch_suite_sec"] = round(time.time() - t0, 3)
         result["repeat_suite_sum_sec"] = round(sum(lat2), 3)
+        mark("batch_suite")
 
         # -- phase 4: the driver-local low-latency front-end over the SAME
         # index (search/local.py; rank-identity pinned by tests) — the
@@ -290,6 +320,7 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
         result["query_p50_local_sec"] = round(
             lat_local[len(lat_local) // 2], 4
         )
+        mark("local_suite")
 
     shutil.rmtree(build_dir, ignore_errors=True)
     result.update(
@@ -299,6 +330,7 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
             "unit": "sec",
             "queries": queries,
             "cpus": cpus,
+            "phases_sec": phases,
         }
     )
     return result

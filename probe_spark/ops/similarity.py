@@ -444,6 +444,12 @@ def embedding_dup_pairs(
     all sign bits).  ``exact=True`` (or n_planes=0) opts into the exact
     all-pairs self-join — the verifier / small-scale path a large-corpus
     user must now ask for explicitly rather than stumble into df² work.
+
+    .. note:: BEHAVIOR CHANGE (round 4): the default used to be the exact
+       all-pairs join (``n_planes=0``).  Callers that relied on exhaustive
+       recall now silently get approximate candidate generation — audit
+       call sites and pass ``exact=True`` where missing a true duplicate
+       pair is worse than the df² cost.
     """
     if exact:
         n_planes = 0
@@ -639,11 +645,20 @@ def knn_join(
             F.col("_qid").cast("long").alias(q_id_col),
             F.col("_cid").cast("long").alias(id_col),
             F.round(
-                _dot(F.col("_cv"), F.col("_qv"))
-                / (_norm(F.col("_cv")) * F.col("_qn")),
+                F.try_divide(
+                    _dot(F.col("_cv"), F.col("_qv")),
+                    _norm(F.col("_cv")) * F.col("_qn"),
+                ),
                 6,
             ).alias("cos_sim"),
         )
+    )
+    # zero-norm query or candidate vectors have no cosine: try_divide maps
+    # them to NULL (a plain `/` would abort the whole job under ANSI mode);
+    # drop them BEFORE ranking so partial_topk's pandas sort (NaN last) and
+    # the window path's F.desc (NaN first) agree bit-for-bit
+    scored = scored.filter(
+        F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim")
     )
 
     if partial_topk:

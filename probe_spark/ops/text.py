@@ -97,7 +97,8 @@ def bpe_count_np(strs: "list[str]"):
 
 def bpe_tokens_vectorized(col: Column) -> Column:
     """``bpe_count_np`` as an Arrow-batched pandas UDF column — same
-    values as ``F.regexp_count(col, BPE_REGEX)``.
+    values as ``F.regexp_count(col, BPE_REGEX)``, including NULL in ->
+    NULL out (regexp_count propagates null; so does this).
 
     Ships the package zip to executors at construction (same mechanism
     as the engine/builder ctors): the worker-side import must work in a
@@ -119,9 +120,12 @@ def bpe_tokens_vectorized(col: Column) -> Column:
 
         from probe_spark.ops.text import bpe_count_np  # noqa: PLC0415
 
-        return pd.Series(
-            bpe_count_np(["" if x is None else x for x in s]), dtype="int64"
-        )
+        counts = bpe_count_np(["" if x is None else x for x in s])
+        out = pd.Series(counts, dtype="Int64")
+        mask = s.isna()
+        if mask.any():
+            out[mask.to_numpy()] = pd.NA
+        return out
 
     return _count(col)
 

@@ -461,7 +461,11 @@ class SearchEngine:
         # it two threads can race the FIFO pop of the same first key and
         # the loser raises KeyError.  Reads stay lock-free (CPython dict
         # get is atomic); only the evict+insert windows take the lock.
-        self._cache_lock = threading.Lock()
+        # Preserved across refresh()'s re-__init__: rebinding a fresh Lock
+        # while pool threads hold/contend the old one would let two threads
+        # run the evict window under DIFFERENT locks.
+        if not hasattr(self, "_cache_lock"):
+            self._cache_lock = threading.Lock()
         self._df_cache: dict[str, int] = {}
         # docs/ per-file doc_id ranges (footer sweep, lazy; _UNSET until
         # first _with_meta) — prunes the winner-metadata fetch to O(k) files
@@ -503,6 +507,13 @@ class SearchEngine:
         services over a streaming-ingested index (new micro-batches appear
         after a refresh; queries between refreshes see a consistent older
         snapshot)."""
+        # The whole clear + re-__init__ runs under the (preserved) cache
+        # lock: a pool thread mid-eviction finishes under the same lock
+        # object before the caches are rebound, and threads that enter an
+        # evict window after refresh() see the new dicts.  Lock-free cache
+        # READS during the window may see either snapshot — a miss just
+        # recomputes against the new index state, which is the documented
+        # refresh semantics.
         with self._cache_lock:
             self._df_cache.clear()
             self._meta_cache.clear()
@@ -517,7 +528,7 @@ class SearchEngine:
                 if bundle is not None:
                     bundle[0].unpersist(blocking=False)
             self._repair_cache.clear()
-        self.__init__(self.spark, self.index_path)
+            self.__init__(self.spark, self.index_path)
 
     # -- postings access ------------------------------------------------------
     def _fetch(self, source: DataFrame, terms: list[str], src_label: str):

@@ -29,6 +29,49 @@ except Exception:  # pragma: no cover - tiktoken not in this container
     _P50K = None
 
 
+def active_counter() -> str:
+    """Which token counter ``token_count_col`` will use, in the same
+    priority order it probes: ``"tiktoken"`` (installed package, exact
+    p50k), ``"env_ranks"`` ($PROBE_SPARK_TIKTOKEN_RANKS file),
+    ``"builtin"`` (vendored trained table — real BPE, stand-in
+    vocabulary), or ``"regex"`` (piece-count fallback).  Token budgets
+    differ across these; surface this when diagnosing why the same
+    --max-tokens accepts different result sets on two deployments."""
+    if _P50K is not None:
+        return "tiktoken"
+    import os
+
+    from probe_spark.functions import bpe as _bpe
+
+    path = os.environ.get(_bpe.RANKS_ENV)
+    if path and os.path.exists(path):
+        try:
+            _bpe.ranks_from(path)
+            return "env_ranks"
+        except Exception:
+            pass
+    try:
+        _bpe.builtin_ranks()
+        return "builtin"
+    except Exception:
+        return "regex"
+
+
+_COUNTER_LOGGED = False
+
+
+def _log_counter_once() -> None:
+    global _COUNTER_LOGGED
+    if _COUNTER_LOGGED:
+        return
+    _COUNTER_LOGGED = True
+    import logging
+
+    logging.getLogger("probe_spark").info(
+        "token budget counter: %s", active_counter()
+    )
+
+
 def token_count_col(col):
     """Vectorized token count — exact p50k_base BPE when possible
     (search_tokens.rs:331-366), in priority order:
@@ -42,7 +85,11 @@ def token_count_col(col):
        vocabulary);
     3. the BPE-ish regex piece count — reached only if the vendored
        table itself cannot load (identical accept/reject semantics
-       under whichever counter is active)."""
+       under whichever counter is active).
+
+    The active counter is reported once at INFO on the ``probe_spark``
+    logger and queryable via :func:`active_counter`."""
+    _log_counter_once()
     if _P50K is not None:
         from pyspark.sql.functions import pandas_udf
 

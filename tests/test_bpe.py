@@ -204,3 +204,29 @@ class TestBuiltinRanks:
             assert got == [1, 2]
         finally:
             bpe.env_ranks.cache_clear()
+
+
+class TestActiveCounter:
+    def test_reports_builtin_without_env(self, monkeypatch):
+        """ADVICE r4: which counter backs --max-tokens must be
+        queryable so cross-deployment budget drift is diagnosable."""
+        from probe_spark.search import limiter
+
+        monkeypatch.delenv(bpe.RANKS_ENV, raising=False)
+        bpe.env_ranks.cache_clear()
+        try:
+            # tiktoken absent in this container -> builtin trained table
+            assert limiter.active_counter() == "builtin"
+        finally:
+            bpe.env_ranks.cache_clear()
+
+    def test_reports_env_ranks(self, tmp_path, monkeypatch):
+        from probe_spark.search import limiter
+
+        path = write_ranks(tmp_path, TOY)
+        monkeypatch.setenv(bpe.RANKS_ENV, path)
+        bpe.env_ranks.cache_clear()
+        try:
+            assert limiter.active_counter() == "env_ranks"
+        finally:
+            bpe.env_ranks.cache_clear()

@@ -646,6 +646,33 @@ class TestSimilarity:
         ).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
+    def test_knn_join_zero_norm_agrees_across_paths(self, emb_df, spark):
+        """ADVICE r4: zero-norm vectors score NaN; pandas sorts NaN last
+        while F.desc ranks NaN first — both paths must DROP non-finite
+        scores and agree bit-for-bit."""
+        df, _ = emb_df
+        dim = len(df.select("embedding").first()[0])
+        zq = spark.createDataFrame(
+            [(99, [0.0] * dim)], "query_id long, embedding array<double>"
+        )
+        queries = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ).unionByName(zq)
+        zc = spark.createDataFrame(
+            [(98, [0.0] * dim)], "vec_id long, embedding array<double>"
+        )
+        corpus = df.unionByName(zc)
+        a = similarity.knn_join(
+            queries, corpus, k=3, n_cells=8, n_probe=2
+        ).collect()
+        b = similarity.knn_join(
+            queries, corpus, k=3, n_cells=8, n_probe=2, partial_topk=False
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert all(r["cos_sim"] == r["cos_sim"] for r in a)  # no NaN
+        assert 98 not in {r["vec_id"] for r in a}
+        assert 99 not in {r["query_id"] for r in a}
+
     def test_knn_join_indexed_prunes_partitions(self, emb_df, tmp_path):
         df, vecs = emb_df
         path = str(tmp_path / "knn_idx")
@@ -1060,3 +1087,25 @@ class TestRetrievalMetrics:
         assert b["recall"] == a["recall"] == 1.0
         assert b["n_hits"] == a["n_hits"] == 2
         assert b["mrr"] == a["mrr"] and b["ndcg"] == a["ndcg"]
+
+    def test_bpe_vectorized_propagates_null(self, spark):
+        """ADVICE r4: NULL text must count as NULL (regexp_count
+        semantics), not 0 — the vectorized and column token counters
+        must be value-identical including on nulls."""
+        df = spark.createDataFrame(
+            [(0, "two words"), (1, None), (2, "")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: (r["np_n"], r["re_n"])
+            for r in df.select(
+                "doc_id",
+                text.bpe_tokens_vectorized(text.F.col("text")).alias("np_n"),
+                text.F.regexp_count(
+                    text.F.col("text"), text.F.lit(text.BPE_REGEX)
+                ).alias("re_n"),
+            ).collect()
+        }
+        assert rows[1] == (None, None)
+        assert rows[2] == (0, 0)
+        assert rows[0][0] == rows[0][1] == 2

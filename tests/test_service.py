@@ -131,3 +131,30 @@ class TestCacheEvictionRace:
         with ThreadPoolExecutor(max_workers=8) as pool:
             for w, rows in pool.map(one, scopes * 2):
                 assert rows == serial[w]
+
+
+class TestRefreshUnderTraffic:
+    def test_refresh_preserves_cache_lock_identity(self, engine):
+        """ADVICE r4: refresh() re-runs __init__, which used to rebind
+        self._cache_lock to a fresh Lock while pool threads could still
+        hold the old one — two threads in the evict window under
+        different locks.  The lock object must survive refresh()."""
+        lock_before = engine._cache_lock
+        engine.refresh()
+        assert engine._cache_lock is lock_before
+
+    def test_concurrent_search_during_refresh(self, engine):
+        """refresh() mid-traffic: pool threads keep searching while the
+        main thread refreshes; nothing may raise and post-refresh results
+        must match pre-refresh (index unchanged)."""
+        expected = _direct(engine, "error AND handling", 10)
+
+        def churn(i):
+            return _direct(engine, "error AND handling", 10)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [pool.submit(churn, i) for i in range(8)]
+            engine.refresh()
+            for f in futs:
+                assert f.result() == expected
+        assert _direct(engine, "error AND handling", 10) == expected
