@@ -105,6 +105,14 @@ def _mask_sorted(values: np.ndarray, tomb: np.ndarray) -> np.ndarray:
     return tomb[pos] != values
 
 
+def _clear_repairs(base: str) -> None:
+    """Drop the _repairs/ overlay sidecar after any op that rewrites
+    docs/ (vacuum / merge / compact).  The sidecar's docs-layout
+    fingerprint already self-invalidates stale entries; this is garbage
+    collection so rewritten indexes don't accumulate dead files."""
+    shutil.rmtree(os.path.join(base, "_repairs"), ignore_errors=True)
+
+
 def vacuum(spark: SparkSession, index_path: str) -> dict:
     """Fold tombstones into the index (posix paths; remote stores would
     swap via their own atomic-rename/commit primitive).  Returns the
@@ -339,6 +347,7 @@ def vacuum(spark: SparkSession, index_path: str) -> dict:
             os.path.join(manifest, f"vacuum-{stamp}.parquet"),
         )
 
+    _clear_repairs(base)
     return {
         "vacuumed": int(tomb.size),
         "n_docs": n_docs,
@@ -687,6 +696,7 @@ def merge_many(
     pq.write_table(
         pa.Table.from_pylist(rows), os.path.join(mdir, "merge-0.parquet")
     )
+    _clear_repairs(base_o)
     return {
         "n_docs": n_docs,
         "offset": offsets[1],
@@ -934,4 +944,5 @@ def compact_index(
         pa.Table.from_pylist(rows),
         os.path.join(mdir, f"compact-{stamp}.parquet"),
     )
+    _clear_repairs(base)
     return {"n_segments": n_after}

@@ -139,3 +139,80 @@ class TestCapFallback:
         assert next(iter(engine._overlay_cache.values())) is None
         assert _ids_scores(via_overlay) == _ids_scores(via_full)
         engine._overlay_cache.clear()
+
+
+class TestDriverRetokParity:
+    """Round 5: the overlay is built driver-side (pyarrow read + pooled
+    retokenize, search/repair.py) when the affected set fits
+    DRIVER_RETOK_CAP; the distributed join remains the at-scale path.
+    The two constructions must be array-identical."""
+
+    def test_driver_vs_distributed_arrays(self, engine):
+        import numpy as np
+
+        from probe_spark.index.codec import raw_doc_ids
+        from probe_spark.search import repair
+
+        g = frozenset({"hashtable"})
+        lookups = ("hash", "hashtabl", "tabl")
+        ids = raw_doc_ids(engine.index_path, engine.n_buckets, ["hashtable"])
+        assert ids is not None and ids.size
+        a = repair.driver_retok(engine.index_path, ids, g, lookups)
+        b = engine._retok_distributed(ids, g, lookups)
+        for k in ("ids", "hits", "olds", "dl", "dl_delta"):
+            assert np.array_equal(a[k], b[k]), k
+
+    def test_sidecar_roundtrip_and_fresh_engine(self, spark, engine):
+        """First special query writes _repairs/; a FRESH engine process
+        shape (new SearchEngine) loads it and returns identical results."""
+        import os
+
+        from probe_spark.search.engine import SearchEngine
+
+        q = "hash -hashtable"
+        want = _ids_scores(
+            engine.search(q, k=10, with_metadata=False).collect()
+        )
+        rep_dir = os.path.join(
+            engine.index_path.removeprefix("file://"), "_repairs"
+        )
+        assert os.path.isdir(rep_dir) and os.listdir(rep_dir)
+        cold = SearchEngine(spark, engine.index_path)
+        got = _ids_scores(cold.search(q, k=10, with_metadata=False).collect())
+        assert got == want
+
+    def test_sidecar_invalidated_by_docs_rewrite(self, engine, tmp_path):
+        """A different docs layout must never match a stale sidecar: the
+        fingerprint keys the filename, so load_sidecar returns None."""
+        from probe_spark.search import repair
+
+        g = frozenset({"hashtable"})
+        lookups = ("hash", "tabl")
+        fp1 = repair.docs_fingerprint(engine.index_path)
+        assert fp1 is not None
+        # same key, other index path (no sidecar there)
+        assert repair.load_sidecar(str(tmp_path), g, lookups) is None
+
+    def test_vacuum_clears_repairs(self, spark, tmp_path):
+        import os
+
+        from probe_spark.fixtures import transcripts_df
+        from probe_spark.index.build import BuildConfig, IndexBuilder
+        from probe_spark.index.maintenance import delete_where, vacuum
+        from probe_spark.search.engine import SearchEngine
+
+        idx = str(tmp_path / "idx")
+        IndexBuilder(spark, BuildConfig(n_buckets=8)).build(
+            transcripts_df(spark, 30, 11), idx
+        )
+        eng = SearchEngine(spark, idx)
+        eng.search("hash -hashtable", k=5).collect()
+        assert os.path.isdir(os.path.join(idx, "_repairs"))
+        delete_where(spark, idx, "turn_idx = 0")
+        vacuum(spark, idx)
+        assert not os.path.isdir(os.path.join(idx, "_repairs"))
+        # post-vacuum cold query rebuilds the overlay against the new
+        # docs layout and stays consistent
+        eng2 = SearchEngine(spark, idx)
+        rows = eng2.search("hash -hashtable", k=5).collect()
+        assert all(r["score"] >= 0 for r in rows)
