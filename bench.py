@@ -207,7 +207,11 @@ def run(sf_dir: str, cpus: int, skip_queries: bool = False) -> dict:
     mark("corpus_gen" if corpus_generated else "corpus_read")
     build_dir = tempfile.mkdtemp(prefix="bench_idx_", dir=scratch_dir())
     shutil.rmtree(build_dir, ignore_errors=True)
-    builder = IndexBuilder(spark, BuildConfig())  # ctor warms the worker pool
+    # SPARK_GRAFT_FUSED=0: the TWO-PASS build layout (tokens to parquet,
+    # shuffle with hot-term salting, separate merge) — the object-store
+    # fallback path; its scaling artifact is SCALING_TWOPASS (VERDICT r4 #7)
+    fused = os.environ.get("SPARK_GRAFT_FUSED", "1") != "0"
+    builder = IndexBuilder(spark, BuildConfig(fused=fused))  # ctor warms the worker pool
     mark("builder_warmup")
     # NO throwaway warm build: a prior build in the same session measured
     # SLOWER (A/B: 26s fresh vs 132s after a 1000-conv warm build at

@@ -273,39 +273,102 @@ class LocalSearcher:
         if affecting:
             # repair retokenization: docs containing an affecting word as a
             # whole raw word re-tokenize with the per-query special set.
-            # Memoized per g-set: the retokenize loop costs seconds for a
-            # hot special word, and query services see the same exclusion /
-            # exact vocabularies repeatedly.
-            repair = self._repair_cache.get(g_set)
-            if repair is None:
-                import pyarrow.dataset as ds
+            # Round 5: the bundle is BITMASK arrays over the lookup list
+            # (same content + key as the engine's _repairs/ sidecar, so
+            # engine, LocalSearcher, and every QueryService replica share
+            # one computation via the index directory) — the per-query
+            # Python membership loops over hundreds of thousands of token
+            # sets are gone; presence overwrite is a vectorized shift.
+            lookups_t = tuple(all_lookups)
+            rkey = (g_set, lookups_t)
+            bundle = self._repair_cache.get(rkey)
+            if bundle is None:
+                from probe_spark.search import repair as repair_mod
 
-                raw_ids = np.unique(
-                    np.concatenate(
-                        [self._postings("raw", w)[0] for w in affecting]
+                masked = len(all_lookups) <= 62  # int64 bitmask limit
+                arrays = (
+                    repair_mod.load_sidecar(
+                        self.index_path, g_set, lookups_t
                     )
+                    if masked
+                    else None
                 )
-                table = self._docs_dataset().to_table(
-                    columns=["doc_id", "text", "dl"],
-                    filter=ds.field("doc_id").isin(raw_ids.tolist()),
-                )
-                rows = sorted(table.to_pylist(), key=lambda r: r["doc_id"])
-                repair = (
-                    np.array([r["doc_id"] for r in rows], dtype=np.int64),
-                    [
-                        tok.tokenize(r["text"], g_set) if r["text"] else []
-                        for r in rows
-                    ],
-                    sum(r["dl"] for r in rows),
-                )
-                # retokenized bundles hold full doc texts — FIFO-bound
-                # like SearchEngine._repair_cache so a service cycling
-                # many special vocabularies can't grow without limit
-                while len(self._repair_cache) >= 4:
+                if arrays is None:
+                    import pyarrow.dataset as ds
+
+                    raw_ids = np.unique(
+                        np.concatenate(
+                            [self._postings("raw", w)[0] for w in affecting]
+                        )
+                    )
+                    table = self._docs_dataset().to_table(
+                        columns=["doc_id", "text", "dl"],
+                        filter=ds.field("doc_id").isin(raw_ids.tolist()),
+                    )
+                    order = np.argsort(
+                        table["doc_id"].to_numpy(), kind="stable"
+                    )
+                    r_ids = (
+                        table["doc_id"].to_numpy()[order].astype(np.int64)
+                    )
+                    r_dls = table["dl"].to_numpy()[order].astype(np.int64)
+                    texts = table["text"].to_pylist()
+                    texts = [texts[i] for i in order]
+                    if masked:
+                        # single-process retok: a replica IS one of N
+                        # worker processes already; only the first replica
+                        # computes — the rest load the sidecar it stores
+                        hits, olds, dl_new, d = repair_mod.retok_chunk(
+                            texts, r_dls, lookups_t, g_set
+                        )
+                        arrays = {
+                            "ids": r_ids, "hits": hits, "olds": olds,
+                            "dl": dl_new, "dl_delta": d,
+                        }
+                        repair_mod.store_sidecar(
+                            self.index_path, g_set, lookups_t, arrays
+                        )
+                    else:
+                        # >62 lookups (up to the 256-term parser cap):
+                        # per-lookup bool arrays straight from the token
+                        # sets — no sidecar, cached in-process
+                        toks = [
+                            tok.tokenize(t, g_set) if t else []
+                            for t in texts
+                        ]
+                        tok_sets = [set(ts) for ts in toks]
+                        presence_r = {
+                            t: np.fromiter(
+                                (t in s for s in tok_sets), bool,
+                                len(tok_sets),
+                            )
+                            for t in all_lookups
+                        }
+                        dl_new = np.fromiter(
+                            (len(ts) for ts in toks), np.int64, len(toks)
+                        )
+                        bundle = (
+                            r_ids, presence_r, dl_new,
+                            int(dl_new.sum() - r_dls.sum()),
+                        )
+                if bundle is None:
+                    hits = arrays["hits"].astype(np.int64, copy=False)
+                    bundle = (
+                        arrays["ids"].astype(np.int64, copy=False),
+                        {
+                            t: ((hits >> j) & 1).astype(bool)
+                            for j, t in enumerate(lookups_t)
+                        },
+                        arrays["dl"].astype(np.int64, copy=False),
+                        int(arrays["dl_delta"].sum()),
+                    )
+                # mask bundles are ~tens of B/affected doc — FIFO-bound
+                # like SearchEngine caches so a service cycling many
+                # special vocabularies can't grow without limit
+                while len(self._repair_cache) >= 8:
                     self._repair_cache.pop(next(iter(self._repair_cache)))
-                self._repair_cache[g_set] = repair
-            re_ids, re_toks, old_dl_sum = repair
-            delta = sum(len(ts) for ts in re_toks) - old_dl_sum
+                self._repair_cache[rkey] = bundle
+            re_ids, re_presence, re_dl, delta = bundle
             avgdl = (
                 (self.avgdl * self.n_docs + delta) / self.n_docs
                 if self.n_docs
@@ -314,8 +377,6 @@ class LocalSearcher:
             cand_ids = np.unique(np.concatenate([cand_ids, re_ids]))
             n = len(cand_ids)
             re_pos = np.searchsorted(cand_ids, re_ids)
-            re_mask = np.zeros(n, dtype=bool)
-            re_mask[re_pos] = True
             # rebuild presence on the widened candidate set
             new_present: dict[str, np.ndarray] = {}
             new_dl = np.zeros(n, dtype=np.int64)
@@ -326,13 +387,12 @@ class LocalSearcher:
                 mask[idx] = True
                 new_present[t] = mask
                 new_dl[idx] = dls
-            # overwrite repaired docs: presence from retokenized tokens
-            tok_sets = [set(ts) for ts in re_toks]
+            # overwrite repaired docs: presence from the repaired arrays
             for t in all_lookups:
                 m = new_present[t]
-                m[re_pos] = np.array([t in s for s in tok_sets])
+                m[re_pos] = re_presence[t]
                 new_present[t] = m
-            new_dl[re_pos] = np.array([len(ts) for ts in re_toks])
+            new_dl[re_pos] = re_dl
             lookup_present, dl = new_present, new_dl
             df_by_term = {
                 t: int(lookup_present[t].sum()) for t in all_lookups
@@ -397,6 +457,13 @@ class LocalSearcher:
         if with_metadata and results:
             import pyarrow.dataset as ds
 
+            # matched_terms: sorted matched query keywords per winner —
+            # same construction as engine._matched_terms_col
+            # (file_processing.rs:1447-1488), from the presence arrays
+            sel = np.flatnonzero(keep)[order]
+            kws = sorted(present)
+            for r, j in zip(results, sel):
+                r["matched_terms"] = [kw for kw in kws if present[kw][j]]
             table = self._docs_dataset().to_table(
                 columns=["doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text"],
                 filter=ds.field("doc_id").isin([r["doc_id"] for r in results]),

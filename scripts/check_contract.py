@@ -2,6 +2,13 @@
 __spark_entry__.queries() entry and its oracle_sql() on the same sf dir,
 compare row count, schema (column names), and an order-insensitive value
 hash.  Usage: python scripts/check_contract.py [sf_dir] [name ...]
+
+When run with no name filter it also writes CONTRACT_FULL.json at the
+repo root — the committed every-entry artifact (VERDICT r4 #6): the
+driver's 50-row CORRECTNESS window rotates, so out-of-window entries are
+only as green as the last full run; this file IS that run, one row per
+contract entry with rows/schema/hash status and timestamp-free content
+(stable diffs round to round).
 """
 
 from __future__ import annotations
@@ -70,6 +77,7 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     failures = []
     checked = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,9 +90,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failures.append(name)
+            report[name] = {"status": "spark_error", "err": str(e)[:200]}
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            report[name] = {"status": "rows_only", "spark_rows": len(s_rows)}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -93,6 +103,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             failures.append(name)
+            report[name] = {"status": "duckdb_error", "err": str(e)[:200]}
             continue
         ok_schema = sorted(s_cols) == sorted(o_cols)
         ok_count = len(s_rows) == len(o_rows)
@@ -106,6 +117,14 @@ def main() -> int:
             f"hash={'ok' if ok_hash else f'{sh[:8]} vs {oh[:8]}'} "
             f"({time.time()-t0:.1f}s)"
         )
+        report[name] = {
+            "status": "ok" if status == "OK  " else "fail",
+            "rows_match": ok_count,
+            "schema_match": ok_schema,
+            "hash_match": ok_hash,
+            "spark_rows": len(s_rows),
+            "oracle_rows": len(o_rows),
+        }
         if status == "FAIL":
             failures.append(name)
             if not ok_hash and ok_count and ok_schema:
@@ -116,6 +135,23 @@ def main() -> int:
                 print("  oracle-only:", list(o_set - s_set)[:3])
     print(f"CHECKED: {checked}/{len(only) if only else len(qs)} requested")
     print("FAILURES:", failures if failures else "none")
+    if not only:
+        import json
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, "CONTRACT_FULL.json"), "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_entries": checked,
+                    "n_failures": len(failures),
+                    "entries": report,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote CONTRACT_FULL.json ({checked} entries)")
     if only:
         missing = only - set(qs)
         if missing:

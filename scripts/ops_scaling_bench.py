@@ -53,6 +53,11 @@ JOBS = [
     if j
 ]
 
+# dirty-window retries per sample: a 2-core 26.4M-turn dedup sample costs
+# ~67 min, so unbounded retries are unaffordable — set to 1 and read the
+# per-sample burn controls in the artifact's window_log instead
+ATTEMPTS = int(os.environ.get("SPARK_GRAFT_OPS_ATTEMPTS", "3"))
+
 WORKER_CODE = r"""
 import json, sys, time
 
@@ -135,6 +140,7 @@ def main() -> None:
     tps: dict[str, dict[int, list[float]]] = {
         j: {lo: [], hi: []} for j in JOBS
     }
+    window_log: list[dict] = []
     best_burn: dict[int, float] = {lo: 0.0, hi: 0.0}
     best_bw: dict[int, float] = {lo: 0.0, hi: 0.0}
     n_turns = None
@@ -155,7 +161,7 @@ def main() -> None:
                 time.sleep(45)
                 burn = hw_capacity(cpus)
                 best_burn[cpus] = max(best_burn[cpus], burn)
-            for attempt in range(3):
+            for attempt in range(ATTEMPTS):
                 res = run_once(cpus, corpus)
                 post = hw_capacity(cpus)
                 best_burn[cpus] = max(best_burn[cpus], post)
@@ -163,6 +169,24 @@ def main() -> None:
                 n_turns = res["n_turns"]
                 for j in JOBS:
                     tps[j][cpus].append(res[f"{j}_turns_per_sec"])
+                window_log.append(
+                    {
+                        "cpus": cpus,
+                        "round": r,
+                        "attempt": attempt,
+                        "burn_pre": round(burn, 3),
+                        "burn_post": round(post, 3),
+                        "clean": ok,
+                        "host_busy_mean": res.get("host_busy_mean"),
+                        "host_steal_mean": res.get("host_steal_mean"),
+                        **{
+                            f"{j}_turns_per_sec": res[
+                                f"{j}_turns_per_sec"
+                            ]
+                            for j in JOBS
+                        },
+                    }
+                )
                 print(
                     f"round {r} local[{cpus}]"
                     f"{'' if ok else f' [dirty window, attempt {attempt}]'}: "
@@ -197,6 +221,12 @@ def main() -> None:
         "bw_units_per_sec_hi": round(bw_hi, 3),
         "bw_efficiency": round(bw_eff, 3),
         "target": 0.8,
+        # per-sample clean-window controls: burn_pre/burn_post bracket the
+        # sample; clean=False means the post-run burn fell under 85% of
+        # best — that sample ran partly contended and its throughput is
+        # biased DOWN (compute any contention correction from these
+        # numbers, in-artifact)
+        "window_log": window_log,
     }
     for j in JOBS:
         b_lo, b_hi = max(tps[j][lo]), max(tps[j][hi])

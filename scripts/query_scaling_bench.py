@@ -99,6 +99,17 @@ if service:
     from probe_spark.search.service import QueryService
 
     svc = QueryService(eng, max_batch=max(cpus * 4, 16))
+    # warm the serving tier itself: with local routing active (round 5)
+    # each forked replica keeps its own postings/repair caches, so one
+    # sequential suite pass would leave most replicas cold — submit
+    # cpus concurrent passes so every replica sees the vocabulary
+    futs = [
+        svc.submit(qtext, k)
+        for _ in range(cpus)
+        for _qid, qtext, k in REFERENCE_QUERIES
+    ]
+    for f in futs:
+        f.result()
 
     def one(args):
         _qid, qtext, k = args

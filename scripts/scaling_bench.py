@@ -119,6 +119,9 @@ def run_once(cpus: int) -> dict:
     # turns/sec at N vs 4N); the query suite is measured by the per-round
     # bench, not here — including it would triple each round's wall time
     env["SPARK_GRAFT_BUILD_ONLY"] = "1"
+    # two-pass mode rides through to bench.py (VERDICT r4 #7)
+    if os.environ.get("SPARK_GRAFT_FUSED"):
+        env["SPARK_GRAFT_FUSED"] = os.environ["SPARK_GRAFT_FUSED"]
     # larger corpus than the per-round bench: the scaling criterion measures
     # sustained throughput, which at 10^12-turn scale is never dominated by
     # the fixed per-job driver overhead a small corpus would emphasize
@@ -224,8 +227,9 @@ def main() -> None:
     bw_hi = max(best_bw[hi], bw_capacity(hi))
     bw_eff = (bw_hi / bw_lo) / ratio
     normalized_bw = raw / bw_eff if bw_eff > 0 else 0.0
+    twopass = os.environ.get("SPARK_GRAFT_FUSED", "1") == "0"
     result = {
-        "job": "index_build",
+        "job": "index_build_twopass" if twopass else "index_build",
         "n_turns": n_turns,
         "cpus_lo": lo,
         "cpus_hi": hi,
@@ -262,7 +266,8 @@ def main() -> None:
         ),
     }
     print(json.dumps(result))
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    out_name = "SCALING_TWOPASS.json" if twopass else "SCALING.json"
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(result, f, indent=2)
 
 

@@ -85,3 +85,15 @@ def test_local_latency_smoke(local_searcher):
     t0 = time.time()
     local_searcher.search("error AND handling", k=10)
     assert time.time() - t0 < 1.0
+
+
+@pytest.mark.parametrize(
+    "qid,query,k", [q for q in REFERENCE_QUERIES if q[0] in (1, 5, 13, 23)]
+)
+def test_local_matched_terms_parity(local_searcher, dist_engine, qid, query, k):
+    """matched_terms (round 5: required for QueryService replica routing)
+    must equal the engine's column construction per winner."""
+    local = local_searcher.search(query, k=k)
+    dist = dist_engine.search(query, k=k).collect()
+    for lr, dr in zip(local, dist):
+        assert lr["matched_terms"] == list(dr["matched_terms"]), query

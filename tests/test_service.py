@@ -42,9 +42,13 @@ def _direct(engine, q, k):
 
 
 class TestQueryService:
-    def test_concurrent_submissions_match_direct(self, engine):
+    # local_route=True serves from the forked LocalSearcher replica tier
+    # (round 5); False pins the Spark micro-batch dispatcher — both must
+    # stay value-identical to direct search()
+    @pytest.mark.parametrize("local_route", [True, False])
+    def test_concurrent_submissions_match_direct(self, engine, local_route):
         expected = {q: _direct(engine, q, k) for q, k in QUERIES}
-        svc = QueryService(engine)
+        svc = QueryService(engine, local_route=local_route)
         try:
             # submit everything at once from many threads so the
             # dispatcher actually forms multi-query batches
@@ -62,8 +66,9 @@ class TestQueryService:
         finally:
             svc.close()
 
-    def test_rows_carry_search_columns(self, engine):
-        svc = QueryService(engine)
+    @pytest.mark.parametrize("local_route", [True, False])
+    def test_rows_carry_search_columns(self, engine, local_route):
+        svc = QueryService(engine, local_route=local_route)
         try:
             rows = svc.search("error", k=3)
             assert rows and {"doc_id", "score", "matched_terms", "text"} <= set(
