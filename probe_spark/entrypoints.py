@@ -1213,7 +1213,10 @@ QUERIES = {
     "session_page2": _q_session_page2,
     "ann_cosine": _q_ann_cosine,
     "chunked_docs": _q_chunked_docs,
-    "image_resize": _q_image_resize,
+    # round 5: token_counts rotated IN (ops/text.py token-counter change
+    # rides the window); image_resize rotated to the tail (codecs
+    # untouched since r3, r4-driver-green, pinned by CONTRACT_FULL.json)
+    "token_counts": _q_token_counts,
     "video_frames": _q_video_frames,
     "bm25_topk_local": _q_bm25_topk_local,
     "lang_scan": _q_lang_scan,
@@ -1265,7 +1268,7 @@ QUERIES = {
     "minhash_lsh": _q_minhash_lsh,
     "dup_clusters": _q_dup_clusters,
     "dedup_survivors": _q_dedup_survivors,
-    "token_counts": _q_token_counts,
+    "image_resize": _q_image_resize,
     "quality": _q_quality,
     "fingerprint": _q_fingerprint,
     "sessionize": _q_sessionize,
