@@ -128,12 +128,40 @@ work = [q for _ in range({passes})
 
 
 def _proc_cpu():
-    # driver python + JVM child cpu-seconds (user+sys): resource sees the
-    # python process; the JVM is a child, so add children times
-    import resource
+    # driver python + child cpu-seconds (user+sys).  RUSAGE_CHILDREN only
+    # counts REAPED children — the JVM and (in replica mode) the forked
+    # LocalSearcher pool are still alive during measurement — so also sum
+    # live descendants' /proc/<pid>/stat utime+stime.
+    import os, resource
     a = resource.getrusage(resource.RUSAGE_SELF)
     b = resource.getrusage(resource.RUSAGE_CHILDREN)
-    return a.ru_utime + a.ru_stime + b.ru_utime + b.ru_stime
+    total = a.ru_utime + a.ru_stime + b.ru_utime + b.ru_stime
+    try:
+        tick = os.sysconf("SC_CLK_TCK")
+        me, seen = str(os.getpid()), {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().rsplit(") ", 1)[1].split()
+                seen[pid] = (parts[1], int(parts[11]) + int(parts[12]))
+            except OSError:
+                continue
+        live = {me}
+        grew = True
+        while grew:
+            grew = False
+            for pid, (ppid, _cpu) in seen.items():
+                if pid not in live and ppid in live:
+                    live.add(pid)
+                    grew = True
+        total += sum(
+            cpu for pid, (_pp, cpu) in seen.items() if pid in live and pid != me
+        ) / tick
+    except Exception:
+        pass
+    return total
 
 
 # CONTROL 1: single-flight — the same warm suite one query at a time.
