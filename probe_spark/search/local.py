@@ -127,6 +127,15 @@ class LocalSearcher:
         if parts:
             ids = np.concatenate([p[1] for p in parts])
             dls = np.concatenate([p[2] for p in parts])
+            # narrow to int32 when every id fits (ids are doc-sorted, so
+            # the last element is the max): the per-query concat + unique
+            # + searchsorted over these arrays is memory-bandwidth-bound
+            # at multi-M-doc corpora — half-width ids move half the bytes.
+            # Values are unchanged (exact int conversion; scores stay
+            # float64), so rank-identity is unaffected.
+            if ids.size and ids[-1] < 2**31 and ids[0] >= -(2**31):
+                ids = ids.astype(np.int32)
+                dls = dls.astype(np.int32)
         else:
             ids = np.empty(0, dtype=np.int64)
             dls = np.empty(0, dtype=np.int64)
@@ -446,7 +455,18 @@ class LocalSearcher:
             keep &= self._tomb[pos] != cand_ids
         ids_k = cand_ids[keep]
         sc_k = score[keep]
-        if k is not None:
+        if k is not None and 0 < k < ids_k.size:
+            # partition-then-sort top-k: O(n) select of every row scoring
+            # >= the kth-largest score (ties at the boundary all included,
+            # so the doc_id tie-break below sees exactly the rows a full
+            # sort would rank in the top k), then lexsort only that
+            # candidate set — replaces the full O(n log n) lexsort that
+            # dominated warm large-corpus queries
+            kth = np.partition(sc_k, ids_k.size - k)[ids_k.size - k]
+            sel_k = np.flatnonzero(sc_k >= kth)
+            sub = np.lexsort((ids_k[sel_k], -sc_k[sel_k]))[:k]
+            order = sel_k[sub]
+        elif k is not None:
             order = np.lexsort((ids_k, -sc_k))[:k]
         else:
             order = np.lexsort((ids_k, -sc_k))
