@@ -76,6 +76,14 @@ class LocalSearcher:
         self._postings_cache_cap = 512
         self._repair_cache: dict[frozenset, tuple] = {}
         self._docs_ds = None
+        # winner-metadata plane: fragment range map (footer stats) + LRU of
+        # decompressed fragment tables (~1 MB text each; 64 ≈ 64-256 MB/
+        # replica ceiling, the doc-store cache a serving replica holds)
+        self._docs_map = None
+        self._meta_frag_cache: dict[int, tuple] = {}
+        self._meta_frag_cap = int(
+            os.environ.get("PROBE_SPARK_LOCAL_META_FRAGS", "64")
+        )
         # tombstoned docs (index/maintenance.delete_where) are masked
         # before top-k; stats stay as built until vacuum — same
         # deleted-docs semantics as the Spark engine
@@ -256,12 +264,18 @@ class LocalSearcher:
         # per-doc hits from the token index
         per_term = {t: self._postings("tok", t) for t in all_lookups}
         avgdl = self.avgdl
-        all_ids = (
-            np.concatenate([v[0] for v in per_term.values()])
-            if per_term
-            else np.empty(0, dtype=np.int64)
-        )
-        cand_ids, inv = np.unique(all_ids, return_inverse=True)
+        if len(per_term) == 1:
+            # single lookup: the posting list IS the candidate set (already
+            # sorted unique) — skip the O(n log n) unique pass
+            only = next(iter(per_term.values()))[0]
+            cand_ids, inv = only, np.arange(len(only))
+        else:
+            all_ids = (
+                np.concatenate([v[0] for v in per_term.values()])
+                if per_term
+                else np.empty(0, dtype=np.int64)
+            )
+            cand_ids, inv = np.unique(all_ids, return_inverse=True)
         n = len(cand_ids)
         present: dict[str, np.ndarray] = {}
         dl = np.zeros(n, dtype=np.int64)
@@ -475,8 +489,6 @@ class LocalSearcher:
             {"doc_id": int(i), "score": float(s)} for i, s in zip(ids_k, sc_k)
         ]
         if with_metadata and results:
-            import pyarrow.dataset as ds
-
             # matched_terms: sorted matched query keywords per winner —
             # same construction as engine._matched_terms_col
             # (file_processing.rs:1447-1488), from the presence arrays
@@ -484,11 +496,121 @@ class LocalSearcher:
             kws = sorted(present)
             for r, j in zip(results, sel):
                 r["matched_terms"] = [kw for kw in kws if present[kw][j]]
-            table = self._docs_dataset().to_table(
-                columns=["doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text"],
-                filter=ds.field("doc_id").isin([r["doc_id"] for r in results]),
-            )
-            meta = {r["doc_id"]: r for r in table.to_pylist()}
+            meta = self._fetch_meta([r["doc_id"] for r in results])
             for r in results:
                 r.update(meta.get(r["doc_id"], {}))
         return results
+
+    # -- winner metadata fetch ------------------------------------------------
+    _META_COLUMNS = [
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text",
+    ]
+
+    def _docs_file_map(self):
+        """(paths, min_doc, max_doc) for every docs/ fragment, from parquet
+        footer stats only (no data read).  Valid iff the files cover
+        DISJOINT doc_id ranges — true for every writer in this repo (the
+        fused build emits doc-contiguous shards, streaming appends new id
+        ranges, vacuum rewrites file-for-file); overlap -> None and the
+        caller keeps the generic dataset-filter path."""
+        if self._docs_map is not None:
+            return self._docs_map if self._docs_map else None
+        import pyarrow.parquet as pq
+
+        entries = []
+        root = os.path.join(self.index_path, "docs")
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(p).metadata
+                schema_names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                try:
+                    ci = schema_names.index("doc_id")
+                except ValueError:
+                    self._docs_map = ()
+                    return None
+                lo = hi = None
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        self._docs_map = ()
+                        return None
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if md.num_rows:
+                    entries.append((int(lo), int(hi), p))
+        entries.sort()
+        for (l0, h0, _), (l1, _h1, _p) in zip(entries, entries[1:]):
+            if l1 <= h0:  # overlapping ranges — fall back
+                self._docs_map = ()
+                return None
+        self._docs_map = (
+            [e[2] for e in entries],
+            np.array([e[0] for e in entries], dtype=np.int64),
+            np.array([e[1] for e in entries], dtype=np.int64),
+        )
+        return self._docs_map
+
+    def _fetch_meta(self, doc_ids: "list[int]") -> dict:
+        """Winner-row metadata.  The generic path (dataset filter with
+        isin) decompresses EVERY row group whose stats admit a winner —
+        ~1 MB of text per fragment, k fragments per query, the dominant
+        warm-query cost at multi-M-doc corpora.  The fast path resolves
+        each winner to its fragment via footer stats and keeps an LRU of
+        DECOMPRESSED fragment tables (the doc-store cache every serving
+        stack has): a warm replica answers winner lookups from memory
+        with two searchsorted calls."""
+        fm = self._docs_file_map()
+        if fm is None:
+            import pyarrow.dataset as ds
+
+            table = self._docs_dataset().to_table(
+                columns=self._META_COLUMNS,
+                filter=ds.field("doc_id").isin(doc_ids),
+            )
+            return {r["doc_id"]: r for r in table.to_pylist()}
+        paths, lo, hi = fm
+        out: dict = {}
+        misses: list[int] = []
+        for d in doc_ids:
+            i = int(np.searchsorted(lo, d, side="right")) - 1
+            if i < 0 or d > hi[i]:
+                continue  # id not in any fragment (deleted/stale) — skip
+            ent = self._meta_frag_cache.get(i)
+            if ent is None:
+                misses.append(i)
+        if misses:
+            import pyarrow.parquet as pq
+
+            for i in set(misses):
+                t = pq.read_table(paths[i], columns=self._META_COLUMNS)
+                ids_np = t.column("doc_id").to_numpy()
+                if ids_np.size > 1 and np.any(ids_np[1:] < ids_np[:-1]):
+                    order = np.argsort(ids_np, kind="stable")
+                    t = t.take(order)
+                    ids_np = ids_np[order]
+                while len(self._meta_frag_cache) >= self._meta_frag_cap:
+                    self._meta_frag_cache.pop(
+                        next(iter(self._meta_frag_cache))
+                    )
+                self._meta_frag_cache[i] = (ids_np, t)
+        for d in doc_ids:
+            i = int(np.searchsorted(lo, d, side="right")) - 1
+            if i < 0 or d > hi[i]:
+                continue
+            ent = self._meta_frag_cache.get(i)
+            if ent is None:  # pragma: no cover - evicted mid-call
+                continue
+            ids_np, t = ent
+            j = int(np.searchsorted(ids_np, d))
+            if j >= len(ids_np) or int(ids_np[j]) != d:
+                continue
+            out[d] = {
+                c: t.column(c)[j].as_py() for c in self._META_COLUMNS
+            }
+        return out
