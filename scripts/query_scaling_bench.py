@@ -138,17 +138,17 @@ def _proc_cpu():
     total = a.ru_utime + a.ru_stime + b.ru_utime + b.ru_stime
     try:
         tick = os.sysconf("SC_CLK_TCK")
-        me, seen = str(os.getpid()), {}
+        me, seen = str(os.getpid()), dict()
         for pid in os.listdir("/proc"):
             if not pid.isdigit():
                 continue
             try:
-                with open(f"/proc/{pid}/stat") as f:
+                with open("/proc/" + pid + "/stat") as f:
                     parts = f.read().rsplit(") ", 1)[1].split()
                 seen[pid] = (parts[1], int(parts[11]) + int(parts[12]))
             except OSError:
                 continue
-        live = {me}
+        live = set([me])
         grew = True
         while grew:
             grew = False
