@@ -99,6 +99,7 @@ if service:
     from probe_spark.search.service import QueryService
 
     svc = QueryService(eng, max_batch=max(cpus * 4, 16))
+    replicas_active = svc._replicas is not None
     # warm the serving tier itself: with local routing active (round 5)
     # each forked replica keeps its own postings/repair caches, so one
     # sequential suite pass would leave most replicas cold — submit
@@ -185,6 +186,7 @@ with bench.HostSampler() as sampler:
 lat.sort()
 print(json.dumps({{
     "single_flight_suite_sec": round(single_flight_sec, 3),
+    "replicas_active": (service and replicas_active),
     "single_flight_coresec_per_query": round(
         single_flight_cpu / len(REFERENCE_QUERIES), 3),
     "concurrent_coresec_per_query": round(conc_cpu / len(work), 3),
@@ -226,6 +228,7 @@ def main() -> None:
     index_dir = pregen_index(corpus, n_convs)
 
     job: dict[int, list[float]] = {lo: [], hi: []}
+    last_replicas_active = False
     p95s: dict[int, list[float]] = {lo: [], hi: []}
     controls: dict[int, list[dict]] = {lo: [], hi: []}
     best_burn: dict[int, float] = {lo: 0.0, hi: 0.0}
@@ -258,6 +261,7 @@ def main() -> None:
                 best_bw[cpus] = max(best_bw[cpus], post_bw)
                 ok = post >= 0.85 * best_burn[cpus]
                 n_queries = res["n_queries"]
+                last_replicas_active = res.get("replicas_active", False)
                 job[cpus].append(res["qps"])
                 p95s[cpus].append(res["p95_sec"])
                 controls[cpus].append(
@@ -295,9 +299,16 @@ def main() -> None:
     result = {
         "job": "bm25_query_service_batched" if SERVICE
         else "bm25_query_service",
-        "serving_mode": "micro-batched (QueryService over search_batch)"
-        if SERVICE
-        else "per-request search()",
+        "serving_mode": (
+            (
+                "QueryService, driver-local replica tier (forked "
+                "LocalSearcher processes, zero Spark jobs per request)"
+                if last_replicas_active
+                else "micro-batched (QueryService over search_batch)"
+            )
+            if SERVICE
+            else "per-request search()"
+        ),
         "n_turns_indexed": n_convs and None,  # filled below
         "n_queries_per_sample": n_queries,
         "suite": "REFERENCE_QUERIES x %d passes, warm, in-flight = cores"
