@@ -680,6 +680,7 @@ class LocalSearcher:
             if df > 0:
                 idfs[kw] = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
+        deferred_widen = False
         if zero_included:
             # constant-score fast path: when no NON-excluded keyword has
             # positive idf, every qualifying doc scores exactly 0.0 (the
@@ -700,18 +701,28 @@ class LocalSearcher:
                     (re_ids, re_presence) if affecting else None,
                     k, with_metadata,
                 )
-            # every doc is a candidate (zero-included with scored terms)
-            every, every_dl = self._universe_arrays()
-            idx = np.searchsorted(every, cand_ids)
-            full_dl = every_dl.astype(np.int64)
-            full_dl[idx] = dl
-            widened: dict[str, np.ndarray] = {}
-            for t, mask in lookup_present.items():
-                m = np.zeros(len(every), dtype=bool)
-                m[idx] = mask
-                widened[t] = m
-            cand_ids, dl, lookup_present = every, full_dl, widened
-            n = len(cand_ids)
+            # zero-included with scored terms ("a OR -b"): every doc is a
+            # candidate, but docs holding NO query term all score exactly
+            # 0.0 — so when the postings union already yields >= k
+            # positive-score qualifying rows, the union top-k IS the
+            # global top-k and the corpus-wide widening is skipped
+            # entirely (the deferred check below re-widens only in the
+            # degenerate under-k case).  k=None (no limit) still widens:
+            # the caller asked for every qualifying doc.
+            if k is None:
+                every, every_dl = self._universe_arrays()
+                idx = np.searchsorted(every, cand_ids)
+                full_dl = every_dl.astype(np.int64)
+                full_dl[idx] = dl
+                widened: dict[str, np.ndarray] = {}
+                for t, mask in lookup_present.items():
+                    m = np.zeros(len(every), dtype=bool)
+                    m[idx] = mask
+                    widened[t] = m
+                cand_ids, dl, lookup_present = every, full_dl, widened
+                n = len(cand_ids)
+            else:
+                deferred_widen = True
 
         for kw in query_terms:
             match = kw_to_match.get(kw)
@@ -733,6 +744,39 @@ class LocalSearcher:
             keep &= self._tomb[pos] != cand_ids
         ids_k = cand_ids[keep]
         sc_k = score[keep]
+        if deferred_widen and int(np.count_nonzero(sc_k > 0.0)) < k:
+            # degenerate zero-included case: fewer than k positive-score
+            # docs in the postings union, so zero-score docs outside it
+            # can reach the top-k — do the corpus-wide widening after all
+            # and re-run the assembly exactly as the eager path would
+            every, every_dl = self._universe_arrays()
+            idx = np.searchsorted(every, cand_ids)
+            full_dl = every_dl.astype(np.int64)
+            full_dl[idx] = dl
+            widened = {}
+            for t, mask in lookup_present.items():
+                m = np.zeros(len(every), dtype=bool)
+                m[idx] = mask
+                widened[t] = m
+            cand_ids, dl, lookup_present = every, full_dl, widened
+            n = len(cand_ids)
+            for kw in query_terms:
+                match = kw_to_match.get(kw)
+                if match is None:
+                    present[kw] = np.zeros(n, dtype=bool)
+                else:
+                    present[kw] = lookup_present[match]
+            tf_norm = (K1 + 1.0) / (
+                1.0 + K1 * ((1.0 - B) + B * (dl.astype(np.float64) / avgdl))
+            )
+            score, ok = self._score_eval(expr, present, idfs, tf_norm, n)
+            keep = ok & ~np.isnan(score)
+            if self._tomb is not None and n:
+                pos = np.searchsorted(self._tomb, cand_ids)
+                pos[pos == self._tomb.size] = self._tomb.size - 1
+                keep &= self._tomb[pos] != cand_ids
+            ids_k = cand_ids[keep]
+            sc_k = score[keep]
         if k is not None and 0 < k < ids_k.size:
             # partition-then-sort top-k: O(n) select of every row scoring
             # >= the kth-largest score (ties at the boundary all included,
