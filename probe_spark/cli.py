@@ -84,13 +84,27 @@ def cmd_search(args) -> int:
 
     if args.reranker.startswith("ms-marco-"):
         # reference gates these behind --features bert-reranker; BERT
-        # reranking is documented out of scope (SURVEY.md §2.6)
+        # reranking needs a runtime this deployment may not have
+        # (search/rerank.py carries the mapInPandas cross-encoder
+        # plumbing for installations that do)
         print(
             f"error: reranker '{args.reranker}' requires a BERT runtime "
-            "(out of scope; use bm25/tfidf/hybrid/hybrid2, which all rank "
-            "with BM25 as the reference does)", file=sys.stderr,
+            "(use bm25/tfidf/hybrid/hybrid2, which all rank with BM25 as "
+            "the reference does, or 'overlap' for the deterministic "
+            "two-stage rerank)", file=sys.stderr,
         )
         return 2
+    rerank_on = args.reranker == "overlap"
+    if rerank_on and (args.max_bytes or args.max_tokens
+                      or args.merge_turns is not None or args.files_only
+                      or args.ids_only):
+        print(
+            "error: --reranker overlap composes with plain ranked search "
+            "only (not --max-bytes/--max-tokens/--merge-turns/"
+            "--files-only/--ids-only)", file=sys.stderr,
+        )
+        return 2
+    n_cands = max((args.max_results or 10) * 5, 50) if rerank_on else None
     args.query = combine_queries(args.query)
     timer = None
     if args.timeout:
@@ -139,9 +153,15 @@ def cmd_search(args) -> int:
         from probe_spark.search.local import LocalSearcher
 
         rows = LocalSearcher(args.index).search(
-            args.query, k=args.max_results, exact=args.exact,
+            args.query,
+            k=n_cands if rerank_on else args.max_results,
+            exact=args.exact,
             with_metadata=not args.ids_only or args.dry_run,
         )
+        if rerank_on:
+            from probe_spark.search.rerank import rerank_rows
+
+            rows = rerank_rows(rows, args.query, k=args.max_results)
         from probe_spark.search.output import FORMATTERS
 
         if not args.dry_run and args.format in FORMATTERS:
@@ -187,7 +207,7 @@ def cmd_search(args) -> int:
         seen = seen_doc_ids(spark, args.index, args.session)
     res = eng.search(
         args.query,
-        k=args.max_results,
+        k=n_cands if rerank_on else args.max_results,
         exact=args.exact,
         with_metadata=not args.ids_only or args.dry_run,
         prune=not args.no_prune,
@@ -212,6 +232,10 @@ def cmd_search(args) -> int:
 
         res = merge_adjacent_turns(res, threshold=args.merge_turns)
     rows = res.collect()
+    if rerank_on:
+        from probe_spark.search.rerank import rerank_rows
+
+        rows = rerank_rows(rows, args.query, k=args.max_results)
     if args.session:
         from probe_spark.search.session_cache import record_results
 
@@ -220,26 +244,33 @@ def cmd_search(args) -> int:
             args.index,
             args.session,
             args.query,
-            [r["doc_id"] for r in rows if "doc_id" in r.asDict()],
+            [
+                r["doc_id"]
+                for r in rows
+                if "doc_id" in (r if isinstance(r, dict) else r.asDict())
+            ],
         )
     from probe_spark.search.output import FORMATTERS
 
+    def _d(r):
+        return r if isinstance(r, dict) else r.asDict()
+
     if args.dry_run:
         for r in rows:
-            d = r.asDict()
+            d = _d(r)
             if "turn_lo" in d:  # merged spans carry a turn range
                 loc = f"{d['turn_lo']}-{d['turn_hi']}"
             else:
                 loc = d.get("turn_idx")
             print(f"{d.get('conv_id')}:{loc}")
     elif args.format in FORMATTERS:
-        print(FORMATTERS[args.format]([r.asDict() for r in rows]))
+        print(FORMATTERS[args.format]([_d(r) for r in rows]))
     elif args.format == "json":
         for r in rows:
-            print(json.dumps({k: _jsonable(v) for k, v in r.asDict().items()}))
+            print(json.dumps({k: _jsonable(v) for k, v in _d(r).items()}))
     else:
         for r in rows:
-            d = r.asDict()
+            d = _d(r)
             text = (d.get("text") or "").replace("\n", " ")[:80]
             print(f"{d['doc_id']}\t{d['score']:.4f}\t{text}")
     if timer:
@@ -520,13 +551,17 @@ def main(argv: list[str] | None = None) -> int:
         help="output format (search_output.rs analogs)",
     )
     s.add_argument("-r", "--reranker", default="bm25",
-                   choices=["bm25", "tfidf", "hybrid", "hybrid2",
+                   choices=["bm25", "tfidf", "hybrid", "hybrid2", "overlap",
                             "ms-marco-tinybert", "ms-marco-minilm-l6",
                             "ms-marco-minilm-l12"],
-                   help="reference parity: every non-BERT value takes the "
-                        "same BM25 path (result_ranking.rs:19-167 ranks "
-                        "with rank_documents regardless); ms-marco-* BERT "
-                        "rerankers are out of scope and error out")
+                   help="reference parity: every non-BERT value except "
+                        "'overlap' takes the same BM25 path "
+                        "(result_ranking.rs:19-167 ranks with "
+                        "rank_documents regardless); 'overlap' runs the "
+                        "deterministic two-stage retrieve-then-rerank "
+                        "(search/rerank.py, the cross-encoder analog); "
+                        "ms-marco-* BERT rerankers error without a BERT "
+                        "runtime")
     s.add_argument("--timeout", type=int, default=None, metavar="SECS",
                    help="hard kill-switch: exit(1) the whole process if the "
                         "search exceeds SECS (reference timeout.rs:8-43)")

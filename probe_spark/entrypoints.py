@@ -835,6 +835,20 @@ def _q_bm25_topk_local(spark, sf_dir):
     )
 
 
+def _q_rerank_overlap(spark, sf_dir):
+    """Two-stage retrieve-then-rerank (the reference's optional
+    cross-encoder reranker shape, result_ranking.rs:368-470): BM25
+    top-50 for "hash OR join" re-ordered by the deterministic
+    query-coverage scorer (search/rerank.py) — docs matching BOTH wanted
+    keywords outrank single-keyword docs regardless of BM25 magnitude.
+    Fully SQL-expressible, so the driver compare pins the whole
+    two-stage pipeline including the candidate boundary."""
+    from probe_spark.search.rerank import rerank
+
+    eng = get_engine(spark, sf_dir)
+    return rerank(eng, "hash OR join", k=20, n_candidates=50)
+
+
 def _q_limited_search(spark, sf_dir):
     """apply_limits (search_limiter.rs semantics): rank-ordered greedy
     byte-budget prefix over the scored result set."""
@@ -1225,6 +1239,8 @@ QUERIES = {
     "retrieval_summary": _q_retrieval_summary,
     # ---- new in round 4 ----
     "ann_knn_join": _q_ann_knn_join,
+    # ---- new in round 5 ----
+    "rerank_overlap": _q_rerank_overlap,
     # ---- round-3-green, kept in-window (ride this round's changes) ----
     "bm25_or": _q_bm25_or,
     "bm25_and": _q_bm25_and,
@@ -2229,6 +2245,35 @@ FROM events GROUP BY 1, 2
     ),
     "bm25_topk_local": _BM25_TOPK_WAND_ORACLE.format(
         c_hash=_contrib("hash"), c_join=_contrib("join")
+    ),
+    # retrieve-then-rerank: BM25 top-50 candidate cut (raw score desc,
+    # doc_id asc — the engine's own boundary), then query-coverage
+    # rerank (p_hash + p_join)/2, rank-then-round like every top-k oracle
+    "rerank_overlap": f"""{{prelude}}
+, pres AS (
+  SELECT dls.doc_id, dls.dl,
+         MAX(CASE WHEN tok.t = 'hash' THEN 1 ELSE 0 END) AS p_hash,
+         MAX(CASE WHEN tok.t = 'join' THEN 1 ELSE 0 END) AS p_join
+  FROM dls LEFT JOIN tok ON dls.doc_id = tok.doc_id
+  GROUP BY dls.doc_id, dls.dl
+), dfs AS (
+  SELECT SUM(p_hash) AS df_hash, SUM(p_join) AS df_join FROM pres
+), scored AS (
+  SELECT p.doc_id,
+         {{c_hash}} + {{c_join}} AS score,
+         (p.p_hash + p.p_join)/2.0 AS rerank_score
+  FROM pres p, stats s, dfs d
+  WHERE p.p_hash = 1 OR p.p_join = 1
+), cands AS (
+  SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT 50
+)
+SELECT doc_id, ROUND(rerank_score, 6) AS rerank_score,
+       ROUND(score, 6) AS score
+FROM cands ORDER BY rerank_score DESC, score DESC, doc_id ASC LIMIT 20
+""".format(
+        prelude=_BM25_PRELUDE,
+        c_hash=_contrib("hash"),
+        c_join=_contrib("join"),
     ),
     "bm25_batch": _BM25_BATCH_ORACLE.format(
         c_hash=_contrib("hash"),

@@ -135,7 +135,7 @@ class TestCli:
         rc = cli.main(["search", "error", "--index", built_index,
                        "--reranker", "ms-marco-tinybert"])
         assert rc == 2
-        assert "out of scope" in capsys.readouterr().err
+        assert "requires a BERT runtime" in capsys.readouterr().err
 
     def test_build_filter_restricts_corpus(self, spark, tmp_path, capsys):
         from probe_spark import cli
