@@ -849,6 +849,21 @@ def _q_rerank_overlap(spark, sf_dir):
     return rerank(eng, "hash OR join", k=20, n_candidates=50)
 
 
+def _q_boosted_search(spark, sf_dir):
+    """Metadata-boosted top-k — the node-type boost analog
+    (result_ranking.rs:185-326: BM25 * per-node-type factor, re-sort,
+    original BM25 kept).  The documents corpus maps lang->role, so the
+    boost table keys on the lang values; unknown roles ride the 1.0
+    default arm exactly like the reference's catch-all."""
+    from probe_spark.search.rerank import boost
+
+    eng = get_engine(spark, sf_dir)
+    return boost(
+        eng, "hash OR join", k=20, n_candidates=50,
+        role_boosts={"en": 1.5, "zh": 1.2, "de": 0.8},
+    )
+
+
 def _q_limited_search(spark, sf_dir):
     """apply_limits (search_limiter.rs semantics): rank-ordered greedy
     byte-budget prefix over the scored result set."""
@@ -1241,6 +1256,7 @@ QUERIES = {
     "ann_knn_join": _q_ann_knn_join,
     # ---- new in round 5 ----
     "rerank_overlap": _q_rerank_overlap,
+    "boosted_search": _q_boosted_search,
     # ---- round-3-green, kept in-window (ride this round's changes) ----
     "bm25_or": _q_bm25_or,
     "bm25_and": _q_bm25_and,
@@ -2270,6 +2286,39 @@ FROM events GROUP BY 1, 2
 SELECT doc_id, ROUND(rerank_score, 6) AS rerank_score,
        ROUND(score, 6) AS score
 FROM cands ORDER BY rerank_score DESC, score DESC, doc_id ASC LIMIT 20
+""".format(
+        prelude=_BM25_PRELUDE,
+        c_hash=_contrib("hash"),
+        c_join=_contrib("join"),
+    ),
+    # node-type-boost analog: BM25 top-50 cut, then score * per-role
+    # (lang) factor, re-sort boosted desc / doc_id asc — original BM25
+    # kept as bm25_score, unknown roles get 1.0
+    "boosted_search": f"""{{prelude}}
+, pres AS (
+  SELECT dls.doc_id, dls.dl,
+         MAX(CASE WHEN tok.t = 'hash' THEN 1 ELSE 0 END) AS p_hash,
+         MAX(CASE WHEN tok.t = 'join' THEN 1 ELSE 0 END) AS p_join
+  FROM dls LEFT JOIN tok ON dls.doc_id = tok.doc_id
+  GROUP BY dls.doc_id, dls.dl
+), dfs AS (
+  SELECT SUM(p_hash) AS df_hash, SUM(p_join) AS df_join FROM pres
+), scored AS (
+  SELECT p.doc_id, {{c_hash}} + {{c_join}} AS score
+  FROM pres p, stats s, dfs d
+  WHERE p.p_hash = 1 OR p.p_join = 1
+), cands AS (
+  SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT 50
+), boosted AS (
+  SELECT c.doc_id,
+         c.score * CASE doc.lang WHEN 'en' THEN 1.5 WHEN 'zh' THEN 1.2
+                                 WHEN 'de' THEN 0.8 ELSE 1.0 END
+           AS boosted,
+         c.score AS bm25
+  FROM cands c JOIN documents doc ON c.doc_id = doc.doc_id
+)
+SELECT doc_id, ROUND(boosted, 6) AS score, ROUND(bm25, 6) AS bm25_score
+FROM boosted ORDER BY boosted DESC, doc_id ASC LIMIT 20
 """.format(
         prelude=_BM25_PRELUDE,
         c_hash=_contrib("hash"),

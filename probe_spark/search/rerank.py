@@ -82,6 +82,68 @@ def _cross_encoder_fn(model_name: str, query: str):
     return fn
 
 
+# the node-type boost analog for transcripts (the reference multiplies a
+# block's BM25 by a per-node-type factor and re-sorts,
+# result_ranking.rs:185-326: implementations 2.0x ... test code 0.7x,
+# comments 0.5x).  Transcript turns have no AST node types; the
+# role/tool axis is the analog signal: the assistant's turns are the
+# "implementation" payload, raw tool dumps the low-signal noise.
+DEFAULT_ROLE_BOOSTS = {
+    "assistant": 2.0,
+    "user": 1.4,
+    "system": 1.0,
+    "tool": 0.7,
+}
+
+
+def boost(
+    engine,
+    query: str,
+    k: int = 10,
+    n_candidates: int = 50,
+    role_boosts: "dict[str, float] | None" = None,
+    tool_boosts: "dict[str, float] | None" = None,
+) -> DataFrame:
+    """Metadata-boosted top-k — the node-type boost analog
+    (result_ranking.rs:185-326): BM25 top-``n_candidates``, each row's
+    score multiplied by its role's (and optionally tool's) boost factor,
+    re-sorted (boosted desc, doc_id asc).  Like the reference, the
+    unboosted BM25 survives as ``bm25_score``; unknown roles/tools get
+    factor 1.0 (the reference's default arm).  Pure Column expressions —
+    no UDF, no extra scan; the boost map broadcasts as literals."""
+    role_boosts = (
+        DEFAULT_ROLE_BOOSTS if role_boosts is None else role_boosts
+    )
+    cands = engine.search(query, k=n_candidates, with_metadata=True)
+
+    def factor(col: str, table: "dict[str, float]"):
+        if not table:
+            return F.lit(1.0)
+        m = F.create_map(
+            *[
+                F.lit(x)
+                for kv in table.items()
+                for x in (kv[0], float(kv[1]))
+            ]
+        )
+        return F.coalesce(m[F.col(col)], F.lit(1.0))
+
+    boosted = cands.withColumn(
+        "boosted",
+        F.col("score") * factor("role", role_boosts)
+        * factor("tool", tool_boosts or {}),
+    )
+    return (
+        boosted.orderBy(F.desc("boosted"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            F.round("boosted", 6).alias("score"),
+            F.round(F.col("score"), 6).alias("bm25_score"),
+        )
+    )
+
+
 def rerank_rows(rows, query: str, k: "int | None" = 10) -> list[dict]:
     """Overlap-rerank a COLLECTED candidate list (list of dicts or Spark
     Rows holding matched_terms + score) — the row-level twin of

@@ -80,6 +80,48 @@ def test_cross_encoder_requires_runtime(rr_engine):
         df.collect()
 
 
+def test_boost_multiplies_and_resorts(rr_engine):
+    from probe_spark.search.rerank import boost
+
+    q = "error OR handler"
+    table = {"assistant": 2.0, "tool": 0.5}
+    out = boost(
+        rr_engine, q, k=20, n_candidates=50, role_boosts=table
+    ).collect()
+    assert out
+    # manual recompute over the same candidate cut
+    cands = rr_engine.search(q, k=50, with_metadata=True).collect()
+    manual = sorted(
+        (
+            (
+                -r["score"] * table.get(r["role"], 1.0),
+                r["doc_id"],
+                round(r["score"] * table.get(r["role"], 1.0), 6),
+                round(r["score"], 6),
+            )
+            for r in cands
+        ),
+    )[:20]
+    assert [(r["doc_id"], r["score"], r["bm25_score"]) for r in out] == [
+        (d, s, b) for _neg, d, s, b in manual
+    ]
+    # the unboosted BM25 survives alongside the boosted score
+    assert any(r["score"] != r["bm25_score"] for r in out)
+
+
+def test_boost_unknown_roles_default_to_one(rr_engine):
+    from probe_spark.search.rerank import boost
+
+    q = "error OR handler"
+    out = boost(
+        rr_engine, q, k=10, n_candidates=50, role_boosts={"nope": 9.0}
+    ).collect()
+    plain = rr_engine.search(q, k=10, with_metadata=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in out] == [
+        (r["doc_id"], round(r["score"], 6)) for r in plain
+    ]
+
+
 def test_cli_overlap_reranker(rr_engine, capsys):
     import json
 
