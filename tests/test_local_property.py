@@ -78,6 +78,7 @@ def prop_texts():
 @settings(
     max_examples=100,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(query=query_strings())
@@ -98,6 +99,7 @@ def test_local_random_queries_match_oracle(prop_searcher, prop_texts, query):
 @settings(
     max_examples=100,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(query=query_strings())
