@@ -387,6 +387,113 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_benchmark(args) -> int:
+    """Performance benchmarks over a built index — the `probe benchmark`
+    analog (cli.rs:333-361; the reference shells out to criterion suites
+    with --bench/--sample-size/--format/--output/--fast).  Here the
+    suite is the reference query set (or --queries-file) timed against
+    the engine's serving lanes: `local` (driver-local front-end, no
+    Spark jobs — the reference's in-process latency class) and/or
+    `distributed` (the Spark engine).  One unmeasured warmup pass per
+    lane (cache fill + codegen = session startup, not query latency),
+    then --sample-size measured passes; per-query mean/p50/p95 plus the
+    suite wall, as a pretty table, JSON, or CSV."""
+    import statistics
+    import time
+
+    if args.queries_file:
+        with open(args.queries_file) as f:
+            suite = [
+                (str(i + 1), q.strip(), args.max_results)
+                for i, q in enumerate(f)
+                if q.strip()
+            ]
+    else:
+        from probe_spark.fixtures import REFERENCE_QUERIES
+
+        suite = [(str(i), q, k) for i, q, k in REFERENCE_QUERIES]
+    samples = 1 if args.fast else (args.sample_size or 3)
+
+    lanes: dict[str, object] = {}
+    if args.lane in ("local", "both"):
+        from probe_spark.search.local import LocalSearcher
+
+        searcher = LocalSearcher(args.index)
+        lanes["local"] = lambda q, k, s=searcher: s.search(
+            q, k=k, with_metadata=False
+        )
+    if args.lane in ("distributed", "both"):
+        from probe_spark.search.engine import SearchEngine
+
+        eng = SearchEngine(_build_session("probe-spark-benchmark"),
+                           args.index)
+        lanes["distributed"] = lambda q, k, e=eng: e.search(
+            q, k=k, with_metadata=False
+        ).collect()
+
+    results = []
+    for lane, run in lanes.items():
+        for _qid, q, k in suite:  # warmup (unmeasured)
+            run(q, k)
+        t_lane = time.time()
+        for qid, q, k in suite:
+            lat = []
+            n_rows = 0
+            for _ in range(samples):
+                t0 = time.time()
+                n_rows = len(run(q, k))
+                lat.append(time.time() - t0)
+            lat.sort()
+            results.append({
+                "lane": lane,
+                "query_id": qid,
+                "query": q,
+                "k": k,
+                "rows": n_rows,
+                "samples": samples,
+                "mean_sec": round(statistics.fmean(lat), 4),
+                "p50_sec": round(lat[len(lat) // 2], 4),
+                "p95_sec": round(lat[int(0.95 * (len(lat) - 1))], 4),
+            })
+        results.append({
+            "lane": lane, "query_id": "@suite", "query": "",
+            "k": None, "rows": None, "samples": samples,
+            "mean_sec": round(time.time() - t_lane, 4),
+            "p50_sec": None, "p95_sec": None,
+        })
+
+    if args.format == "json":
+        out = json.dumps({"index": args.index, "results": results})
+    elif args.format == "csv":
+        cols = list(results[0])
+        lines = [",".join(cols)]
+        for r in results:
+            lines.append(",".join(
+                "" if r[c] is None else str(r[c]).replace(",", ";")
+                for c in cols
+            ))
+        out = "\n".join(lines)
+    else:  # pretty
+        w = max(len(r["query"]) for r in results)
+        lines = [
+            f"{'lane':<12} {'id':<6} {'query':<{w}} "
+            f"{'mean':>8} {'p50':>8} {'p95':>8}"
+        ]
+        for r in results:
+            lines.append(
+                f"{r['lane']:<12} {r['query_id']:<6} {r['query']:<{w}} "
+                f"{r['mean_sec']:>8} "
+                f"{'' if r['p50_sec'] is None else r['p50_sec']:>8} "
+                f"{'' if r['p95_sec'] is None else r['p95_sec']:>8}"
+            )
+        out = "\n".join(lines)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out + "\n")
+    print(out)
+    return 0
+
+
 def cmd_percolate(args) -> int:
     """Standing queries over a batch of turns (streaming/percolate:
     the Elasticsearch-percolator analog with the engine's exact
@@ -674,6 +781,32 @@ def main(argv: list[str] | None = None) -> int:
     ev.add_argument("--output", help="write per-query metrics parquet "
                                      "instead of printing")
     ev.set_defaults(fn=cmd_eval)
+
+    bm = sub.add_parser(
+        "benchmark",
+        help="performance benchmarks over a built index (the reference's "
+             "`probe benchmark` analog, cli.rs:333-361): reference query "
+             "suite or --queries-file, per-query mean/p50/p95 per lane",
+    )
+    bm.add_argument("--index", required=True)
+    bm.add_argument("--queries-file", default=None,
+                    help="one query per line (default: the 23-query "
+                         "reference suite)")
+    bm.add_argument("--sample-size", type=int, default=None,
+                    help="measured passes per query (default 3)")
+    bm.add_argument("--fast", action="store_true",
+                    help="single measured pass (the reference's --fast)")
+    bm.add_argument("--lane", default="local",
+                    choices=["local", "distributed", "both"],
+                    help="serving lane(s) to time; local = driver-local "
+                         "front-end (no Spark jobs)")
+    bm.add_argument("-k", "--max-results", type=int, default=10,
+                    help="top-k for --queries-file queries")
+    bm.add_argument("--format", default="pretty",
+                    choices=["pretty", "json", "csv"])
+    bm.add_argument("--output", default=None,
+                    help="also write the formatted results to a file")
+    bm.set_defaults(fn=cmd_benchmark)
 
     pc = sub.add_parser(
         "percolate",

@@ -137,6 +137,26 @@ class TestCli:
         assert rc == 2
         assert "requires a BERT runtime" in capsys.readouterr().err
 
+    def test_benchmark_subcommand(self, built_index, capsys):
+        # `probe benchmark` analog (cli.rs:333-361): reference suite by
+        # default, per-query mean/p50/p95 + a @suite wall row per lane
+        import json as _json
+
+        from probe_spark import cli
+        from probe_spark.fixtures import REFERENCE_QUERIES
+
+        rc = cli.main(["benchmark", "--index", built_index, "--fast",
+                       "--format", "json"])
+        assert rc == 0
+        d = _json.loads(capsys.readouterr().out)
+        rows = d["results"]
+        assert len(rows) == len(REFERENCE_QUERIES) + 1
+        assert rows[-1]["query_id"] == "@suite"
+        assert all(r["lane"] == "local" for r in rows)
+        assert all(
+            r["p95_sec"] >= r["p50_sec"] >= 0.0 for r in rows[:-1]
+        )
+
     def test_build_filter_restricts_corpus(self, spark, tmp_path, capsys):
         from probe_spark import cli
         from probe_spark.fixtures import write_transcripts_parquet
