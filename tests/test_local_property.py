@@ -103,6 +103,35 @@ def test_local_random_queries_match_oracle(prop_searcher, prop_texts, query):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(query=query_strings())
+def test_dense_disjunction_on_off_identical(prop_searcher, query, monkeypatch):
+    from probe_spark.search.local import LocalSearcher
+
+    try:
+        parse_query(query)
+    except ParseError:
+        return
+    on = prop_searcher.search(query, k=10)
+    monkeypatch.setattr(
+        LocalSearcher,
+        "_search_disjunctive_dense",
+        lambda self, *a, **kw: None,
+    )
+    off = prop_searcher.search(query, k=10)
+    monkeypatch.undo()
+    assert [
+        (r["doc_id"], r["score"], r.get("matched_terms")) for r in on
+    ] == [(r["doc_id"], r["score"], r.get("matched_terms")) for r in off], (
+        query
+    )
+
+
+@settings(
+    max_examples=100,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(query=query_strings())
 def test_narrowing_on_off_identical(prop_searcher, query, monkeypatch):
     from probe_spark.search import local as local_mod
 
